@@ -1,0 +1,11 @@
+"""swift_readability_ray — Ray-Data-native main-content extraction engine.
+
+A from-scratch reimplementation (NOT a port) of the extraction capabilities of
+lake-of-fire/swift-readability (itself a port of Mozilla Readability.js
+v0.6.0), re-expressed as Ray Data pipelines over Arrow batches of interleaved
+text+media span documents. See SURVEY.md for the blueprint.
+"""
+
+from .readability import ExtractOptions, Extractor, extract, is_probably_readerable  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,676 @@
+"""Minimal HTML5-ish DOM used by the extraction engine.
+
+Stdlib-only (``html.parser``) because no third-party HTML parser is available
+in the target environment.  The tree model intentionally mirrors the subset of
+the WHATWG DOM that Mozilla Readability.js relies on (studied at
+/root/reference/tmp-readability/Readability.js — behavior reference only, no
+code reuse): elements with ``tagName``-style identity, text nodes, attribute
+maps, ``textContent``, ``innerHTML`` and sibling/child navigation.
+
+The parser is a pragmatic HTML5 tree builder: void elements, implied end tags
+(``p``/``li``/``dt``/``dd``/``tr``/``td``/``th``/``option``…), implicit
+``html``/``head``/``body`` synthesis and implicit ``tbody`` insertion.  It does
+not implement foster parenting or the adoption-agency algorithm; the
+extraction heuristics are robust to that level of divergence.
+
+Designed for use inside Ray Data ``map_batches`` actor UDFs: a parser instance
+is cheap, holds no global state, and every document's tree is private to one
+row (see SURVEY.md §1.2 — per-row transient state never crosses rows).
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# Tag categories (HTML5)
+# ---------------------------------------------------------------------------
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+RAW_TEXT_ELEMENTS = frozenset(("script", "style"))
+
+# Start tags that implicitly close an open <p> (HTML5 "closes a p element").
+_P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl dd dt
+    fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr
+    listing main menu nav ol p plaintext pre section summary table ul""".split()
+)
+
+# Tags whose arrival implicitly closes same-named (or sibling-kind) open tags.
+_IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "thead": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tbody": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tfoot": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "option": frozenset(["option"]),
+    "optgroup": frozenset(["option", "optgroup"]),
+    "caption": frozenset(["caption"]),
+    "colgroup": frozenset(["colgroup"]),
+}
+
+# Scope barriers: when auto-closing an implied-end tag we stop the upward
+# search at these boundaries so e.g. an <li> inside a nested <ul> doesn't
+# close the outer <li>.
+_SCOPE_BARRIERS = {
+    "li": frozenset(["ul", "ol"]),
+    "dt": frozenset(["dl"]),
+    "dd": frozenset(["dl"]),
+    "tr": frozenset(["table", "thead", "tbody", "tfoot"]),
+    "td": frozenset(["table", "tr"]),
+    "th": frozenset(["table", "tr"]),
+    "thead": frozenset(["table"]),
+    "tbody": frozenset(["table"]),
+    "tfoot": frozenset(["table"]),
+    "option": frozenset(["select", "datalist"]),
+    "optgroup": frozenset(["select"]),
+    "caption": frozenset(["table"]),
+    "colgroup": frozenset(["table"]),
+}
+
+_HEAD_TAGS = frozenset("base basefont bgsound link meta noscript script style template title".split())
+
+_WS_RE = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Node classes
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    """Base DOM node."""
+
+    __slots__ = ("parent",)
+
+    ELEMENT_NODE = 1
+    TEXT_NODE = 3
+    COMMENT_NODE = 8
+
+    node_type: int = 0
+
+    def __init__(self) -> None:
+        self.parent: Element | None = None
+
+    # -- navigation ---------------------------------------------------------
+    @property
+    def next_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.child_nodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.child_nodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i - 1] if i > 0 else None
+
+    @property
+    def next_element_sibling(self) -> "Element | None":
+        n = self.next_sibling
+        while n is not None and not isinstance(n, Element):
+            n = n.next_sibling
+        return n
+
+    @property
+    def previous_element_sibling(self) -> "Element | None":
+        n = self.previous_sibling
+        while n is not None and not isinstance(n, Element):
+            n = n.previous_sibling
+        return n
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    # -- content ------------------------------------------------------------
+    @property
+    def text_content(self) -> str:  # pragma: no cover - overridden
+        return ""
+
+
+class TextNode(Node):
+    __slots__ = ("data",)
+    node_type = Node.TEXT_NODE
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"#text({self.data[:30]!r})"
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+    node_type = Node.COMMENT_NODE
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return ""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"#comment({self.data[:30]!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "child_nodes", "readability", "readability_data_table")
+    node_type = Node.ELEMENT_NODE
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
+        super().__init__()
+        self.tag = tag  # lowercase
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
+        self.child_nodes: list[Node] = []
+        # per-document algorithm state (contentScore); never crosses rows
+        self.readability: float | None = None
+        self.readability_data_table: bool | None = None
+
+    # -- identity -----------------------------------------------------------
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    @class_name.setter
+    def class_name(self, value: str) -> None:
+        self.attrs["class"] = value
+
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    @id.setter
+    def id(self, value: str) -> None:
+        self.attrs["id"] = value
+
+    # -- attributes ---------------------------------------------------------
+    def get_attribute(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    def set_attribute(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    def remove_attribute(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    def has_attribute(self, name: str) -> bool:
+        return name in self.attrs
+
+    # -- tree edits ---------------------------------------------------------
+    def append_child(self, node: Node) -> Node:
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        node.parent = self
+        self.child_nodes.append(node)
+        return node
+
+    def insert_before(self, node: Node, reference: Node | None) -> Node:
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        if reference is None:
+            return self.append_child(node)
+        idx = self.child_nodes.index(reference)
+        node.parent = self
+        self.child_nodes.insert(idx, node)
+        return node
+
+    def remove_child(self, node: Node) -> Node:
+        self.child_nodes.remove(node)
+        node.parent = None
+        return node
+
+    def replace_child(self, new: Node, old: Node) -> Node:
+        if new.parent is not None:
+            new.parent.remove_child(new)
+        idx = self.child_nodes.index(old)
+        old.parent = None
+        new.parent = self
+        self.child_nodes[idx] = new
+        return old
+
+    # -- navigation ---------------------------------------------------------
+    @property
+    def first_child(self) -> Node | None:
+        return self.child_nodes[0] if self.child_nodes else None
+
+    @property
+    def last_child(self) -> Node | None:
+        return self.child_nodes[-1] if self.child_nodes else None
+
+    @property
+    def children(self) -> list["Element"]:
+        return [c for c in self.child_nodes if isinstance(c, Element)]
+
+    @property
+    def first_element_child(self) -> "Element | None":
+        for c in self.child_nodes:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    # -- queries ------------------------------------------------------------
+    def iter_descendants(self):
+        """Depth-first, document order, excluding self."""
+        stack = list(reversed(self.child_nodes))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element) and node.child_nodes:
+                stack.extend(reversed(node.child_nodes))
+
+    def iter_elements(self):
+        for node in self.iter_descendants():
+            if isinstance(node, Element):
+                yield node
+
+    def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
+        tag = tag.lower()
+        if tag == "*":
+            return list(self.iter_elements())
+        return [el for el in self.iter_elements() if el.tag == tag]
+
+    def get_all_nodes_with_tag(self, tags) -> list["Element"]:
+        wanted = frozenset(t.lower() for t in tags)
+        return [el for el in self.iter_elements() if el.tag in wanted]
+
+    # -- content ------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        parts: list[str] = []
+        stack = list(reversed(self.child_nodes))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, TextNode):
+                parts.append(node.data)
+            elif isinstance(node, Element):
+                stack.extend(reversed(node.child_nodes))
+        return "".join(parts)
+
+    @property
+    def inner_html(self) -> str:
+        out: list[str] = []
+        for c in self.child_nodes:
+            _serialize(c, out)
+        return "".join(out)
+
+    @property
+    def outer_html(self) -> str:
+        out: list[str] = []
+        _serialize(self, out)
+        return "".join(out)
+
+    def set_inner_html(self, html: str) -> None:
+        for c in list(self.child_nodes):
+            self.remove_child(c)
+        for node in parse_fragment(html):
+            self.append_child(node)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        ident = ("#" + self.id) if self.id else ""
+        cls = ("." + ".".join(self.class_name.split())) if self.class_name else ""
+        return f"<{self.tag}{ident}{cls}>"
+
+
+class Document(Element):
+    """Root document node; behaves as an element with tag ``#document``."""
+
+    __slots__ = ("document_uri",)
+
+    def __init__(self, document_uri: str = "about:blank") -> None:
+        super().__init__("#document")
+        self.document_uri = document_uri
+
+    @property
+    def document_element(self) -> Element | None:
+        for c in self.children:
+            if c.tag == "html":
+                return c
+        return self.first_element_child
+
+    @property
+    def head(self) -> Element | None:
+        de = self.document_element
+        if de is None:
+            return None
+        for c in de.children:
+            if c.tag == "head":
+                return c
+        return None
+
+    @property
+    def body(self) -> Element | None:
+        de = self.document_element
+        if de is None:
+            return None
+        for c in de.children:
+            if c.tag == "body":
+                return c
+        return None
+
+    @property
+    def title(self) -> str:
+        for el in self.iter_elements():
+            if el.tag == "title":
+                return el.text_content
+        return ""
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag.lower())
+
+    def create_text_node(self, data: str) -> TextNode:
+        return TextNode(data)
+
+
+# ---------------------------------------------------------------------------
+# Serialization
+# ---------------------------------------------------------------------------
+
+
+def _serialize(node: Node, out: list[str]) -> None:
+    if isinstance(node, TextNode):
+        parent = node.parent
+        if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
+            out.append(node.data)
+        else:
+            out.append(escape(node.data, quote=False))
+        return
+    if isinstance(node, Comment):
+        out.append(f"<!--{node.data}-->")
+        return
+    el = node
+    assert isinstance(el, Element)
+    if el.tag == "#document":
+        for c in el.child_nodes:
+            _serialize(c, out)
+        return
+    out.append("<")
+    out.append(el.tag)
+    for name, value in el.attrs.items():
+        out.append(" ")
+        out.append(name)
+        if value != "":
+            out.append('="')
+            out.append(escape(value, quote=True))
+            out.append('"')
+        else:
+            out.append('=""')
+    out.append(">")
+    if el.tag in VOID_ELEMENTS:
+        return
+    for c in el.child_nodes:
+        _serialize(c, out)
+    out.append("</")
+    out.append(el.tag)
+    out.append(">")
+
+
+# ---------------------------------------------------------------------------
+# Parsing
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    """HTML5-ish tree builder on top of stdlib HTMLParser."""
+
+    def __init__(self, root: Element, fragment: bool = False) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = root
+        self.stack: list[Element] = [root]
+        self.fragment = fragment
+        # document-mode structural state
+        self._saw_html = fragment
+        self._in_head: Element | None = None
+        self._saw_body = fragment
+
+    # -- structure synthesis -------------------------------------------------
+    def _ensure_context(self, tag: str, for_text: bool = False) -> None:
+        """Synthesize html/head/body as needed (document mode only)."""
+        if self.fragment:
+            return
+        top = self.stack[-1]
+        if top is self.root:  # at document level
+            if tag == "html":
+                return
+            html = self._open("html", {})
+            top = html
+        if self.stack[-1].tag == "html":
+            if tag in ("head", "body"):
+                return
+            if not for_text and tag in _HEAD_TAGS and not self._saw_body:
+                if self._in_head is None:
+                    self._in_head = self._open("head", {})
+                return
+            # anything else → body
+            if self._in_head is not None and self.stack[-1] is self._in_head:
+                self._pop()
+            if not self._saw_body:
+                self._open("body", {})
+                self._saw_body = True
+        elif self.stack[-1] is self._in_head and tag not in _HEAD_TAGS and tag not in ("head",) and not for_text:
+            # non-head content while in head → close head, open body
+            self._pop()
+            if not self._saw_body:
+                self._open("body", {})
+                self._saw_body = True
+
+    def _open(self, tag: str, attrs: dict[str, str]) -> Element:
+        el = Element(tag, attrs)
+        self.stack[-1].append_child(el)
+        self.stack.append(el)
+        if tag == "head":
+            self._in_head = el
+        if tag == "body":
+            self._saw_body = True
+        if tag == "html":
+            self._saw_html = True
+        return el
+
+    def _pop(self) -> None:
+        if len(self.stack) > 1:
+            self.stack.pop()
+
+    def _close_implied(self, tag: str) -> None:
+        closers = _IMPLIED_END.get(tag)
+        if closers:
+            barriers = _SCOPE_BARRIERS.get(tag, frozenset())
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in barriers:
+                    break
+                if t in closers:
+                    del self.stack[i:]
+                    break
+        if tag in _P_CLOSERS:
+            # close an open <p> unless separated by a special boundary
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in ("html", "body", "table", "td", "th", "caption", "#document"):
+                    break
+
+    # -- HTMLParser hooks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        attr_map: dict[str, str] = {}
+        for name, value in attrs:
+            name = name.lower()
+            if name not in attr_map:
+                attr_map[name] = value if value is not None else ""
+        if tag == "html" and self._saw_html and not self.fragment:
+            # merge attributes onto existing html element
+            de = self.root.children[0] if self.root.children else None
+            if de is not None and de.tag == "html":
+                for k, v in attr_map.items():
+                    de.attrs.setdefault(k, v)
+            return
+        if tag in ("head", "body") and not self.fragment:
+            existing = None
+            for el in self.stack[1:]:
+                if el.tag == tag:
+                    existing = el
+            if existing is None and tag == "body" and self._saw_body:
+                # find body under html
+                html = self.root.children[0] if self.root.children else None
+                if html is not None:
+                    for c in html.children:
+                        if c.tag == "body":
+                            existing = c
+            if existing is not None:
+                for k, v in attr_map.items():
+                    existing.attrs.setdefault(k, v)
+                if existing not in self.stack:
+                    self.stack.append(existing)
+                return
+        self._ensure_context(tag)
+        self._close_implied(tag)
+        # implicit tbody: tr directly under table
+        if tag == "tr" and self.stack[-1].tag == "table":
+            self._open("tbody", {})
+        # td/th directly under table → synthesize tbody>tr
+        if tag in ("td", "th"):
+            if self.stack[-1].tag == "table":
+                self._open("tbody", {})
+            if self.stack[-1].tag in ("tbody", "thead", "tfoot"):
+                self._open("tr", {})
+        el = self._open(tag, attr_map)
+        if tag in VOID_ELEMENTS:
+            self.stack.pop()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            # self-closing non-void: treat as empty element
+            if self.stack[-1].tag == tag:
+                self.stack.pop()
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        if tag in ("html", "body", "head") and not self.fragment:
+            # pop down to it if open, but never below body
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    del self.stack[i:]
+                    return
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                del self.stack[i:]
+                return
+            if t in ("body", "html"):
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        top = self.stack[-1]
+        if not self.fragment and (
+            top is self.root
+            or top.tag == "html"
+            or (top.tag == "head" and data.strip())
+        ):
+            if not data.strip():
+                return
+            self._ensure_context("#text", for_text=True)
+            top = self.stack[-1]
+        last = top.child_nodes[-1] if top.child_nodes else None
+        if isinstance(last, TextNode):
+            last.data += data
+        else:
+            top.append_child(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:
+        self.stack[-1].append_child(Comment(data))
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        # CDATA sections etc: keep content as text inside raw-text elements
+        if data.startswith("CDATA["):
+            self.handle_data(data[6:])
+
+
+def parse(html: str, document_uri: str = "about:blank") -> Document:
+    """Parse an HTML document string into a :class:`Document`.
+
+    Always produces an ``html > (head, body)`` skeleton like a browser.
+    """
+    doc = Document(document_uri)
+    builder = _TreeBuilder(doc, fragment=False)
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is robust, but guard against pathological inputs:
+        # whatever tree was built so far is kept.
+        pass
+    # guarantee skeleton
+    de = doc.document_element
+    if de is None or de.tag != "html":
+        html_el = Element("html")
+        for c in list(doc.child_nodes):
+            doc.remove_child(c)
+            html_el.append_child(c)
+        doc.append_child(html_el)
+        de = html_el
+    if doc.head is None:
+        de.insert_before(Element("head"), de.first_child)
+    if doc.body is None:
+        de.append_child(Element("body"))
+    return doc
+
+
+def parse_fragment(html: str) -> list[Node]:
+    """Parse an HTML fragment; returns the top-level node list (detached)."""
+    root = Element("#fragment")
+    builder = _TreeBuilder(root, fragment=True)
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass
+    nodes = list(root.child_nodes)
+    for n in nodes:
+        root.remove_child(n)
+    return nodes
+
+
+def normalize_ws(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and trim."""
+    return _WS_RE.sub(" ", text).strip()
