@@ -1,0 +1,213 @@
+"""End-to-end extraction pipeline (SURVEY.md §3.4).
+
+    read (Lance/Parquet, column-pruned)
+      → [optional] doc_id-hash partition column + skew routing
+      → map_batches(ReadabilityExtractor, actor pool, pyarrow, zero-copy)
+      → write partitioned output + lineage + metrics
+
+Design points for 100 TB scale:
+- streaming end-to-end: no take_all / to_pandas / mid-pipeline materialize;
+  consumption is a partitioned parquet write.
+- the extract stage is the ONLY heavy stage and is embarrassingly parallel —
+  no semantic shuffle exists in this workload (SURVEY.md §7.2); the one
+  optional exchange is a placement repartition when input files are skewed.
+- skew: per-row HTML byte size is computed vectorially; oversized rows
+  (> ``skew_threshold_bytes``) are routed to a dedicated small-batch actor
+  pool so one 50 MB document cannot stall a 4 MB-average batch.
+- resumable: ``run_resumable_extraction`` processes doc_id-hash partitions
+  with per-partition lineage commits (state/lineage.py); restarts skip
+  completed partitions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..readability.core import ExtractOptions
+from ..sources.io import read_documents
+from ..stages.extract import ReadabilityExtractor
+from ..state.lineage import LineageLog
+
+
+def _with_hash_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Append a stable doc_id-hash partition id column (vectorized)."""
+    # polynomial rolling hash over utf8 bytes, stable across processes
+    # (Python's hash() is salted; don't use it for placement).
+    import numpy as np
+
+    ids = batch.column("doc_id").to_pylist()
+    parts = np.fromiter(
+        (_stable_hash(s) % num_partitions for s in ids), dtype=np.int64, count=len(ids)
+    )
+    return batch.append_column("part", pa.array(parts, pa.int64()))
+
+
+def _stable_hash(s: str) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def _span_bytes(batch: pa.Table) -> pa.Table:
+    """Vectorized per-row payload size: total utf8 bytes of span texts."""
+    spans = batch.column("spans")
+    flat = pc.list_flatten(spans)
+    text_len = pc.binary_length(pc.struct_field(flat, "text"))
+    # sum text lengths back per row
+    offsets_len = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    lens = text_len.to_numpy(zero_copy_only=False)
+    row_totals = np.zeros(len(batch), dtype=np.int64)
+    idx = 0
+    for i, n in enumerate(offsets_len):
+        if n:
+            row_totals[i] = lens[idx : idx + n].sum()
+            idx += int(n)
+    return batch.append_column("payload_bytes", pa.array(row_totals, pa.int64()))
+
+
+def extraction_dataset(
+    input_path: str,
+    options: ExtractOptions | None = None,
+    base_url: str = "http://localhost/",
+    batch_size: int = 32,
+    concurrency: int | tuple[int, int] | None = None,
+    skew_threshold_bytes: int | None = 4 << 20,
+    include_content_html: bool = True,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Build the lazy extraction Dataset (streaming; caller consumes it)."""
+    ds = read_documents(
+        input_path,
+        columns=["doc_id", "spans"],
+        override_num_blocks=override_num_blocks,
+    )
+
+    kwargs = dict(
+        fn_constructor_kwargs={
+            "options": options,
+            "base_url": base_url,
+            "include_content_html": include_content_html,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+
+    if skew_threshold_bytes is None:
+        return ds.map_batches(ReadabilityExtractor, batch_size=batch_size, **kwargs)
+
+    # Skew-aware split (SURVEY.md §4.2): giant-HTML rows go to a dedicated
+    # small-batch pool so they can't straggle an average batch.
+    sized = ds.map_batches(_span_bytes, batch_format="pyarrow", zero_copy_batch=True)
+    small = sized.filter(expr=f"payload_bytes <= {skew_threshold_bytes}").drop_columns(
+        ["payload_bytes"]
+    )
+    large = sized.filter(expr=f"payload_bytes > {skew_threshold_bytes}").drop_columns(
+        ["payload_bytes"]
+    )
+    small_out = small.map_batches(ReadabilityExtractor, batch_size=batch_size, **kwargs)
+    large_out = large.map_batches(ReadabilityExtractor, batch_size=1, **kwargs)
+    return small_out.union(large_out)
+
+
+def run_extraction(
+    input_path: str,
+    output_path: str,
+    options: ExtractOptions | None = None,
+    base_url: str = "http://localhost/",
+    batch_size: int = 32,
+    concurrency: int | tuple[int, int] | None = None,
+    skew_threshold_bytes: int | None = 4 << 20,
+) -> dict:
+    """Single streaming pass: read → extract → partitioned parquet write."""
+    ds = extraction_dataset(
+        input_path,
+        options=options,
+        base_url=base_url,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        skew_threshold_bytes=skew_threshold_bytes,
+    )
+    ds.write_parquet(output_path)
+    stats = ds.stats()
+    return {"output_path": output_path, "stats": stats}
+
+
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
+def run_resumable_extraction(
+    input_path: str,
+    output_path: str,
+    num_partitions: int = 8,
+    options: ExtractOptions | None = None,
+    base_url: str = "http://localhost/",
+    batch_size: int = 32,
+    concurrency: int | tuple[int, int] | None = None,
+    fail_after_partitions: int | None = None,
+) -> dict:
+    """Partitioned, resumable run with per-partition lineage commits.
+
+    Processes doc_id-hash partitions in order; each partition's output is
+    written to ``out/part=<k>/`` and committed with an atomic lineage record.
+    A re-run skips completed partitions (and cleans half-written orphans).
+    ``fail_after_partitions`` injects a mid-run abort for tests.
+    """
+    log = LineageLog(output_path)
+    done = log.completed_partitions()
+
+    ds = read_documents(input_path, columns=["doc_id", "spans"])
+    ds = ds.map_batches(
+        _with_hash_partition,
+        fn_kwargs={"num_partitions": num_partitions},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    kwargs = dict(
+        fn_constructor_kwargs={"options": options, "base_url": base_url},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+
+    processed = 0
+    completed_now = []
+    for part in range(num_partitions):
+        if part in done:
+            continue
+        log.clean_orphan(part)
+        part_ds = ds.filter(expr=f"part == {part}").drop_columns(["part"])
+        out = part_ds.map_batches(ReadabilityExtractor, **kwargs)
+        part_dir = log.partition_dir(part)
+        out.write_parquet(part_dir)
+        row_count = _parquet_row_count(part_dir)
+        log.record(part, row_count)
+        completed_now.append(part)
+        processed += row_count
+        if fail_after_partitions is not None and len(completed_now) >= fail_after_partitions:
+            raise RuntimeError(f"injected failure after {fail_after_partitions} partitions")
+
+    return {
+        "output_path": output_path,
+        "partitions_completed": sorted(log.completed_partitions()),
+        "rows_processed_this_run": processed,
+    }

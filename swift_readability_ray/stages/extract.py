@@ -1,0 +1,135 @@
+"""Actor-pool extraction stage: spans → article spans + metadata columns.
+
+The single fused per-row transform of SURVEY.md §3.4: all extraction phases
+(parse, metadata, preprocess, grabArticle, prepArticle, postprocess, span
+emission) run inside one ``map_batches`` callable-class UDF so the DOM never
+crosses a stage boundary.  Stateful setup (compiled regex table via module
+import, frozen options) happens once per actor in ``__init__``; per-row
+failures are captured in the ``error`` column instead of failing the batch
+(ArticleGrabber-style robustness, SURVEY.md §4.2).
+
+Usage::
+
+    ds.map_batches(
+        ReadabilityExtractor,
+        fn_constructor_kwargs={"options": ExtractOptions(), "base_url": ...},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,                # HTML rows are fat — keep batches small
+        concurrency=(2, 16),          # actor pool, autoscaling
+    )
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..readability.core import ExtractOptions, Extractor
+from ..schema import OUT, SPAN
+from ..spans import emit_spans, spans_to_html
+
+
+class ReadabilityExtractor:
+    """Callable-class UDF for ``Dataset.map_batches`` (pyarrow batches)."""
+
+    def __init__(
+        self,
+        options: ExtractOptions | None = None,
+        base_url: str = "http://localhost/",
+        include_content_html: bool = True,
+    ) -> None:
+        # Once-per-actor setup: options are frozen; the regex table and the
+        # parser machinery live at module scope (imported once per process).
+        self.options = options or ExtractOptions()
+        self.base_url = base_url
+        self.include_content_html = include_content_html
+        # per-actor running counters, exposed for metrics collection
+        self.docs_processed = 0
+        self.docs_failed = 0
+        self.bytes_parsed = 0
+        self.wall_seconds = 0.0
+
+    def extract_one(self, doc_id: str, spans: list[dict]) -> dict:
+        html = spans_to_html(spans)
+        self.bytes_parsed += len(html)
+        row = {
+            "doc_id": doc_id,
+            "spans": [],
+            "title": None,
+            "byline": None,
+            "dir": None,
+            "lang": None,
+            "excerpt": None,
+            "site_name": None,
+            "published_time": None,
+            "content_html": None,
+            "text_content": None,
+            "length": 0,
+            "readerable": False,
+            "error": None,
+        }
+        try:
+            result = Extractor(self.options).parse(html, self.base_url)
+        except Exception as exc:  # per-row isolation: never fail the batch
+            self.docs_failed += 1
+            row["error"] = f"{type(exc).__name__}: {exc}"
+            return row
+        if result is None:
+            row["error"] = "no-article"
+            return row
+        article = result["article_element"]
+        row["spans"] = emit_spans(article)
+        row["title"] = result["title"]
+        row["byline"] = result["byline"]
+        row["dir"] = result["dir"]
+        row["lang"] = result["lang"]
+        row["excerpt"] = result["excerpt"]
+        row["site_name"] = result["siteName"]
+        row["published_time"] = result["publishedTime"]
+        if self.include_content_html:
+            row["content_html"] = result["content"]
+        row["text_content"] = result["textContent"]
+        row["length"] = result["length"]
+        row["readerable"] = result["readerable"]
+        return row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        start = time.perf_counter()
+        doc_ids = batch.column("doc_id").to_pylist()
+        span_lists = batch.column("spans").to_pylist()
+        rows = [
+            self.extract_one(doc_id, spans or [])
+            for doc_id, spans in zip(doc_ids, span_lists)
+        ]
+        self.docs_processed += len(rows)
+        self.wall_seconds += time.perf_counter() - start
+        return rows_to_table(rows)
+
+
+def rows_to_table(rows: list[dict]) -> pa.Table:
+    columns = {name: [r[name] for r in rows] for name in OUT.names}
+    arrays = [
+        pa.array(columns[f.name], type=f.type) for f in OUT
+    ]
+    return pa.Table.from_arrays(arrays, schema=OUT)
+
+
+class HtmlExtractor(ReadabilityExtractor):
+    """Variant over a plain ``(doc_id, html)`` table (no span input)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        start = time.perf_counter()
+        doc_ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        rows = [
+            self.extract_one(
+                str(doc_id),
+                [{"kind": "text", "text": html or "", "media_ref": "", "offset": 0}],
+            )
+            for doc_id, html in zip(doc_ids, htmls)
+        ]
+        self.docs_processed += len(rows)
+        self.wall_seconds += time.perf_counter() - start
+        return rows_to_table(rows)
