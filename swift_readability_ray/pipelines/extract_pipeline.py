@@ -102,7 +102,11 @@ def extraction_dataset(
         return ds.map_batches(ReadabilityExtractor, batch_size=batch_size, **kwargs)
 
     # Skew-aware split (SURVEY.md §4.2): giant-HTML rows go to a dedicated
-    # small-batch pool so they can't straggle an average batch.
+    # small-batch pool so they can't straggle an average batch.  Both pools
+    # MUST autoscale from 1 actor: two fixed-size pools can reserve every
+    # CPU and deadlock the read/write tasks on a small cluster.
+    if isinstance(kwargs.get("concurrency"), int):
+        kwargs["concurrency"] = (1, kwargs["concurrency"])
     sized = ds.map_batches(_span_bytes, batch_format="pyarrow", zero_copy_batch=True)
     small = sized.filter(expr=f"payload_bytes <= {skew_threshold_bytes}").drop_columns(
         ["payload_bytes"]

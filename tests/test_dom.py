@@ -1,0 +1,123 @@
+from swift_readability_ray.dom import Element, TextNode, parse, parse_fragment
+
+
+def test_basic_structure():
+    doc = parse("<html><head><title>T</title></head><body><p>hi</p></body></html>")
+    assert doc.document_element.tag == "html"
+    assert doc.head is not None
+    assert doc.body is not None
+    assert doc.title == "T"
+    assert doc.body.first_element_child.tag == "p"
+
+
+def test_skeleton_synthesis():
+    doc = parse("<p>bare paragraph</p>")
+    assert doc.body is not None
+    assert doc.body.first_element_child.tag == "p"
+    doc = parse("just text")
+    assert doc.body.text_content == "just text"
+
+
+def test_head_content_routing():
+    doc = parse("<meta charset='utf-8'><title>X</title><div>body content</div>")
+    assert doc.head.get_elements_by_tag_name("meta")
+    assert doc.body.first_element_child.tag == "div"
+
+
+def test_implied_p_close():
+    doc = parse("<body><p>one<p>two<div>three</div></body>")
+    body = doc.body
+    tags = [c.tag for c in body.children]
+    assert tags == ["p", "p", "div"]
+    assert body.children[0].text_content == "one"
+
+
+def test_implied_li_close():
+    doc = parse("<ul><li>a<li>b<li>c</ul>")
+    ul = doc.body.first_element_child
+    assert [li.text_content for li in ul.children] == ["a", "b", "c"]
+
+
+def test_nested_list_li_not_closed():
+    doc = parse("<ul><li>a<ul><li>a1</li></ul></li><li>b</li></ul>")
+    ul = doc.body.first_element_child
+    assert len(ul.children) == 2
+    assert ul.children[0].get_elements_by_tag_name("li")[0].text_content == "a1"
+
+
+def test_implicit_tbody():
+    doc = parse("<table><tr><td>x</td><td>y</td></tr></table>")
+    table = doc.body.first_element_child
+    assert table.tag == "table"
+    tbody = table.first_element_child
+    assert tbody.tag == "tbody"
+    assert tbody.first_element_child.tag == "tr"
+    assert [td.text_content for td in tbody.first_element_child.children] == ["x", "y"]
+
+
+def test_void_elements():
+    doc = parse("<body><p>a<br>b<img src='x.png'>c</p></body>")
+    p = doc.body.first_element_child
+    assert [c.tag for c in p.children] == ["br", "img"]
+    assert p.text_content == "abc"
+
+
+def test_script_raw_text():
+    doc = parse("<head><script>if (a < b) { x = '<p>'; }</script></head><body></body>")
+    script = doc.get_elements_by_tag_name("script")[0]
+    assert "<p>" in script.text_content
+
+
+def test_attributes():
+    doc = parse('<body><div id="main" class="a b" data-x="1" hidden></div></body>')
+    div = doc.body.first_element_child
+    assert div.id == "main"
+    assert div.class_name == "a b"
+    assert div.get_attribute("data-x") == "1"
+    assert div.has_attribute("hidden")
+
+
+def test_serialization_roundtrip():
+    html = '<div id="a"><p>x &amp; y</p><img src="u.png"><!--c--></div>'
+    doc = parse(f"<body>{html}</body>")
+    out = doc.body.inner_html
+    doc2 = parse(f"<body>{out}</body>")
+    assert doc2.body.inner_html == out
+    assert "&amp;" in out
+
+
+def test_tree_edits():
+    doc = parse("<body><div><p>a</p><p>b</p></div></body>")
+    div = doc.body.first_element_child
+    p1, p2 = div.children
+    assert p1.next_element_sibling is p2
+    new = Element("span")
+    div.replace_child(new, p1)
+    assert div.children[0] is new
+    assert p1.parent is None
+    div.insert_before(TextNode("t"), new)
+    assert isinstance(div.child_nodes[0], TextNode)
+
+
+def test_set_inner_html():
+    doc = parse("<body><div>old</div></body>")
+    doc.body.set_inner_html("<p>new</p><p>er</p>")
+    assert [c.tag for c in doc.body.children] == ["p", "p"]
+
+
+def test_parse_fragment():
+    nodes = parse_fragment("text <b>bold</b> tail")
+    assert len(nodes) == 3
+    assert isinstance(nodes[0], TextNode)
+    assert nodes[1].tag == "b"
+
+
+def test_comment_inside_script():
+    doc = parse("<body><script><!-- <div>not real</div> --></script><p>real</p></body>")
+    assert len(doc.body.get_elements_by_tag_name("div")) == 0
+    assert doc.body.get_elements_by_tag_name("p")[0].text_content == "real"
+
+
+def test_mismatched_end_tags():
+    doc = parse("<body><div><p>a</div></b></body>")
+    assert doc.body.first_element_child.tag == "div"

@@ -1,0 +1,132 @@
+"""Ray Data pipeline tests: golden span invariant, skew routing, resume."""
+
+import glob
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from swift_readability_ray.fixtures import BASE_URL
+
+
+def _span_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_streaming_extraction_matches_expected(ray_session, fixture_corpus_dir, tmp_path):
+    from swift_readability_ray.pipelines import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(fixture_corpus_dir + "/documents.parquet", out, base_url=BASE_URL, concurrency=2)
+
+    got = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    expected = pq.read_table(os.path.join(fixture_corpus_dir, "expected.parquet"))
+    assert got.num_rows == expected.num_rows
+
+    got_rows = {r["doc_id"]: r for r in got.to_pylist()}
+    n_strict = 0
+    for exp in expected.to_pylist():
+        r = got_rows[exp["doc_id"]]
+        assert r["error"] is None, (exp["doc_id"], r["error"])
+        if exp["mode"] != "strict":
+            assert r["spans"], exp["doc_id"]
+            continue
+        n_strict += 1
+        # the per-row invariant: span-sequence equality (kind, text, media_ref, order)
+        assert _span_key(r["spans"]) == _span_key(exp["spans"]), exp["doc_id"]
+        for key in ("title", "byline", "dir", "lang", "excerpt", "site_name", "published_time"):
+            assert (r[key] or None) == (exp[key] or None), (exp["doc_id"], key)
+        assert r["readerable"] == exp["readerable"], exp["doc_id"]
+    assert n_strict >= 30
+
+
+def test_skew_routing_covers_all_rows(ray_session, fixture_corpus_dir, tmp_path):
+    from swift_readability_ray.pipelines import run_extraction
+
+    out = str(tmp_path / "skew_out")
+    # threshold below the oversized doc's size → it must take the large path
+    run_extraction(
+        fixture_corpus_dir + "/documents.parquet",
+        out,
+        base_url=BASE_URL,
+        concurrency=2,
+        skew_threshold_bytes=50_000,
+    )
+    got = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    inp = pq.read_table(os.path.join(fixture_corpus_dir, "documents.parquet"))
+    assert got.num_rows == inp.num_rows
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(inp.column("doc_id").to_pylist())
+    oversized = got.filter(pc.equal(got.column("doc_id"), "oversized-000"))
+    assert oversized.num_rows == 1
+    assert oversized.column("error")[0].as_py() is None
+
+
+def test_resumable_no_dup_no_loss(ray_session, fixture_corpus_dir, tmp_path):
+    from swift_readability_ray.pipelines import run_resumable_extraction
+
+    out = str(tmp_path / "resume_out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_extraction(
+            fixture_corpus_dir + "/documents.parquet",
+            out,
+            num_partitions=4,
+            base_url=BASE_URL,
+            concurrency=2,
+            fail_after_partitions=2,
+        )
+    # partial state: exactly 2 partitions committed
+    from swift_readability_ray.state import LineageLog
+
+    log = LineageLog(out)
+    assert len(log.completed_partitions()) == 2
+
+    res = run_resumable_extraction(
+        fixture_corpus_dir + "/documents.parquet",
+        out,
+        num_partitions=4,
+        base_url=BASE_URL,
+        concurrency=2,
+    )
+    assert res["partitions_completed"] == [0, 1, 2, 3]
+
+    files = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    got = pq.read_table(files)
+    inp = pq.read_table(os.path.join(fixture_corpus_dir, "documents.parquet"))
+    got_ids = sorted(got.column("doc_id").to_pylist())
+    want_ids = sorted(inp.column("doc_id").to_pylist())
+    assert got_ids == want_ids  # no dup, no loss
+    # lineage row counts match reality
+    assert sum(rec["row_count"] for rec in log.records()) == inp.num_rows
+
+
+def test_error_isolation(ray_session, tmp_path):
+    """A pathological row yields an error column, not a failed job."""
+    import pyarrow as pa
+
+    from swift_readability_ray.pipelines import run_extraction
+    from swift_readability_ray.schema import DOCUMENTS, SPAN
+
+    rows = [
+        ("good", [{"kind": "text", "text": "<html><body><div><p>" + ("Fine text, with commas, here. " * 30) + "</p></div></body></html>", "media_ref": "", "offset": 0}]),
+        ("empty", []),
+        ("blank", [{"kind": "text", "text": "", "media_ref": "", "offset": 0}]),
+    ]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.list_(SPAN)),
+        ],
+        schema=DOCUMENTS,
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(tbl, os.path.join(src, "d.parquet"))
+    out = str(tmp_path / "out")
+    run_extraction(src, out, concurrency=1, skew_threshold_bytes=None)
+    got = pq.read_table(glob.glob(os.path.join(out, "*.parquet")))
+    by_id = {r["doc_id"]: r for r in got.to_pylist()}
+    assert by_id["good"]["error"] is None
+    assert by_id["good"]["spans"]
+    assert by_id["empty"]["error"] == "no-article"
+    assert by_id["blank"]["error"] == "no-article"

@@ -1,0 +1,269 @@
+"""Behavioral tests of the extraction core on small constructed documents."""
+
+import pytest
+
+from swift_readability_ray import ExtractOptions, extract
+from swift_readability_ray.dom import parse
+from swift_readability_ray.readability.core import Extractor, MaxElemsExceeded
+from swift_readability_ray.readability.readerable import is_probably_readerable
+
+LONG = (
+    "This paragraph has plenty of text, commas, and general prose to score "
+    "well, because scoring rewards commas, length, and repetition. " * 3
+)
+
+ARTICLE = f"""
+<html lang="en"><head><title>My Test Page Title Here</title></head><body>
+<div class="sidebar menu"><a href="/a">Nav one</a><a href="/b">Nav two</a></div>
+<div class="content-main">
+  <p>{LONG}</p>
+  <p>{LONG}</p>
+  <p>{LONG}</p>
+</div>
+<div class="footer">footer text</div>
+</body></html>
+"""
+
+
+def test_basic_extraction():
+    r = extract(ARTICLE, "http://host/x.html")
+    assert r is not None
+    assert "plenty of text" in r["textContent"]
+    assert "Nav one" not in r["textContent"]
+    assert "footer text" not in r["textContent"]
+    assert r["lang"] == "en"
+    assert r["length"] == len(r["textContent"])
+
+
+def test_max_elems_guard():
+    with pytest.raises(MaxElemsExceeded):
+        extract(ARTICLE, options=ExtractOptions(max_elems_to_parse=3))
+
+
+def test_hidden_content_removed():
+    html = ARTICLE.replace(
+        '<div class="footer">',
+        '<div style="display:none"><p>INVISIBLE</p></div><div class="footer">',
+    )
+    r = extract(html)
+    assert "INVISIBLE" not in r["textContent"]
+
+
+def test_aria_hidden_removed():
+    html = ARTICLE.replace(
+        '<div class="footer">',
+        '<div aria-hidden="true"><p>ARIAHIDDEN</p></div><div class="footer">',
+    )
+    r = extract(html)
+    assert "ARIAHIDDEN" not in r["textContent"]
+
+
+def test_byline_from_body():
+    html = ARTICLE.replace(
+        '<div class="content-main">',
+        '<div class="content-main"><div class="byline">By Someone Person</div>',
+    )
+    r = extract(html)
+    assert r["byline"] == "By Someone Person"
+
+
+def test_rel_author_byline():
+    html = ARTICLE.replace(
+        '<div class="content-main">',
+        '<div class="content-main"><span rel="author">Jo Bloggs</span>',
+    )
+    r = extract(html)
+    assert r["byline"] == "Jo Bloggs"
+
+
+def test_header_duplicating_title_removed():
+    html = ARTICLE.replace(
+        '<div class="content-main">',
+        '<div class="content-main"><h1>My Test Page Title Here</h1>',
+    )
+    r = extract(html)
+    assert "My Test Page Title Here" not in r["textContent"]
+
+
+def test_h1_demoted_to_h2():
+    html = ARTICLE.replace(
+        '<div class="content-main">',
+        '<div class="content-main"><h1>Completely Different Heading Word Soup</h1>',
+    )
+    r = extract(html)
+    assert "<h2>" in r["content"]
+    assert "<h1>" not in r["content"]
+
+
+def test_share_widget_removed():
+    html = ARTICLE.replace(
+        "</div>\n<div class=\"footer\">",
+        '<div class="sharedaddy"><a href="#">share me</a></div></div>\n<div class="footer">',
+    )
+    r = extract(html)
+    assert "share me" not in r["textContent"]
+
+
+def test_javascript_links_unwrapped():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f"<p>{LONG} <a href=\"javascript:void(0)\">click me</a></p>",
+        1,
+    )
+    r = extract(html, "http://host/x.html")
+    assert "click me" in r["textContent"]
+    assert "javascript:" not in r["content"]
+
+
+def test_relative_urls_absolutized():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG} <a href="/other/page.html">rel link</a>'
+        f' <img src="../img/pic.jpg"></p>',
+        1,
+    )
+    r = extract(html, "http://host/sub/x.html")
+    assert 'href="http://host/other/page.html"' in r["content"]
+    assert 'src="http://host/img/pic.jpg"' in r["content"]
+
+
+def test_base_href_honored():
+    html = ARTICLE.replace(
+        "<head>", '<head><base href="http://cdn.example/base/">'
+    ).replace(f"<p>{LONG}</p>", f'<p>{LONG} <a href="x.html">lnk</a></p>', 1)
+    r = extract(html, "http://host/page.html")
+    assert 'href="http://cdn.example/base/x.html"' in r["content"]
+
+
+def test_srcset_rewritten():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG}</p><img src="/i/a.jpg" srcset="/i/a-1x.jpg 1x, /i/a-2x.jpg 2x">',
+        1,
+    )
+    r = extract(html, "http://host/x.html")
+    assert "http://host/i/a-1x.jpg 1x" in r["content"]
+    assert "http://host/i/a-2x.jpg 2x" in r["content"]
+
+
+def test_class_stripping_and_preserve():
+    html = ARTICLE.replace("content-main", "content-main keepme")
+    r = extract(html)
+    assert 'class="keepme"' not in r["content"]
+    r2 = extract(html, options=ExtractOptions(classes_to_preserve=("keepme",)))
+    assert "keepme" in r2["content"]
+    r3 = extract(html, options=ExtractOptions(keep_classes=True))
+    assert "content-main" in r3["content"]
+
+
+def test_video_embed_spared():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG}</p><iframe src="https://www.youtube.com/embed/abc"></iframe>'
+        f'<iframe src="https://ads.example.com/frame"></iframe>',
+        1,
+    )
+    r = extract(html)
+    assert "youtube.com/embed/abc" in r["content"]
+    assert "ads.example.com" not in r["content"]
+
+
+def test_custom_video_regex():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG}</p><iframe src="https://video.mysite.org/v/1"></iframe>',
+        1,
+    )
+    r = extract(html)
+    assert "video.mysite.org" not in r["content"]
+    r2 = extract(html, options=ExtractOptions(allowed_video_regex=r"//video\.mysite\.org"))
+    assert "video.mysite.org" in r2["content"]
+
+
+def test_data_table_kept_layout_table_unwrapped():
+    data_table = (
+        "<table><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+        "<tbody>" + "".join(f"<tr><td>a{i}</td><td>b{i}</td></tr>" for i in range(5)) + "</tbody></table>"
+    )
+    html = ARTICLE.replace(f"<p>{LONG}</p>", f"<p>{LONG}</p>{data_table}", 1)
+    r = extract(html)
+    assert "a3" in r["textContent"]
+
+    single_cell = f"<table><tr><td><p>{LONG}</p></td></tr></table>"
+    html2 = ARTICLE.replace(f"<p>{LONG}</p>", single_cell, 1)
+    r2 = extract(html2)
+    assert "<table>" not in r2["content"]
+    assert "plenty of text" in r2["textContent"]
+
+
+def test_retry_loop_returns_best_attempt():
+    short = "<html><body><div class='content'><p>Tiny little article body, it is short.</p></div></body></html>"
+    r = extract(short)
+    assert r is not None
+    assert "Tiny little article" in r["textContent"]
+    assert r["readerable"] is False
+
+
+def test_empty_doc_returns_none():
+    assert extract("<html><body></body></html>") is None
+
+
+def test_noscript_image_unwrap():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG}</p><img src="data:image/gif;base64,R0lGOD">'
+        f'<noscript><img src="http://host/real.jpg"></noscript>',
+        1,
+    )
+    r = extract(html, "http://host/x.html")
+    assert 'src="http://host/real.jpg"' in r["content"]
+
+
+def test_lazy_image_fixed():
+    html = ARTICLE.replace(
+        f"<p>{LONG}</p>",
+        f'<p>{LONG}</p><img class="lazy" data-src="http://host/lazy-pic.jpg">',
+        1,
+    )
+    r = extract(html, "http://host/x.html")
+    assert 'src="http://host/lazy-pic.jpg"' in r["content"]
+
+
+def test_font_replaced_with_span():
+    html = ARTICLE.replace(f"<p>{LONG}</p>", f"<p><font>{LONG}</font></p>", 1)
+    r = extract(html)
+    assert "<font" not in r["content"]
+
+
+def test_readerable_thresholds():
+    long_text = "word " * 60
+    doc = parse(f"<html><body><p>{long_text}</p><p>{long_text}</p></body></html>")
+    assert is_probably_readerable(doc) is True
+    doc2 = parse("<html><body><p>short</p></body></html>")
+    assert is_probably_readerable(doc2) is False
+    # p inside li is ignored
+    doc3 = parse(f"<html><body><ul><li><p>{long_text}</p><p>{long_text}</p></li></ul></body></html>")
+    assert is_probably_readerable(doc3) is False
+    # visibility checker injection
+    doc4 = parse(f"<html><body><p>{long_text}</p><p>{long_text}</p></body></html>")
+    assert is_probably_readerable(doc4, visibility_checker=lambda n: False) is False
+
+
+def test_fresh_extractor_required_per_doc():
+    ex = Extractor()
+    r1 = ex.parse(ARTICLE, "http://host/x.html")
+    assert r1 is not None
+    # state is per-instance: a second instance gives identical output
+    r2 = Extractor().parse(ARTICLE, "http://host/x.html")
+    assert r1["textContent"] == r2["textContent"]
+
+
+def test_dir_detection():
+    html = ARTICLE.replace('<div class="content-main">', '<div class="content-main" dir="rtl">')
+    r = extract(html)
+    assert r["dir"] == "rtl"
+
+
+def test_excerpt_falls_back_to_first_p():
+    r = extract(ARTICLE)
+    assert r["excerpt"].startswith("This paragraph has plenty")
