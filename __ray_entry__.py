@@ -1,44 +1,126 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps operator names (SURVEY.md §2 + the training-data ops) to
+callables over ``sf_dir``; SQL-expressible ones have a matching DuckDB
+oracle in ``oracle_sql()`` with identical column names.  Extraction-core and
+sketch-based ops are rows-only (not SQL-expressible).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: synthesize pages from the documents
+    table and run the full Readability extraction as a streaming Dataset."""
+    from swift_readability_ray.pipelines.training_data import extract_articles
+
+    return extract_articles("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from swift_readability_ray.pipelines import training_data as TD
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction core (rows-only: not SQL-expressible)
+        "extract_articles": TD.extract_articles,
+        # text analysis
+        "token_counts": TD.token_counts,
+        "fingerprints": TD.fingerprints,
+        "langid": TD.langid_table,
+        "quality": TD.quality_table,
+        # aggregates / filters / sorts
+        "doc_stats": TD.doc_stats,
+        "readerable_filter": TD.readerable_filter,
+        "top_docs": TD.top_docs,
+        # dedup family
+        "exact_dedup": TD.exact_dedup,
+        "minhash_dedup": TD.minhash_dedup,
+        "simhash_dedup": TD.simhash_dedup,
+        "embedding_neardup": TD.embedding_neardup,
+        # similarity search
+        "knn_bruteforce": TD.knn_bruteforce_query,
+        "ivf_topk": TD.ivf_topk_query,
+        # joins / json scalar functions
+        "orders_by_segment": TD.orders_by_segment,
+        "events_json_stats": TD.events_json_stats,
+        # multimodal plumbing (stubbed decode, real Ray plumbing)
+        "media_features": TD.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "fingerprints": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "readerable_filter": """
+            SELECT source, count(*) AS n_docs
+            FROM documents WHERE n_chars >= 500
+            GROUP BY source ORDER BY source
+        """,
+        "top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+            ORDER BY id_a, id_b
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                    FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "events_json_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    }

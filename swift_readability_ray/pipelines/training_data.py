@@ -1,0 +1,346 @@
+"""Training-data pipeline queries over the driver testdata tables.
+
+Each public function takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+they back ``__ray_entry__.queries()`` and are mirrored by DuckDB oracle SQL
+where expressible.  Column names are pinned to match the oracles exactly.
+
+Scale notes (100 TB discipline):
+- reads prune columns at the source (``columns=[...]``)
+- aggregations pre-combine inside map_batches where the groupby would
+  otherwise shuffle fat rows (we group only small derived columns)
+- small-side joins broadcast via ``ray.put`` instead of shuffling
+- floating aggregates exposed to the oracle are integer-exact or rounded
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions import text_stats as T
+from ..stages import dedup as D
+from ..stages import similarity as S
+from ..stages import text_analysis as TA
+from ..stages.extract import HtmlExtractor
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ SQL-oracled
+
+
+def doc_stats(sf_dir: str) -> pa.Table:
+    """Per-language doc count and char stats (groupby aggregate)."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
+        .rename_columns(["lang", "n_docs", "total_chars", "avg_chars"])
+        .sort("lang")
+    )
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def readerable_filter(sf_dir: str, min_chars: int = 500) -> pa.Table:
+    """Docs crossing the charThreshold-style gate, counted per source."""
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+    from ray.data.aggregate import Count
+
+    filtered = ds.filter(expr=f"n_chars >= {min_chars}")
+    out = filtered.groupby("source").aggregate(Count()).rename_columns(
+        ["source", "n_docs"]
+    ).sort("source")
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """Per-doc whitespace + BPE-ish token counts (vectorized map_batches)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(TA.add_token_counts, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["doc_id", "ws_tokens", "bpe_tokens"]).sort_by("doc_id")
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup: min doc_id kept per distinct text (hash groupby)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    kept = D.exact_dedup_keep_first(ds)
+    tbl = pa.concat_tables([b for b in kept.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["doc_id"]).sort_by("doc_id")
+
+
+def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k largest docs (deterministic tie-break on doc_id)."""
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    """Per-doc md5 fingerprint (matches DuckDB md5())."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return batch.select(["doc_id"]).append_column(
+            "md5", pa.array([T.md5_fingerprint(t or "") for t in texts], pa.string())
+        )
+
+    out = ds.map_batches(add_md5, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")]).sort_by("doc_id")
+
+
+def knn_bruteforce_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
+    """Exact cosine top-k for the first ``n_queries`` embeddings."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q_rows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    query_ids = [r["vec_id"] for r in q_rows]
+    tbl = S.knn_bruteforce(ds, queries, query_ids, k=k)
+    return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
+    """Embedding-cosine near-dup pairs (id columns only: float-hash-safe)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = D.embedding_neardup_pairs(ds, threshold=threshold)
+    tbl = pa.concat_tables([b for b in pairs.iter_batches(batch_format="pyarrow")])
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return tbl.select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+def orders_by_segment(sf_dir: str) -> pa.Table:
+    """Broadcast join orders ⋈ customer → per-segment counts (ints only)."""
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = {}
+    for batch in customers.iter_batches(batch_format="pyarrow"):
+        for ck, seg in zip(
+            batch.column("c_custkey").to_pylist(), batch.column("c_mktsegment").to_pylist()
+        ):
+            seg_map[ck] = seg
+    seg_ref = ray.put(seg_map)  # broadcast small side once
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def tag_segment(batch: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = [m.get(ck) for ck in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    tagged = orders.map_batches(tag_segment, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_segment(group: pa.Table) -> pa.Table:
+        seg = group.column("c_mktsegment")[0].as_py()
+        n_orders = group.num_rows
+        n_customers = pc.count_distinct(group.column("o_custkey")).as_py()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([seg], pa.string()),
+                "n_orders": pa.array([n_orders], pa.int64()),
+                "n_customers": pa.array([n_customers], pa.int64()),
+            }
+        )
+
+    out = tagged.groupby("c_mktsegment").map_groups(per_segment, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("c_mktsegment")
+
+
+def events_json_stats(sf_dir: str) -> pa.Table:
+    """JSON scalar extraction: sum/count of props.k per event type."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = [
+            int(json.loads(p).get("k", 0)) if p else 0
+            for p in batch.column("props").to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        tagged.groupby("event_type")
+        .aggregate(Count(), Sum("k"))
+        .rename_columns(["event_type", "n_events", "sum_k"])
+        .sort("event_type")
+    )
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
+# -------------------------------------------------------------- rows-only
+
+
+def extract_articles(sf_dir: str) -> ray.data.Dataset:
+    """Flagship: wrap each document's text in a deterministic HTML page and
+    run the full extraction pipeline (rows-only oracle: not SQL-expressible).
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+
+    def to_html(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        htmls = [synthesize_page(str(i), t or "", s or "") for i, t, s in zip(ids, texts, sources)]
+        return pa.table(
+            {"doc_id": pa.array([str(i) for i in ids], pa.string()),
+             "html": pa.array(htmls, pa.string())}
+        )
+
+    pages = ds.map_batches(to_html, batch_format="pyarrow", zero_copy_batch=True)
+    out = pages.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs={"base_url": "http://testdata.local/doc.html",
+                               "include_content_html": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+    return out.select_columns(
+        ["doc_id", "title", "byline", "length", "readerable", "error"]
+    )
+
+
+def synthesize_page(doc_id: str, text: str, source: str) -> str:
+    """Deterministic HTML page around a document's text (flagship input)."""
+    words = text.split()
+    paras = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)] or [""]
+    body = "".join(f"<p>{p}.</p>" for p in paras)
+    return (
+        f'<html lang="en"><head><title>Document {doc_id} | {source}</title>'
+        f'<meta property="og:description" content="Synthetic page for {doc_id}.">'
+        f'<meta name="author" content="Generator {source}"></head><body>'
+        f'<div class="nav menu"><a href="/">home</a></div>'
+        f'<div class="article-content">{body}</div>'
+        f'<div class="footer">footer</div></body></html>'
+    )
+
+
+def langid_table(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(TA.add_lang_id, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["doc_id", "lang_pred"]).sort_by("doc_id")
+
+
+def quality_table(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(TA.add_quality, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["doc_id", "quality"]).sort_by("doc_id")
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = D.minhash_dedup_pairs(ds, threshold=threshold)
+    if not pairs:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array([p["doc_a"] for p in pairs]),
+            "doc_b": pa.array([p["doc_b"] for p in pairs]),
+        }
+    )
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = D.simhash_dedup_pairs(ds, max_hamming=max_hamming)
+    if not pairs:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int32())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array([p["doc_a"] for p in pairs]),
+            "doc_b": pa.array([p["doc_b"] for p in pairs]),
+            "hamming": pa.array([p["hamming"] for p in pairs], pa.int32()),
+        }
+    )
+
+
+def ivf_topk_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q_rows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    tbl = S.ivf_topk(ds, queries, [r["vec_id"] for r in q_rows], k=k)
+    return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def media_features(sf_dir: str, n: int = 64) -> pa.Table:
+    """Multimodal plumbing demo: synthesize binary payloads from doc text,
+    run the (stubbed) decode/feature actor pool."""
+    from ..stages.multimodal import MediaFeatureExtractor
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).limit(n)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "media_ref": pa.array([f"mem://doc/{i}" for i in ids], pa.string()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8")[:256] for t in texts], pa.binary()
+                ),
+                "width": pa.array([0] * len(ids), pa.int32()),
+                "height": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": "fake", "feature_dim": 8},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("media_ref")

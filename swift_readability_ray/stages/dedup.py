@@ -1,0 +1,248 @@
+"""Deduplication operators over a (doc_id, text) table.
+
+Five families (all first-class per the build brief):
+
+- **exact**: md5-hash partition + per-group first — a hash-shuffle groupby;
+  at scale this is the canonical exact-dedup exchange.
+- **MinHash+LSH**: shingle → 64-perm minhash → 16-band bucket groupby →
+  candidate pairs → true-Jaccard verification.  The only shuffle is the
+  band-bucket groupby whose keys are small integers; verification joins
+  candidate doc texts via a driver-side broadcast dict (candidate sets are
+  tiny relative to the corpus — documented partitioning assumption).
+- **SimHash**: 64-bit signatures, 4×16-bit band buckets (pigeonhole for
+  hamming ≤ 3), hamming verification.
+- **n-gram Jaccard**: the verification kernel, exposed directly.
+- **embedding cosine**: near-dup pairs over `embeddings` via blockwise
+  numpy matmul against a broadcast matrix (no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import text_stats as T
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_keep_first(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Keep the min-doc_id row per distinct text (hash-partition groupby)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h = pa.array([T.md5_fingerprint(t or "") for t in texts], pa.string())
+        return batch.append_column("__h", h)
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = group.column("doc_id")
+        mask = pc.equal(ids, pc.min(ids))
+        return group.filter(mask).slice(0, 1).drop_columns(["__h"])
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("__h").map_groups(keep_first, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ MinHash+LSH
+
+
+class MinHashStage:
+    """Actor-pool stage: text → minhash band keys (perm params built once)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
+                 text_col: str = "text") -> None:
+        self.a, self.b = T.minhash_params(num_perm, seed)
+        self.bands = bands
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, keys = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        for doc_id, text in zip(ids, texts):
+            sig = T.minhash_signature(T.word_shingles(text or ""), self.a, self.b)
+            for band, key in enumerate(T.band_keys(sig, self.bands)):
+                doc_ids.append(doc_id)
+                band_ids.append(band)
+                keys.append(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "band": pa.array(band_ids, pa.int32()),
+                "bucket": pa.array(keys, pa.int64()),
+            }
+        )
+
+
+def _emit_pairs(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
+
+
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16, text_col: str = "text"
+) -> ray.data.Dataset:
+    """doc pairs sharing ≥1 LSH band bucket (deduplicated)."""
+    sig = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    pairs = sig.groupby("bucket").map_groups(_emit_pairs, batch_format="pyarrow")
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_group, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+) -> list[dict]:
+    """Verified near-duplicate pairs: LSH candidates filtered by true Jaccard.
+
+    Returns a small driver-side list (candidate sets are tiny); the heavy
+    work (signatures + bucket shuffle) is distributed.
+    """
+    candidates = minhash_candidate_pairs(ds, num_perm, bands, text_col).take_all()
+    if not candidates:
+        return []
+    needed = {c["doc_a"] for c in candidates} | {c["doc_b"] for c in candidates}
+    # fetch only candidate texts (broadcast-small-side join)
+    texts: dict = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column(text_col).to_pylist()
+        for i, t in zip(ids, txts):
+            if i in needed:
+                texts[i] = t
+    out = []
+    for c in candidates:
+        j = T.ngram_jaccard(texts[c["doc_a"]] or "", texts[c["doc_b"]] or "")
+        if j >= threshold:
+            out.append({"doc_a": c["doc_a"], "doc_b": c["doc_b"], "jaccard": round(j, 6)})
+    out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return out
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
+) -> list[dict]:
+    """Near-dup pairs by SimHash banding + hamming verification."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        doc_ids, buckets, hashes = [], [], []
+        for doc_id, text in zip(ids, texts):
+            h = T.simhash64(text or "")
+            for key in T.simhash_band_keys(h, bands=max_hamming + 1):
+                doc_ids.append(doc_id)
+                buckets.append(key)
+                hashes.append(h & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "bucket": pa.array(buckets, pa.int64()),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            {(i, h) for i, h in zip(group.column("doc_id").to_pylist(),
+                                    group.column("simhash").to_pylist())}
+        )
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = T.hamming64(rows[i][1], rows[j][1])
+                if d <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    d_out.append(d)
+        return pa.table(
+            {"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
+             "hamming": pa.array(d_out, pa.int32())}
+        )
+
+    pairs = banded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    seen = set()
+    out = []
+    for row in pairs.take_all():
+        key = (row["doc_a"], row["doc_b"])
+        if key not in seen:
+            seen.add(key)
+            out.append(row)
+    out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return out
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Pairs (a<b) with cosine ≥ threshold.
+
+    The full matrix is broadcast once via ``ray.put`` (small side); each
+    batch computes a blockwise matmul against it — no shuffle.  For corpora
+    where the matrix exceeds worker memory, swap in the IVF variant
+    (similarity.py) which prunes comparisons by coarse centroid.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    all_tbl = pa.concat_tables(
+        [b.select([id_col, vec_col]) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    ids = np.asarray(all_tbl.column(id_col).to_pylist())
+    mat = np.asarray(all_tbl.column(vec_col).to_pylist(), dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+    mat_ref = ray.put((ids, matn))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        bids = np.asarray(batch.column(id_col).to_pylist())
+        bmat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (bmat / bn) @ all_mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = bids[rows] < all_ids[cols]  # a<b, drops self-pairs
+        rows, cols = rows[keep], cols[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(bids[rows].tolist(), pa.int64()),
+                "id_b": pa.array(all_ids[cols].tolist(), pa.int64()),
+                "cosine": pa.array(np.round(sims[rows, cols].astype(np.float64), 6)),
+            }
+        )
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow", zero_copy_batch=True)

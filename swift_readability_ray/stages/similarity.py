@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k per query — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, read per task; never
+  re-shipped per batch).  The scale baseline.
+- ``ivf_topk``: IVF-style scale path — k-means-lite coarse centroids built
+  on a sample, vectors bucketed by nearest centroid, queries probe only the
+  ``nprobe`` nearest buckets.  Returns the same schema; exactness traded for
+  a bounded comparison count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k: per-batch partial top-k, merged on the driver.
+
+    Each batch computes sims against the broadcast query matrix and emits its
+    local top-k per query (combiner), so the driver merge handles only
+    ``num_batches × k`` rows per query — the wide step never shuffles.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _normalize(_to_matrix(batch, vec_col))
+        sims = q @ mat.T  # (nq, nb)
+        nq, nb = sims.shape
+        take = min(k, nb)
+        out_q, out_id, out_sim = [], [], []
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        for qi in range(nq):
+            idx = part[qi]
+            out_q.extend([qi] * take)
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+    rows = partials.take_all()  # small: num_batches × nq × k
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in rows:
+        by_q.setdefault(r["qi"], []).append((r["cosine"], r["neighbor_id"]))
+    out_qid, out_nid, out_rank, out_sim = [], [], [], []
+    for qi, lst in sorted(by_q.items()):
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, nid) in enumerate(lst[:k], start=1):
+            out_qid.append(query_ids[qi])
+            out_nid.append(nid)
+            out_rank.append(rank)
+            out_sim.append(round(sim, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out_qid, pa.int64()),
+            "neighbor_id": pa.array(out_nid, pa.int64()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        }
+    )
+
+
+def build_ivf_centroids(
+    ds: ray.data.Dataset, n_centroids: int = 16, iters: int = 5,
+    vec_col: str = "embedding", seed: int = 42, sample_limit: int = 4096,
+) -> np.ndarray:
+    """K-means-lite centroids from a bounded sample (driver-side, seeded)."""
+    sample = ds.limit(sample_limit).take_all()
+    mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` closest IVF buckets."""
+    centroids = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    cent_ref = ray.put(centroids)
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_sets = [
+        set(np.argsort(-(qn[i] @ centroids.T))[:nprobe].tolist()) for i in range(len(qn))
+    ]
+    q_ref = ray.put((qn, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        q, probes = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _normalize(_to_matrix(batch, vec_col))
+        assign = (mat @ cents.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(assign, list(probes[qi]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = q[qi] @ mat[mask].T
+            take = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, take - 1)[:take] if len(sub_ids) > take else np.arange(len(sub_ids))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_sim.extend(sims[idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials.take_all():
+        by_q.setdefault(r["qi"], []).append((r["cosine"], r["neighbor_id"]))
+    out_qid, out_nid, out_rank, out_sim = [], [], [], []
+    for qi, lst in sorted(by_q.items()):
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, nid) in enumerate(lst[:k], start=1):
+            out_qid.append(query_ids[qi])
+            out_nid.append(nid)
+            out_rank.append(rank)
+            out_sim.append(round(sim, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out_qid, pa.int64()),
+            "neighbor_id": pa.array(out_nid, pa.int64()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        }
+    )
