@@ -26,7 +26,7 @@ from ..functions import text_stats as T
 from ..stages import dedup as D
 from ..stages import similarity as S
 from ..stages import text_analysis as TA
-from ..stages.extract import HtmlExtractor
+from ..stages.extract import HtmlExtractor, extract_html_batch  # noqa: F401
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -204,34 +204,70 @@ def events_json_stats(sf_dir: str) -> pa.Table:
 # -------------------------------------------------------------- rows-only
 
 
-def extract_articles(sf_dir: str) -> ray.data.Dataset:
+def extract_articles(sf_dir: str, concurrency=None, batch_size: int = 32) -> ray.data.Dataset:
     """Flagship: wrap each document's text in a deterministic HTML page and
     run the full extraction pipeline (rows-only oracle: not SQL-expressible).
+
+    The actor pool autoscales to the cluster CPU count by default — a fixed
+    cap would strand cores on bigger clusters.
     """
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, n_cpus))
     ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    return _extract_pages(ds, concurrency, batch_size)
 
-    def to_html(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        sources = batch.column("source").to_pylist()
-        htmls = [synthesize_page(str(i), t or "", s or "") for i, t, s in zip(ids, texts, sources)]
-        return pa.table(
-            {"doc_id": pa.array([str(i) for i in ids], pa.string()),
-             "html": pa.array(htmls, pa.string())}
-        )
 
-    pages = ds.map_batches(to_html, batch_format="pyarrow", zero_copy_batch=True)
-    out = pages.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"base_url": "http://testdata.local/doc.html",
-                               "include_content_html": False},
+def extract_articles_repeated(sf_dir: str, repeat: int, concurrency=None,
+                              batch_size: int = 32) -> ray.data.Dataset:
+    """Headline pipeline over the input replicated ``repeat``× (bench use:
+    a corpus large enough that compute dominates fixed startup)."""
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if concurrency is None:
+        concurrency = (1, max(2, n_cpus))
+    # ~3 blocks per CPU: enough granularity to avoid a straggler tail, few
+    # enough to keep per-task overhead negligible (measured sweet spot;
+    # SURVEY.md §4.2 scaling-efficiency mitigation).
+    ds = ray.data.read_parquet(
+        [f"{sf_dir}/documents.parquet"] * repeat,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=max(3 * n_cpus, repeat),
+    )
+    return _extract_pages(ds, concurrency, batch_size)
+
+
+def _synthesize_and_extract(batch: pa.Table, include_content_html: bool = False) -> pa.Table:
+    """Fused page-synthesis + extraction (one stage: no intermediate blocks).
+
+    Task-pool form on warm worker processes with module-level regex state —
+    measured ~2× an autoscaling actor pool on this workload (stages/extract.py).
+    """
+    from ..stages.extract import HtmlExtractor, _cached_extractor
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    pages = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in ids], pa.string()),
+            "html": pa.array(
+                [synthesize_page(str(i), t or "", s or "") for i, t, s in zip(ids, texts, sources)],
+                pa.string(),
+            ),
+        }
+    )
+    ex = _cached_extractor(
+        HtmlExtractor, None, "http://testdata.local/doc.html", include_content_html
+    )
+    return ex(pages).select(["doc_id", "title", "byline", "length", "readerable", "error"])
+
+
+def _extract_pages(ds: ray.data.Dataset, concurrency, batch_size: int) -> ray.data.Dataset:
+    return ds.map_batches(
+        _synthesize_and_extract,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=64,
-        concurrency=(1, 8),
-    )
-    return out.select_columns(
-        ["doc_id", "title", "byline", "length", "readerable", "error"]
+        batch_size=batch_size,
     )
 
 
