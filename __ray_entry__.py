@@ -72,7 +72,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    avg(n_chars) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -120,7 +121,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_stats": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
