@@ -38,10 +38,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": TD.fingerprints,
         "langid": TD.langid_table,
         "quality": TD.quality_table,
-        # aggregates / filters / sorts
+        # aggregates / filters / sorts / windows
         "doc_stats": TD.doc_stats,
         "readerable_filter": TD.readerable_filter,
         "top_docs": TD.top_docs,
+        "lineitem_agg": TD.lineitem_agg,
+        "events_sessions": TD.events_sessions,
+        "top_docs_per_source": TD.top_docs_per_source,
+        # extraction metadata (SQL-oracled end-to-end check)
+        "extract_metadata": TD.extract_metadata,
         # dedup family
         "exact_dedup": TD.exact_dedup,
         "minhash_dedup": TD.minhash_dedup,
@@ -112,6 +117,46 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "top_docs_per_source": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            SELECT source, doc_id, n_chars FROM ranked
+            WHERE rn <= 3 ORDER BY source, doc_id
+        """,
+        "extract_metadata": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'Document ' || doc_id || ' | ' || source AS title,
+                   'Generator ' || source AS byline,
+                   'Synthetic page for ' || doc_id || '.' AS excerpt
+            FROM documents ORDER BY doc_id
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,

@@ -171,6 +171,122 @@ def orders_by_segment(sf_dir: str) -> pa.Table:
     ).sort_by("c_mktsegment")
 
 
+def lineitem_agg(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary with explicit partial aggregation.
+
+    Per-batch combiner (pyarrow group_by inside map_batches) shrinks each
+    block to ≤6 rows before the global shuffle, so the wide groupby moves
+    kilobytes instead of the table.  Money/quantity sums are integer cents —
+    order-independent and exact under any partial-combine schedule (float
+    sums would be schedule-dependent in the last bits).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def cents(col):
+            return pc.cast(pc.round(pc.multiply(batch.column(col), 100.0)), pa.int64())
+
+        b = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": cents("l_quantity"),
+                "price_c": cents("l_extendedprice"),
+                "disc_c": cents("l_discount"),
+            }
+        )
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ("qty_c", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c_sum"), Sum("price_c_sum"), Sum("disc_c_sum"), Sum("qty_c_count")
+        )
+        .rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c",
+             "sum_disc_c", "count_order"]
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
+    """Sessionized windowed aggregate: per-user event and session counts.
+
+    A session break is a gap > ``gap_seconds`` between consecutive events of
+    the same user.  The groupby shuffles by user_id (the one partitioning
+    key); the per-group window logic is a vectorized numpy diff over the
+    sorted timestamps — no Python loop over events.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False))
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > gap_seconds * 1_000_000).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([group.num_rows], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("user_id")
+
+
+def top_docs_per_source(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k docs by size within each source (per-group sort, global shuffle
+    only on the group key)."""
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def head_k(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        return group.take(idx[:k])
+
+    out = ds.groupby("source").map_groups(head_k, batch_format="pyarrow")
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["source", "doc_id", "n_chars"]).sort_by(
+        [("source", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def extract_metadata(sf_dir: str) -> pa.Table:
+    """Metadata fields from the full extraction pipeline over synthesized
+    pages.  SQL-oracled: the page generator is deterministic, so title /
+    byline / excerpt are reconstructable in SQL — an end-to-end check that
+    the extraction core (parse → metadata merge → title heuristics) emits
+    exactly the right values for every document.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    out = ds.map_batches(
+        _synthesize_and_extract,
+        fn_kwargs={"select": ["doc_id", "title", "byline", "excerpt"]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
 def events_json_stats(sf_dir: str) -> pa.Table:
     """JSON scalar extraction: sum/count of props.k per event type."""
     ds = ray.data.read_parquet(
@@ -236,7 +352,11 @@ def extract_articles_repeated(sf_dir: str, repeat: int, concurrency=None,
     return _extract_pages(ds, concurrency, batch_size)
 
 
-def _synthesize_and_extract(batch: pa.Table, include_content_html: bool = False) -> pa.Table:
+def _synthesize_and_extract(
+    batch: pa.Table,
+    include_content_html: bool = False,
+    select: list[str] | None = None,
+) -> pa.Table:
     """Fused page-synthesis + extraction (one stage: no intermediate blocks).
 
     Task-pool form on warm worker processes with module-level regex state —
@@ -259,7 +379,9 @@ def _synthesize_and_extract(batch: pa.Table, include_content_html: bool = False)
     ex = _cached_extractor(
         HtmlExtractor, None, "http://testdata.local/doc.html", include_content_html
     )
-    return ex(pages).select(["doc_id", "title", "byline", "length", "readerable", "error"])
+    return ex(pages).select(
+        select or ["doc_id", "title", "byline", "length", "readerable", "error"]
+    )
 
 
 def _extract_pages(ds: ray.data.Dataset, concurrency, batch_size: int) -> ray.data.Dataset:

@@ -1,0 +1,84 @@
+"""Driver-contract self-check: every ``queries()`` entry with an
+``oracle_sql()`` mirror must produce identical rows/columns/values to DuckDB
+over the same parquet tables (mini version of the correctness gate)."""
+
+import importlib.util
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _entry_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__ray_entry__.py")
+    spec = importlib.util.spec_from_file_location("__ray_entry__", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    if not os.path.isdir(SF):
+        pytest.skip(f"testdata {SF} missing")
+    return _entry_module()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        f = f"{SF}/{t}.parquet"
+        if os.path.exists(f):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+    return con
+
+
+def _to_df(x) -> pd.DataFrame:
+    if isinstance(x, pa.Table):
+        df = x.to_pandas()
+    elif isinstance(x, pd.DataFrame):
+        df = x
+    else:  # ray Dataset
+        df = x.to_pandas()
+    return df[sorted(df.columns)].reset_index(drop=True)
+
+
+ORACLED = [
+    "token_counts", "fingerprints", "doc_stats", "readerable_filter",
+    "top_docs", "exact_dedup", "embedding_neardup", "knn_bruteforce",
+    "orders_by_segment", "events_json_stats", "lineitem_agg",
+    "events_sessions", "top_docs_per_source", "extract_metadata",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(entry_mod, duck, name):
+    mine = _to_df(entry_mod.queries()[name](SF))
+    ref = _to_df(duck.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    pd.testing.assert_frame_equal(mine, ref, check_exact=True)
+
+
+def test_every_oracle_has_a_query(entry_mod):
+    qs = set(entry_mod.queries())
+    missing = set(entry_mod.oracle_sql()) - qs
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+
+
+def test_rows_only_queries_return_rows(entry_mod):
+    qs = entry_mod.queries()
+    rows_only = set(qs) - set(entry_mod.oracle_sql())
+    for name in sorted(rows_only):
+        out = qs[name](SF)
+        n = out.count() if hasattr(out, "count") and not isinstance(
+            out, (pa.Table, pd.DataFrame)) else len(out)
+        assert n >= 0, name
