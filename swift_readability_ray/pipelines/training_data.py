@@ -171,6 +171,32 @@ def orders_by_segment(sf_dir: str) -> pa.Table:
     ).sort_by("c_mktsegment")
 
 
+def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
+    """Deterministic hash-based sampling: keep doc_id iff
+    ``md5(doc_id)[:8] % 100 < rate_pct``.
+
+    Stable across runs, engines and cluster sizes (unlike random_shuffle /
+    ds.random_sample), embarrassingly parallel (pure filter, no shuffle) —
+    the right way to cut a reproducible training subset at 100 TB.
+    """
+    import hashlib
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < rate_pct
+            for i in ids
+        ]
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
 def lineitem_agg(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style pricing summary with explicit partial aggregation.
 

@@ -75,6 +75,9 @@ class Extractor:
         self._attempts: list[tuple[Element, int]] = []
         self._metadata: dict = {}
         self.doc: Document | None = None
+        # work counter for the metrics contract (north rule: candidates
+        # scored per partition); accumulates across grab-retry attempts
+        self.candidates_scored = 0
 
     # ------------------------------------------------------------------ flags
     def _flag_is_active(self, flag: int) -> bool:
@@ -538,6 +541,7 @@ class Extractor:
                 content_score += 1
                 content_score += len(R.COMMAS.split(inner_text))
                 content_score += min(len(inner_text) // 100, 3)
+                self.candidates_scored += 1
 
                 for level, ancestor in enumerate(ancestors):
                     # Skip the document and <html> (whose parent is the

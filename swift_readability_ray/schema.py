@@ -36,6 +36,8 @@ OUT = pa.schema(
         ("length", pa.int32()),
         ("readerable", pa.bool_()),
         ("error", pa.string()),             # null on success
+        ("n_candidates", pa.int32()),       # work counter: elements scored
+        ("input_bytes", pa.int32()),        # reassembled HTML size
     ]
 )
 

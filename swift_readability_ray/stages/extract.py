@@ -49,6 +49,7 @@ class ReadabilityExtractor:
         self.docs_processed = 0
         self.docs_failed = 0
         self.bytes_parsed = 0
+        self.candidates_scored = 0
         self.wall_seconds = 0.0
 
     def extract_one(self, doc_id: str, spans: list[dict]) -> dict:
@@ -69,13 +70,20 @@ class ReadabilityExtractor:
             "length": 0,
             "readerable": False,
             "error": None,
+            "n_candidates": 0,
+            "input_bytes": len(html),
         }
+        extractor = Extractor(self.options)
         try:
-            result = Extractor(self.options).parse(html, self.base_url)
+            result = extractor.parse(html, self.base_url)
         except Exception as exc:  # per-row isolation: never fail the batch
             self.docs_failed += 1
             row["error"] = f"{type(exc).__name__}: {exc}"
+            row["n_candidates"] = extractor.candidates_scored
+            self.candidates_scored += extractor.candidates_scored
             return row
+        row["n_candidates"] = extractor.candidates_scored
+        self.candidates_scored += extractor.candidates_scored
         if result is None:
             row["error"] = "no-article"
             return row

@@ -57,3 +57,23 @@ class LineageLog:
             with open(os.path.join(self.lineage_dir, f"part-{part}.json")) as f:
                 out.append(json.load(f))
         return out
+
+    def metrics_table(self):
+        """Job metrics as a METRICS-schema Arrow table (one row/partition)."""
+        import pyarrow as pa
+
+        from ..schema import METRICS
+
+        recs = self.records()
+        cols = {
+            "stage": ["extract"] * len(recs),
+            "partition_id": [r["partition_id"] for r in recs],
+            "docs_processed": [r.get("docs_processed", r["row_count"]) for r in recs],
+            "docs_failed": [r.get("docs_failed", 0) for r in recs],
+            "bytes_parsed": [r.get("bytes_parsed", 0) for r in recs],
+            "candidates_scored": [r.get("candidates_scored", 0) for r in recs],
+            "wall_seconds": [float(r.get("wall_seconds", 0.0)) for r in recs],
+        }
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in METRICS], schema=METRICS
+        )

@@ -130,3 +130,31 @@ def test_error_isolation(ray_session, tmp_path):
     assert by_id["good"]["spans"]
     assert by_id["empty"]["error"] == "no-article"
     assert by_id["blank"]["error"] == "no-article"
+
+
+def test_partition_metrics_checkpointed(ray_session, fixture_corpus_dir, tmp_path):
+    """North rule: lineage carries docs processed / candidates scored /
+    bytes parsed per partition, exposable as a METRICS-schema table."""
+    from swift_readability_ray.pipelines import run_resumable_extraction
+    from swift_readability_ray.schema import METRICS
+    from swift_readability_ray.state import LineageLog
+
+    out = str(tmp_path / "metrics_out")
+    run_resumable_extraction(
+        fixture_corpus_dir + "/documents.parquet",
+        out,
+        num_partitions=3,
+        base_url=BASE_URL,
+    )
+    log = LineageLog(out)
+    recs = log.records()
+    assert len(recs) == 3
+    for r in recs:
+        assert r["docs_processed"] == r["row_count"]
+        assert r["bytes_parsed"] > 0
+        assert r["candidates_scored"] > 0
+
+    tbl = log.metrics_table()
+    assert tbl.schema.equals(METRICS)
+    inp = pq.read_table(os.path.join(fixture_corpus_dir, "documents.parquet"))
+    assert sum(tbl.column("docs_processed").to_pylist()) == inp.num_rows
