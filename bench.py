@@ -69,26 +69,27 @@ def run_headline(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
-    from swift_readability_ray.pipelines import training_data as TD
+    """Time every driver-contract query except the headline (timed separately).
+
+    Iterating ``__ray_entry__.queries()`` keeps the bench in sync with the
+    operator inventory automatically.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(REPO, "__ray_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
 
     timings: dict[str, float] = {}
-    for name, fn in [
-        ("doc_stats", TD.doc_stats),
-        ("readerable_filter", TD.readerable_filter),
-        ("token_counts", TD.token_counts),
-        ("exact_dedup", TD.exact_dedup),
-        ("top_docs", TD.top_docs),
-        ("fingerprints", TD.fingerprints),
-        ("knn_bruteforce", TD.knn_bruteforce_query),
-        ("ivf_topk", TD.ivf_topk_query),
-        ("embedding_neardup", TD.embedding_neardup),
-        ("minhash_dedup", TD.minhash_dedup),
-        ("simhash_dedup", TD.simhash_dedup),
-        ("langid", TD.langid_table),
-        ("quality", TD.quality_table),
-    ]:
+    for name, fn in m.queries().items():
+        if name == "extract_articles":
+            continue
         t0 = time.perf_counter()
-        fn(sf_dir)
+        out = fn(sf_dir)
+        if hasattr(out, "count") and not hasattr(out, "num_rows"):
+            out.count()  # consume lazy Datasets so the timing is real
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings
 

@@ -45,9 +45,11 @@ def doc_stats(sf_dir: str) -> pa.Table:
         ds.groupby("lang")
         .aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
         .rename_columns(["lang", "n_docs", "total_chars", "avg_chars"])
-        .sort("lang")
     )
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    # result is a handful of rows — sort driver-side, not a Dataset sort
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("lang")
 
 
 def readerable_filter(sf_dir: str, min_chars: int = 500) -> pa.Table:
@@ -58,8 +60,10 @@ def readerable_filter(sf_dir: str, min_chars: int = 500) -> pa.Table:
     filtered = ds.filter(expr=f"n_chars >= {min_chars}")
     out = filtered.groupby("source").aggregate(Count()).rename_columns(
         ["source", "n_docs"]
-    ).sort("source")
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("source")
 
 
 def token_counts(sf_dir: str) -> pa.Table:
@@ -241,9 +245,10 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
             ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c",
              "sum_disc_c", "count_order"]
         )
-        .sort(["l_returnflag", "l_linestatus"])
     )
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
 def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
@@ -338,9 +343,10 @@ def events_json_stats(sf_dir: str) -> pa.Table:
         tagged.groupby("event_type")
         .aggregate(Count(), Sum("k"))
         .rename_columns(["event_type", "n_events", "sum_k"])
-        .sort("event_type")
     )
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("event_type")
 
 
 # -------------------------------------------------------------- rows-only

@@ -90,9 +90,18 @@ def _emit_pairs(group: pa.Table) -> pa.Table:
 
 
 def minhash_candidate_pairs(
-    ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16, text_col: str = "text"
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """doc pairs sharing ≥1 LSH band bucket (deduplicated)."""
+    """doc pairs sharing ≥1 LSH band bucket.
+
+    ``distinct=False`` skips the pair-dedup shuffle and may emit a pair once
+    per shared band — callers that collect the (small) candidate set anyway
+    should dedup driver-side instead of paying a second all-to-all.
+    """
     sig = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_col": text_col},
@@ -101,6 +110,8 @@ def minhash_candidate_pairs(
         concurrency=(1, 4),
     )
     pairs = sig.groupby("bucket").map_groups(_emit_pairs, batch_format="pyarrow")
+    if not distinct:
+        return pairs
 
     def dedup_group(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
@@ -120,7 +131,11 @@ def minhash_dedup_pairs(
     Returns a small driver-side list (candidate sets are tiny); the heavy
     work (signatures + bucket shuffle) is distributed.
     """
-    candidates = minhash_candidate_pairs(ds, num_perm, bands, text_col).take_all()
+    raw = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=False).take_all()
+    candidates = [
+        {"doc_a": a, "doc_b": b}
+        for a, b in sorted({(c["doc_a"], c["doc_b"]) for c in raw})
+    ]
     if not candidates:
         return []
     needed = {c["doc_a"] for c in candidates} | {c["doc_b"] for c in candidates}
