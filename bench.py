@@ -157,11 +157,86 @@ def scaling_run() -> dict:
     }
 
 
+def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
+    """Mirror of the reference's SwiftReadabilityBench harness: mean ms per
+    parse over the 130 Mozilla fixture pages (single thread, no Ray), plus
+    distributed throughput over the same corpus at NUM_CPUS.
+
+    Reference: Sources/SwiftReadabilityBench/main.swift:106-165.
+    """
+    import glob
+
+    from swift_readability_ray import ExtractOptions, extract
+
+    fix = "/root/reference/tmp-readability/test/test-pages"
+    dirs = sorted(glob.glob(os.path.join(fix, "*")))
+    docs = []
+    for d in dirs:
+        src = os.path.join(d, "source.html")
+        if os.path.exists(src):
+            with open(src, encoding="utf-8", errors="replace") as f:
+                docs.append((os.path.basename(d), f.read()))
+    if not docs:
+        return {"error": "fixture corpus not available"}
+
+    opts = ExtractOptions(classes_to_preserve=("caption",))
+    url = "http://fakehost/test/page.html"
+    for _ in range(warmup):
+        for _, html in docs:
+            extract(html, url, opts)
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        for _, html in docs:
+            extract(html, url, opts)
+    total = time.perf_counter() - t0
+    per_parse_ms = total / (iterations * len(docs)) * 1000
+
+    # distributed: same corpus through the Ray extraction stage
+    ray = _init_ray(NUM_CPUS)
+    import pyarrow as pa
+
+    from swift_readability_ray.stages.extract import extract_html_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([n for n, _ in docs]),
+            "html": pa.array([h for _, h in docs]),
+        }
+    )
+    import ray.data as rd
+
+    ds0 = rd.from_arrow(tbl).union(*[rd.from_arrow(tbl)] * 7)  # 8x corpus
+    ds0.map_batches(extract_html_batch, batch_size=4,
+                    batch_format="pyarrow").count()  # warm workers
+    t0 = time.perf_counter()
+    n = (
+        rd.from_arrow(tbl)
+        .union(*[rd.from_arrow(tbl)] * 7)
+        .map_batches(extract_html_batch, batch_size=4, batch_format="pyarrow")
+        .count()
+    )
+    dist_secs = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "fixtures": len(docs),
+        "single_thread_ms_per_parse": round(per_parse_ms, 2),
+        "single_thread_docs_per_sec": round(1000 / per_parse_ms, 2),
+        "distributed_docs_per_sec": round(n / dist_secs, 2),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true")
+    parser.add_argument("--fixtures", action="store_true")
     args = parser.parse_args()
+
+    if args.fixtures:
+        print(json.dumps({"metric": "fixture-corpus parse latency (reference-harness mirror)",
+                          "unit": "ms/parse", **fixtures_run()}))
+        return
 
     if args.headline_only:
         headline_only(NUM_CPUS)

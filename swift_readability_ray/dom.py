@@ -288,19 +288,45 @@ class Element(Node):
                 stack.extend(reversed(node.child_nodes))
 
     def iter_elements(self):
-        for node in self.iter_descendants():
+        # Hot path: direct stack walk (single generator frame, one
+        # isinstance per node) — these scans dominate extraction profiles.
+        stack = list(reversed(self.child_nodes))
+        while stack:
+            node = stack.pop()
             if isinstance(node, Element):
                 yield node
+                cn = node.child_nodes
+                if cn:
+                    stack.extend(reversed(cn))
 
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         tag = tag.lower()
-        if tag == "*":
-            return list(self.iter_elements())
-        return [el for el in self.iter_elements() if el.tag == tag]
+        star = tag == "*"
+        out: list[Element] = []
+        stack = list(reversed(self.child_nodes))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                if star or node.tag == tag:
+                    out.append(node)
+                cn = node.child_nodes
+                if cn:
+                    stack.extend(reversed(cn))
+        return out
 
     def get_all_nodes_with_tag(self, tags) -> list["Element"]:
         wanted = frozenset(t.lower() for t in tags)
-        return [el for el in self.iter_elements() if el.tag in wanted]
+        out: list[Element] = []
+        stack = list(reversed(self.child_nodes))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                if node.tag in wanted:
+                    out.append(node)
+                cn = node.child_nodes
+                if cn:
+                    stack.extend(reversed(cn))
+        return out
 
     # -- content ------------------------------------------------------------
     @property

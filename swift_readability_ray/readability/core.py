@@ -161,15 +161,21 @@ class Extractor:
 
     @staticmethod
     def _is_element_without_content(node: Element) -> bool:
-        if node.text_content.strip():
-            return False
-        children = node.children
-        if not children:
-            return True
-        br_hr = len(node.get_elements_by_tag_name("br")) + len(
-            node.get_elements_by_tag_name("hr")
-        )
-        return len(children) == br_hr
+        # One walk: early-exit on any non-ws text; count br/hr descendants
+        # (upstream compares descendant br+hr count to DIRECT child count).
+        br_hr = 0
+        stack = list(reversed(node.child_nodes))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, TextNode):
+                if n.data.strip():
+                    return False
+            elif isinstance(n, Element):
+                if n.tag == "br" or n.tag == "hr":
+                    br_hr += 1
+                if n.child_nodes:
+                    stack.extend(reversed(n.child_nodes))
+        return len(node.children) == br_hr
 
     @staticmethod
     def _has_single_tag_inside_element(element: Element, tag: str) -> bool:
