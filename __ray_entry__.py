@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": TD.top_docs,
         "lineitem_agg": TD.lineitem_agg,
         "sample_docs": TD.sample_docs,
+        "word_counts": TD.word_counts,
         "events_sessions": TD.events_sessions,
         "top_docs_per_source": TD.top_docs_per_source,
         # extraction metadata (SQL-oracled end-to-end check)
@@ -118,6 +119,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "word_counts": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+                FROM documents)
+            SELECT token, count(*) AS n FROM toks
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "sample_docs": """
             SELECT doc_id FROM documents

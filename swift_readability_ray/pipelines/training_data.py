@@ -201,6 +201,45 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     ).sort_by("doc_id")
 
 
+_TOKEN_RE = None
+
+
+def word_counts(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k vocabulary over all documents (count DESC, token ASC).
+
+    The canonical high-cardinality shuffle done the scalable way: tokens are
+    pre-counted per batch (Counter combiner), so the groupby shuffles one
+    row per (batch, distinct-token) instead of one per token occurrence —
+    at 100 TB that's the difference between shuffling the corpus and
+    shuffling vocabularies.  Final top-k is a Dataset sort+limit over the
+    aggregated (small) table.
+    """
+    import re
+    from collections import Counter
+
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        _TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        return pa.table(
+            {"token": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("token").aggregate(Sum("n")).rename_columns(["token", "n"])
+    out = agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+
 def lineitem_agg(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style pricing summary with explicit partial aggregation.
 
