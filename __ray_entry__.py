@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": TD.sample_docs,
         "word_counts": TD.word_counts,
         "events_sessions": TD.events_sessions,
+        "events_hourly": TD.events_hourly,
+        "readerable_flags": TD.readerable_flags,
+        "ngram_dedup": TD.ngram_dedup,
         "top_docs_per_source": TD.top_docs_per_source,
         # extraction metadata (SQL-oracled end-to-end check)
         "extract_metadata": TD.extract_metadata,
@@ -142,6 +145,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, hour
+            ORDER BY event_type, hour
         """,
         "events_sessions": """
             WITH e AS (

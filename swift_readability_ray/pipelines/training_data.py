@@ -201,6 +201,88 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: events per (type, hour) with value sums.
+
+    The window key is derived inside map_batches (vectorized pyarrow
+    floor-truncation) so the shuffle moves (key, partial) rows only; value
+    sums are integer cents for schedule-independent exactness.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
+        )
+        val_c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        b = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": hour,
+                "value_c": val_c,
+            }
+        )
+        return b.group_by(["event_type", "hour"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby(["event_type", "hour"])
+        .aggregate(Sum("value_c_sum"), Sum("value_c_count"))
+        .rename_columns(["event_type", "hour", "sum_value_c", "n_events"])
+    )
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("event_type", "ascending"), ("hour", "ascending")])
+    # normalize the window-key unit (shuffle may re-derive timestamp[s])
+    return tbl.set_column(
+        tbl.schema.get_field_index("hour"),
+        "hour",
+        pc.cast(tbl.column("hour"), pa.timestamp("us")),
+    )
+
+
+def readerable_flags(sf_dir: str) -> pa.Table:
+    """Per-doc isProbablyReaderable over the synthesized pages — the real
+    heuristic (sqrt score over visible p/pre/article nodes), not a length
+    proxy (rows-only: the DOM walk is not SQL-expressible)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    out = ds.map_batches(
+        _synthesize_and_extract,
+        fn_kwargs={"select": ["doc_id", "readerable"]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def ngram_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """n-gram Jaccard near-dup pairs with similarity values (the fifth
+    dedup family as a first-class op; LSH prunes the candidate space, true
+    word-trigram Jaccard decides)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = D.minhash_dedup_pairs(ds, threshold=threshold)
+    if not pairs:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array([p["doc_a"] for p in pairs]),
+            "doc_b": pa.array([p["doc_b"] for p in pairs]),
+            "jaccard": pa.array([p["jaccard"] for p in pairs], pa.float64()),
+        }
+    )
+
+
 _TOKEN_RE = None
 
 

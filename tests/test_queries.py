@@ -58,7 +58,7 @@ ORACLED = [
     "top_docs", "exact_dedup", "embedding_neardup", "knn_bruteforce",
     "orders_by_segment", "events_json_stats", "lineitem_agg",
     "events_sessions", "top_docs_per_source", "extract_metadata",
-    "sample_docs", "word_counts",
+    "sample_docs", "word_counts", "events_hourly",
 ]
 
 
