@@ -348,6 +348,13 @@ class Element(Node):
             _serialize(c, out)
         return "".join(out)
 
+    def inner_xml(self) -> str:
+        """XML-serializer mode (reference: useXMLSerializer)."""
+        out: list[str] = []
+        for c in self.child_nodes:
+            _serialize(c, out, xml=True)
+        return "".join(out)
+
     @property
     def outer_html(self) -> str:
         out: list[str] = []
@@ -421,10 +428,13 @@ class Document(Element):
 # ---------------------------------------------------------------------------
 
 
-def _serialize(node: Node, out: list[str]) -> None:
+def _serialize(node: Node, out: list[str], xml: bool = False) -> None:
+    """HTML serialization; ``xml=True`` mirrors the reference's XML
+    serializer mode (Readability.swift:451-666 / useXMLSerializer): void
+    elements self-close (``<br />``) and raw-text content is escaped."""
     if isinstance(node, TextNode):
         parent = node.parent
-        if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
+        if not xml and parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
             out.append(node.data)
         else:
             out.append(escape(node.data, quote=False))
@@ -436,7 +446,7 @@ def _serialize(node: Node, out: list[str]) -> None:
     assert isinstance(el, Element)
     if el.tag == "#document":
         for c in el.child_nodes:
-            _serialize(c, out)
+            _serialize(c, out, xml)
         return
     out.append("<")
     out.append(el.tag)
@@ -449,11 +459,12 @@ def _serialize(node: Node, out: list[str]) -> None:
             out.append('"')
         else:
             out.append('=""')
-    out.append(">")
     if el.tag in VOID_ELEMENTS:
+        out.append(" />" if xml else ">")
         return
+    out.append(">")
     for c in el.child_nodes:
-        _serialize(c, out)
+        _serialize(c, out, xml)
     out.append("</")
     out.append(el.tag)
     out.append(">")

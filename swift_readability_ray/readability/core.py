@@ -50,7 +50,7 @@ class ExtractOptions:
     disable_jsonld: bool = False
     allowed_video_regex: str | None = None
     link_density_modifier: float = 0.0
-    serializer: str = "html"  # "html" | "text" (named modes, not closures)
+    serializer: str = "html"  # "html" | "xml" | "text" (named modes, not closures)
 
 
 class MaxElemsExceeded(Exception):
@@ -1209,9 +1209,13 @@ class Extractor:
             "byline": metadata.get("byline") or self._article_byline,
             "dir": self._article_dir,
             "lang": self._article_lang,
-            "content": article_content.inner_html
-            if self.opts.serializer == "html"
-            else text_content,
+            "content": (
+                article_content.inner_html
+                if self.opts.serializer == "html"
+                else article_content.inner_xml()
+                if self.opts.serializer == "xml"
+                else text_content
+            ),
             "article_element": article_content,
             "textContent": text_content,
             "length": len(text_content),

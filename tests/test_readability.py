@@ -267,3 +267,22 @@ def test_dir_detection():
 def test_excerpt_falls_back_to_first_p():
     r = extract(ARTICLE)
     assert r["excerpt"].startswith("This paragraph has plenty")
+
+
+def test_xml_serializer_mode():
+    """serializer="xml" self-closes void elements (useXMLSerializer parity,
+    Readability.swift:451-666)."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = (
+        '<html><body><div class="article-content">'
+        + "<p>First line.<br>Second line, with commas, and more, text here.</p>" * 10
+        + '<p><img src="http://x/пic.png" alt="a"></p></div></body></html>'
+    )
+    r_html = extract(html, "http://x/", ExtractOptions(serializer="html"))
+    r_xml = extract(html, "http://x/", ExtractOptions(serializer="xml"))
+    assert "<br>" in r_html["content"]
+    assert "<br />" in r_xml["content"]
+    assert "<img" in r_xml["content"] and "/>" in r_xml["content"]
+    # same text either way
+    assert r_html["textContent"] == r_xml["textContent"]
