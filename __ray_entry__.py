@@ -20,11 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:
-    """Flagship pipeline at sf0.001: synthesize pages from the documents
-    table and run the full Readability extraction as a streaming Dataset."""
-    from swift_readability_ray.pipelines.training_data import extract_articles
+    """Flagship pipeline at sf0.001: interleaved text+media span documents
+    (BASELINE.json input_hint schema) through the full Readability
+    extraction stage, returning the OUT schema (article spans + metadata)
+    as a streaming Dataset."""
+    from swift_readability_ray.pipelines.training_data import extract_spans
 
-    return extract_articles("/root/testdata/sf0.001")
+    return extract_spans("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -33,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction core (rows-only: not SQL-expressible)
         "extract_articles": TD.extract_articles,
+        "extract_spans": TD.extract_spans,
         # text analysis
         "token_counts": TD.token_counts,
         "fingerprints": TD.fingerprints,
