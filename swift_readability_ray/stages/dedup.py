@@ -139,14 +139,21 @@ def minhash_dedup_pairs(
     if not candidates:
         return []
     needed = {c["doc_a"] for c in candidates} | {c["doc_b"] for c in candidates}
-    # fetch only candidate texts (broadcast-small-side join)
+    # fetch only candidate texts: broadcast the (small) candidate-id set,
+    # filter DISTRIBUTED, and pull only the matching rows to the driver —
+    # the corpus itself never crosses the driver boundary.
+    needed_ref = ray.put(needed)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        mask = pa.array([i in want for i in batch.column("doc_id").to_pylist()])
+        return batch.filter(mask)
+
     texts: dict = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        ids = batch.column("doc_id").to_pylist()
-        txts = batch.column(text_col).to_pylist()
-        for i, t in zip(ids, txts):
-            if i in needed:
-                texts[i] = t
+    for row in ds.map_batches(
+        keep_needed, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        texts[row["doc_id"]] = row[text_col]
     out = []
     for c in candidates:
         j = T.ngram_jaccard(texts[c["doc_a"]] or "", texts[c["doc_b"]] or "")
