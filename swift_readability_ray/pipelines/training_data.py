@@ -83,10 +83,19 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
 
 def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
-    """Top-k largest docs (deterministic tie-break on doc_id)."""
+    """Top-k largest docs (deterministic tie-break on doc_id).
+
+    Per-batch top-k combiner + tiny driver merge — a global top-k never
+    needs the all-to-all sort shuffle."""
     ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
-    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    keys = [("n_chars", "descending"), ("doc_id", "ascending")]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return batch.take(pc.sort_indices(batch, sort_keys=keys)[:k])
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables([b for b in partials.iter_batches(batch_format="pyarrow")])
+    return tbl.take(pc.sort_indices(tbl, sort_keys=keys)[:k])
 
 
 def fingerprints(sf_dir: str) -> pa.Table:
