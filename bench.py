@@ -50,18 +50,19 @@ def _init_ray(num_cpus: int):
 
 
 def run_headline(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
-    """Flagship extraction: documents → synthesized pages → full pipeline.
+    """Flagship extraction: interleaved text+media span documents through the
+    full pipeline (the north-rule metric's corpus shape).
 
     Consumed by counting rows via streaming iteration (no driver pull of
     content columns).
     """
     from swift_readability_ray.pipelines.training_data import (
-        extract_articles,
-        extract_articles_repeated,
+        extract_spans,
+        extract_spans_repeated,
     )
 
     t0 = time.perf_counter()
-    ds = extract_articles(sf_dir) if repeat == 1 else extract_articles_repeated(sf_dir, repeat)
+    ds = extract_spans(sf_dir) if repeat == 1 else extract_spans_repeated(sf_dir, repeat)
     # count() executes the full pipeline but consumes blocks where they are
     # produced — no serial driver-side drain distorting the parallel stage.
     n = ds.count()

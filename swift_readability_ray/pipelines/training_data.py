@@ -210,6 +210,33 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def _to_span_docs(batch: pa.Table) -> pa.Table:
+    """documents rows → DOCUMENTS-schema interleaved span docs: the
+    synthesized page split around an inline media span mid-article."""
+    from ..schema import SPAN
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    out_ids, out_spans = [], []
+    for i, t, s in zip(ids, texts, sources):
+        page = synthesize_page(str(i), t or "", s or "")
+        cut = page.rfind("</p>")
+        cut = cut if cut >= 0 else len(page)
+        out_ids.append(str(i))
+        out_spans.append(
+            [
+                {"kind": "text", "text": page[:cut], "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": f"mem://img/{i}", "offset": 1},
+                {"kind": "text", "text": page[cut:], "media_ref": "", "offset": 2},
+            ]
+        )
+    return pa.table(
+        {"doc_id": pa.array(out_ids, pa.string()),
+         "spans": pa.array(out_spans, pa.list_(SPAN))}
+    )
+
+
 def extract_spans(sf_dir: str, batch_size: int = 32) -> ray.data.Dataset:
     """True flagship: interleaved text+media span documents (DOCUMENTS
     schema, per BASELINE.json input_hint) through the full extraction stage,
@@ -217,36 +244,37 @@ def extract_spans(sf_dir: str, batch_size: int = 32) -> ray.data.Dataset:
     metadata columns.  Pages are synthesized deterministically from the
     documents table with an inline media span mid-article.
     """
-    from ..schema import SPAN
     from ..stages.extract import extract_spans_batch
 
     ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    span_docs = ds.map_batches(
+        _to_span_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return span_docs.map_batches(
+        extract_spans_batch,
+        fn_kwargs={"base_url": "http://testdata.local/doc.html",
+                   "include_content_html": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
 
-    def to_span_docs(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        sources = batch.column("source").to_pylist()
-        out_ids, out_spans = [], []
-        for i, t, s in zip(ids, texts, sources):
-            page = synthesize_page(str(i), t or "", s or "")
-            # split mid-article so the media span is inside the content div
-            cut = page.rfind("</p>")
-            cut = cut if cut >= 0 else len(page)
-            out_ids.append(str(i))
-            out_spans.append(
-                [
-                    {"kind": "text", "text": page[:cut], "media_ref": "", "offset": 0},
-                    {"kind": "media", "text": "", "media_ref": f"mem://img/{i}",
-                     "offset": 1},
-                    {"kind": "text", "text": page[cut:], "media_ref": "", "offset": 2},
-                ]
-            )
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.string()),
-             "spans": pa.array(out_spans, pa.list_(SPAN))}
-        )
 
-    span_docs = ds.map_batches(to_span_docs, batch_format="pyarrow", zero_copy_batch=True)
+def extract_spans_repeated(sf_dir: str, repeat: int, batch_size: int = 32) -> ray.data.Dataset:
+    """Span-pipeline headline over the input replicated ``repeat``× (bench:
+    a corpus large enough that steady-state compute dominates startup)."""
+    from ..schema import SPAN  # noqa: F401
+    from ..stages.extract import extract_spans_batch
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        [f"{sf_dir}/documents.parquet"] * repeat,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=max(3 * n_cpus, repeat),
+    )
+    span_docs = ds.map_batches(
+        _to_span_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
     return span_docs.map_batches(
         extract_spans_batch,
         fn_kwargs={"base_url": "http://testdata.local/doc.html",

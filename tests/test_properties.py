@@ -1,0 +1,96 @@
+"""Property tests (hypothesis) for the scalar kernels of SURVEY.md §2.8."""
+
+import html as _html
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swift_readability_ray.functions import text_stats as T
+from swift_readability_ray.functions.kernels import (
+    comma_segments,
+    text_similarity,
+    unescape_html_entities,
+)
+
+FAST = settings(max_examples=60, deadline=None)
+
+
+@FAST
+@given(st.text(max_size=200))
+def test_unescape_roundtrips_stdlib_escape(s):
+    # html.escape emits only the named/numeric entities the reference
+    # supports (quot amp apos lt gt + hex), so unescape must invert it
+    assert unescape_html_entities(_html.escape(s, quote=True)) == s
+
+
+@FAST
+@given(st.text(max_size=200))
+def test_text_similarity_bounds_and_identity(s):
+    sim = text_similarity(s, s)
+    assert 0.0 <= sim <= 1.0
+    # JS \W is ASCII: tokens are [A-Za-z0-9_]+ runs (upstream parity)
+    import re
+
+    tokens = re.findall(r"[A-Za-z0-9_]+", s)
+    if tokens:
+        assert sim == 1.0
+
+
+@FAST
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_text_similarity_range(a, b):
+    assert 0.0 <= text_similarity(a, b) <= 1.0
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_comma_segments_positive(s):
+    # splitting on the comma class yields at least one segment
+    assert comma_segments(s) >= 1
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_simhash_deterministic_and_self_distance(s):
+    h1, h2 = T.simhash64(s), T.simhash64(s)
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 64)
+    assert T.hamming64(h1, h2) == 0
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_ngram_jaccard_bounds_and_identity(s):
+    j = T.ngram_jaccard(s, s)
+    assert 0.0 <= j <= 1.0
+    if len(T.word_shingles(s)) > 0:
+        assert j == 1.0
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_token_counts_consistent(s):
+    ws = T.ws_token_count(s)
+    bpe = T.bpe_token_count(s)
+    assert ws >= 0 and bpe >= 0
+    # BPE-ish tokenization never merges across whitespace → at least as many
+    assert bpe >= ws
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_quality_score_bounds(s):
+    assert 0.0 <= T.quality_score(s) <= 1.0
+
+
+@FAST
+@given(st.text(max_size=200))
+def test_lang_id_returns_known_code(s):
+    assert isinstance(T.lang_id(s), str)
+
+
+@FAST
+@given(st.integers(min_value=0, max_value=1 << 63), st.integers(min_value=0, max_value=1 << 63))
+def test_hamming_symmetry(a, b):
+    assert T.hamming64(a, b) == T.hamming64(b, a)
+    assert T.hamming64(a, a) == 0
