@@ -215,21 +215,51 @@ def run_resumable_extraction(
 ) -> dict:
     """Partitioned, resumable run with per-partition lineage commits.
 
-    Processes doc_id-hash partitions in order; each partition's output is
-    written to ``out/part=<k>/`` and committed with an atomic lineage record.
-    A re-run skips completed partitions (and cleans half-written orphans).
+    Two phases, each linear in the input size:
+
+    1. **Stage** (one full pass): read → append doc_id-hash ``part`` column →
+       write ``out/staging/part=<k>/``.  This is the job's one explicit
+       exchange — the same materialized-shuffle-files pattern every
+       shuffle-service uses — and is itself resumable as a unit (an
+       incomplete staging is discarded and redone).
+    2. **Extract per partition** (pruned reads): each pending partition reads
+       ONLY its staged files, extracts, writes ``out/part=<k>/`` and commits
+       an atomic lineage record with its metrics.  A re-run skips completed
+       partitions and cleans half-written orphans.
+
+    Filtering the full input once per partition instead would scan the
+    dataset ``num_partitions`` times — quadratic I/O at 100 TB.
     ``fail_after_partitions`` injects a mid-run abort for tests.
     """
+    import os
+    import shutil
+
     log = LineageLog(output_path)
     done = log.completed_partitions()
 
-    ds = read_documents(input_path, columns=["doc_id", "spans"])
-    ds = ds.map_batches(
-        _with_hash_partition,
-        fn_kwargs={"num_partitions": num_partitions},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    staging = os.path.join(output_path, "staging")
+    staging_marker = os.path.join(staging, "_COMPLETE")
+    if done and not os.path.exists(staging_marker):
+        # all-partition completion without staging means a finished prior run
+        # already cleaned up; nothing to stage for the remaining (none) work
+        pending = [p for p in range(num_partitions) if p not in done]
+        if pending:
+            raise RuntimeError(
+                "staging missing but partitions pending — delete the output "
+                "dir to restart, or restore the staging directory"
+            )
+    if not os.path.exists(staging_marker) and len(done) < num_partitions:
+        shutil.rmtree(staging, ignore_errors=True)  # discard half-written staging
+        ds = read_documents(input_path, columns=["doc_id", "spans"])
+        ds = ds.map_batches(
+            _with_hash_partition,
+            fn_kwargs={"num_partitions": num_partitions},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds.write_parquet(staging, partition_cols=["part"])
+        with open(staging_marker, "w") as f:
+            f.write("complete")
 
     kwargs = dict(
         fn_kwargs={"options": options, "base_url": base_url},
@@ -244,16 +274,23 @@ def run_resumable_extraction(
         if part in done:
             continue
         log.clean_orphan(part)
-        part_ds = ds.filter(expr=f"part == {part}").drop_columns(["part"])
-        out = part_ds.map_batches(extract_spans_batch, **kwargs)
+        part_staging = os.path.join(staging, f"part={part}")
         part_dir = log.partition_dir(part)
-        out.write_parquet(part_dir)
+        if os.path.isdir(part_staging):
+            part_ds = ray.data.read_parquet(part_staging)  # pruned: this partition only
+            out = part_ds.map_batches(extract_spans_batch, **kwargs)
+            out.write_parquet(part_dir)
+        else:  # hash bucket got no rows
+            os.makedirs(part_dir, exist_ok=True)
         row_count = _parquet_row_count(part_dir)
         log.record(part, row_count, extra=_partition_metrics(part_dir))
         completed_now.append(part)
         processed += row_count
         if fail_after_partitions is not None and len(completed_now) >= fail_after_partitions:
             raise RuntimeError(f"injected failure after {fail_after_partitions} partitions")
+
+    if len(log.completed_partitions()) >= num_partitions:
+        shutil.rmtree(staging, ignore_errors=True)  # all committed; drop shuffle files
 
     return {
         "output_path": output_path,
