@@ -79,13 +79,30 @@ class MinHashStage:
         )
 
 
+MAX_BUCKET_PAIRWISE = 256
+
+
 def _emit_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket.
+
+    Buckets larger than ``MAX_BUCKET_PAIRWISE`` are near-certainly a
+    degenerate key (empty shingle set, boilerplate); quadratic emission
+    there would produce O(n²) pairs from one group task.  Star-join against
+    the min doc instead (linear) — transitive duplicate clusters are still
+    connected through the hub.
+    """
     ids = sorted(set(group.column("doc_id").to_pylist()))
     a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+    if len(ids) > MAX_BUCKET_PAIRWISE:
+        hub = ids[0]
+        for other in ids[1:]:
+            a_out.append(hub)
+            b_out.append(other)
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
     return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
 
 
@@ -196,6 +213,20 @@ def simhash_dedup_pairs(
             {(i, h) for i, h in zip(group.column("doc_id").to_pylist(),
                                     group.column("simhash").to_pylist())}
         )
+        if len(rows) > MAX_BUCKET_PAIRWISE:
+            # degenerate band key: star-join against the min doc (linear)
+            hub_id, hub_h = rows[0]
+            a_out, b_out, d_out = [], [], []
+            for other_id, other_h in rows[1:]:
+                d = T.hamming64(hub_h, other_h)
+                if d <= max_hamming:
+                    a_out.append(hub_id)
+                    b_out.append(other_id)
+                    d_out.append(d)
+            return pa.table(
+                {"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
+                 "hamming": pa.array(d_out, pa.int32())}
+            )
         a_out, b_out, d_out = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
