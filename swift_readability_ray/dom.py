@@ -431,43 +431,49 @@ class Document(Element):
 def _serialize(node: Node, out: list[str], xml: bool = False) -> None:
     """HTML serialization; ``xml=True`` mirrors the reference's XML
     serializer mode (Readability.swift:451-666 / useXMLSerializer): void
-    elements self-close (``<br />``) and raw-text content is escaped."""
-    if isinstance(node, TextNode):
-        parent = node.parent
-        if not xml and parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
-            out.append(node.data)
-        else:
-            out.append(escape(node.data, quote=False))
-        return
-    if isinstance(node, Comment):
-        out.append(f"<!--{node.data}-->")
-        return
-    el = node
-    assert isinstance(el, Element)
-    if el.tag == "#document":
-        for c in el.child_nodes:
-            _serialize(c, out, xml)
-        return
-    out.append("<")
-    out.append(el.tag)
-    for name, value in el.attrs.items():
-        out.append(" ")
-        out.append(name)
-        if value != "":
-            out.append('="')
-            out.append(escape(value, quote=True))
-            out.append('"')
-        else:
-            out.append('=""')
-    if el.tag in VOID_ELEMENTS:
-        out.append(" />" if xml else ">")
-        return
-    out.append(">")
-    for c in el.child_nodes:
-        _serialize(c, out, xml)
-    out.append("</")
-    out.append(el.tag)
-    out.append(">")
+    elements self-close (``<br />``) and raw-text content is escaped.
+
+    Iterative (explicit stack): depth-proportional, not recursion-limited —
+    pathological 1000+-deep documents serialize instead of RecursionError.
+    """
+    stack: list = [node]
+    while stack:
+        item = stack.pop()
+        if type(item) is str:  # pending close tag
+            out.append(item)
+            continue
+        if isinstance(item, TextNode):
+            parent = item.parent
+            if not xml and parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
+                out.append(item.data)
+            else:
+                out.append(escape(item.data, quote=False))
+            continue
+        if isinstance(item, Comment):
+            out.append(f"<!--{item.data}-->")
+            continue
+        el = item
+        assert isinstance(el, Element)
+        if el.tag == "#document":
+            stack.extend(reversed(el.child_nodes))
+            continue
+        out.append("<")
+        out.append(el.tag)
+        for name, value in el.attrs.items():
+            out.append(" ")
+            out.append(name)
+            if value != "":
+                out.append('="')
+                out.append(escape(value, quote=True))
+                out.append('"')
+            else:
+                out.append('=""')
+        if el.tag in VOID_ELEMENTS:
+            out.append(" />" if xml else ">")
+            continue
+        out.append(">")
+        stack.append(f"</{el.tag}>")
+        stack.extend(reversed(el.child_nodes))
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,19 @@ def test_comment_inside_script():
 def test_mismatched_end_tags():
     doc = parse("<body><div><p>a</div></b></body>")
     assert doc.body.first_element_child.tag == "div"
+
+
+def test_serialize_deep_nesting_no_recursion_error():
+    """Iterative serializer handles DOMs deeper than the recursion limit."""
+    from swift_readability_ray.dom import Element, TextNode
+
+    root = Element("div")
+    cur = root
+    for _ in range(5000):
+        child = Element("div")
+        cur.append_child(child)
+        cur = child
+    cur.append_child(TextNode("deep"))
+    html = root.outer_html
+    assert html.startswith("<div><div>") and html.endswith("</div></div>")
+    assert "deep" in html
