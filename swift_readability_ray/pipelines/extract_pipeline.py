@@ -291,6 +291,13 @@ def run_resumable_extraction(
 
     if len(log.completed_partitions()) >= num_partitions:
         shutil.rmtree(staging, ignore_errors=True)  # all committed; drop shuffle files
+        # job report: METRICS-schema table beside the data (SURVEY.md §2.1
+        # sink contract — metrics/lineage as a second table)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            log.metrics_table(), os.path.join(output_path, "metrics.parquet")
+        )
 
     return {
         "output_path": output_path,
