@@ -14,9 +14,11 @@ Design points for 100 TB scale:
 - skew: per-row HTML byte size is computed vectorially; oversized rows
   (> ``skew_threshold_bytes``) are routed to a dedicated small-batch actor
   pool so one 50 MB document cannot stall a 4 MB-average batch.
-- resumable: ``run_resumable_extraction`` processes doc_id-hash partitions
-  with per-partition lineage commits (state/lineage.py); restarts skip
-  completed partitions.
+- resumable: ``run_resumable_extraction`` stages the input once into
+  hash-partitioned shuffle files, then extracts each partition from its own
+  staged files (pruned reads, linear total I/O) with per-partition lineage
+  commits (state/lineage.py); restarts skip completed partitions and a
+  completed job writes the METRICS-schema report beside the data.
 """
 
 from __future__ import annotations

@@ -30,12 +30,16 @@ from ..functions import text_stats as T
 
 
 def exact_dedup_keep_first(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """Keep the min-doc_id row per distinct text (hash-partition groupby)."""
+    """Keep the min-doc_id per distinct text (hash-partition groupby).
+
+    Only ``(doc_id, md5)`` crosses the shuffle — the text column is dropped
+    before the exchange, so the all-to-all moves 48-byte rows, not documents.
+    """
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         h = pa.array([T.md5_fingerprint(t or "") for t in texts], pa.string())
-        return batch.append_column("__h", h)
+        return pa.table({"doc_id": batch.column("doc_id"), "__h": h})
 
     def keep_first(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
