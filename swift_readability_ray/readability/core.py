@@ -1133,8 +1133,10 @@ class Extractor:
                     node, "div"
                 ) or self._has_single_tag_inside_element(node, "section"):
                     child = node.children[0]
+                    # upstream setAttributeNode REPLACES: parent attr wins
+                    # (Readability.js _simplifyNestedElements)
                     for k, v in node.attrs.items():
-                        child.attrs.setdefault(k, v)
+                        child.attrs[k] = v
                     assert node.parent is not None
                     node.parent.replace_child(child, node)
                     node = child

@@ -68,3 +68,35 @@ def test_fixture_parity(name):
             None, expected_text[:30000], got_text[:30000]
         ).quick_ratio()
         pytest.fail(f"text mismatch (similarity {ratio:.4f})")
+
+    # structural parity: order-preserving DOM walk comparing tag/id/class and
+    # whitespace-collapsed text, skipping blank text nodes (mirrors the
+    # reference's DOMComparator, ReadabilityTests.swift:164-283)
+    want = _dom_events(parse(exp_html))
+    got = _dom_events(parse(r["content"]))
+    if want != got:
+        for i, (a, b) in enumerate(zip(want, got)):
+            if a != b:
+                pytest.fail(f"DOM diverges at event {i}: want={a!r} got={b!r}")
+        pytest.fail(f"DOM event-count mismatch: {len(want)} vs {len(got)}")
+
+
+def _dom_events(root):
+    from swift_readability_ray.dom import Element, TextNode
+
+    out = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, TextNode):
+            t = _WS.sub(" ", n.data).strip()
+            if t:
+                out.append(("#text", t))
+            continue
+        if isinstance(n, Element):
+            if n.tag != "#document":
+                out.append(
+                    (n.tag, n.get_attribute("id") or "", n.get_attribute("class") or "")
+                )
+            stack.extend(reversed(n.child_nodes))
+    return out
