@@ -83,27 +83,117 @@ def is_url(s: str) -> bool:
     return p.scheme in ("data", "mailto", "javascript", "about", "file", "tel", "urn")
 
 
+_DRIVE_BAR = None  # compiled lazily
+
+
+def _clean_url_input(uri: str) -> str:
+    """WHATWG pre-parse: strip leading/trailing C0/space, drop \\t \\n \\r."""
+    uri = uri.strip("".join(chr(c) for c in range(0x21)))
+    if "\t" in uri or "\n" in uri or "\r" in uri:
+        uri = uri.replace("\t", "").replace("\n", "").replace("\r", "")
+    return uri
+
+
+def _lower_host(netloc: str) -> str:
+    """Lowercase only the host portion of an authority."""
+    userinfo, sep, hostport = netloc.rpartition("@")
+    return userinfo + sep + hostport.lower()
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — preserves empty segments (urljoin collapses "//",
+    which diverges from `new URL(...)`)."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1)
+            seg, path = (path[:i], path[i:]) if i != -1 else (path, "")
+            out.append(seg)
+    return "".join(out)
+
+
 def resolve_url(uri: str, base: str) -> str:
     """WHATWG-ish URL resolution (JS `new URL(uri, base).href`).
 
-    Built on urllib.parse.urljoin with the divergences that matter patched
-    (origin-only URLs gain a "/" path; absolute non-hierarchical schemes pass
-    through untouched). Falls back to the input on error.
+    Divergences from urllib patched (SURVEY.md §7.3 #5): input whitespace
+    cleaning, "//" preserved in merged paths, lowercased scheme/host,
+    origin-only URLs gain a "/" path, `file:///C|/` → `C:/`, absolute
+    non-hierarchical schemes pass through untouched.
     """
     try:
+        uri = _clean_url_input(uri)
         p = urlparse(uri)
+        if p.scheme == "file" or (not p.scheme and uri.startswith("file:")):
+            global _DRIVE_BAR
+            if _DRIVE_BAR is None:
+                import re as _re
+
+                _DRIVE_BAR = _re.compile(r"^(file:///)([A-Za-z])\|(/|$)")
+            return _DRIVE_BAR.sub(r"\1\2:\3", uri)
         if p.scheme and p.scheme not in ("http", "https", "ftp"):
-            return uri  # data:, mailto:, javascript:, file: … pass through
-        resolved = urljoin(base, uri)
-        rp = urlparse(resolved)
-        if rp.scheme in ("http", "https", "ftp") and rp.netloc and rp.path == "":
-            # new URL("http://x.com").href == "http://x.com/"
-            resolved = resolved.split("#")[0].split("?")[0] + "/"
-            if rp.query:
-                resolved += "?" + rp.query
-            if rp.fragment:
-                resolved += "#" + rp.fragment
-        return resolved
+            return uri  # data:, mailto:, javascript:, … pass through
+        if p.scheme and p.netloc:
+            # already absolute: normalize scheme/host case and empty path,
+            # keep path?query#fragment byte-for-byte (`;params`, empty "?"/"#")
+            scheme, after = uri.split(":", 1)
+            assert after.startswith("//")
+            after = after[2:]
+            cut = len(after)
+            for ch in "/?#":
+                i = after.find(ch)
+                if i != -1:
+                    cut = min(cut, i)
+            netloc, rest = after[:cut], after[cut:]
+            if rest == "" or rest[0] in "?#":
+                rest = "/" + rest
+            return f"{scheme.lower()}://{_lower_host(netloc)}{rest}"
+        bp = urlparse(base)
+        if not bp.scheme or not bp.netloc:
+            return urljoin(base, uri)
+        if uri.startswith("//"):
+            return resolve_url(bp.scheme + ":" + uri, base)
+        rest = uri
+        frag = query = ""
+        has_frag = "#" in rest
+        if has_frag:
+            rest, frag = rest.split("#", 1)
+        has_query = "?" in rest
+        if has_query:
+            rest, query = rest.split("?", 1)
+        if rest == "" and not has_query:
+            path, query = bp.path, bp.query
+            has_query = bool(bp.query)
+        elif rest.startswith("/"):
+            path = _remove_dot_segments(rest)
+        elif rest == "":
+            path = bp.path
+        else:
+            bdir = bp.path[: bp.path.rfind("/") + 1] or "/"
+            path = _remove_dot_segments(bdir + rest)
+        out = f"{bp.scheme.lower()}://{_lower_host(bp.netloc)}{path or '/'}"
+        if has_query:
+            out += "?" + query
+        if has_frag:
+            out += "#" + frag
+        return out
     except ValueError:
         return uri
 

@@ -69,9 +69,9 @@ def test_fixture_parity(name):
         ).quick_ratio()
         pytest.fail(f"text mismatch (similarity {ratio:.4f})")
 
-    # structural parity: order-preserving DOM walk comparing tag/id/class and
-    # whitespace-collapsed text, skipping blank text nodes (mirrors the
-    # reference's DOMComparator, ReadabilityTests.swift:164-283)
+    # structural parity: order-preserving DOM walk comparing tag + ALL
+    # attributes and whitespace-collapsed text, skipping blank text nodes
+    # (mirrors the reference's DOMComparator, ReadabilityTests.swift:164-283)
     want = _dom_events(parse(exp_html))
     got = _dom_events(parse(r["content"]))
     if want != got:
@@ -95,8 +95,6 @@ def _dom_events(root):
             continue
         if isinstance(n, Element):
             if n.tag != "#document":
-                out.append(
-                    (n.tag, n.get_attribute("id") or "", n.get_attribute("class") or "")
-                )
+                out.append((n.tag, tuple(sorted(n.attrs.items()))))
             stack.extend(reversed(n.child_nodes))
     return out
