@@ -95,6 +95,21 @@ def test_is_url(s, expected):
         ("http://y.com", "http://x.com/", "http://y.com/"),
         ("data:image/png;base64,AAA", "http://x.com/", "data:image/png;base64,AAA"),
         ("../up.html", "http://x.com/a/b/page.html", "http://x.com/a/up.html"),
+        # WHATWG corner cases (SURVEY.md §7.3 #5; caught by full-attr parity)
+        ("a.html   ", "http://x.com/d/p.html", "http://x.com/d/a.html"),
+        ("  http://y.com/q  ", "http://x.com/", "http://y.com/q"),
+        ("http://www.TeAra.Govt.NZ/en/x", "http://x.com/", "http://www.teara.govt.nz/en/x"),
+        ("HTTP://Y.com/Path/Keep", "http://x.com/", "http://y.com/Path/Keep"),
+        ("file:///C|/dir/f.gif", "http://x.com/", "file:///C:/dir/f.gif"),
+        ("https://u:p@HOST.com/x", "http://x.com/", "https://u:p@host.com/x"),
+        # urljoin collapses "//" in merged paths; new URL() keeps it
+        ("\u200bhttps://y.com/z", "http://x.com/d/p.html",
+         "http://x.com/d/\u200bhttps://y.com/z"),
+        ("http://y.com/a?", "http://x.com/", "http://y.com/a?"),
+        ("http://y.com/a#", "http://x.com/", "http://y.com/a#"),
+        ("http://y.com/a;2", "http://x.com/", "http://y.com/a;2"),
+        ("q?x=1", "http://x.com/d/p.html?old=1", "http://x.com/d/q?x=1"),
+        ("", "http://x.com/d/p.html?old=1", "http://x.com/d/p.html?old=1"),
     ],
 )
 def test_resolve_url(uri, base, expected):
