@@ -53,7 +53,7 @@ def test_fixture_parity(name):
     )
     assert r is not None, "extraction returned no article"
 
-    for key in ("title", "byline", "excerpt", "siteName", "publishedTime"):
+    for key in ("title", "byline", "dir", "lang", "excerpt", "siteName", "publishedTime"):
         got = r[key]
         want = exp.get(key)
         assert (got or None) == (want or None), f"{key}: {want!r} != {got!r}"
