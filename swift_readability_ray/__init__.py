@@ -6,6 +6,12 @@ v0.6.0), re-expressed as Ray Data pipelines over Arrow batches of interleaved
 text+media span documents. See SURVEY.md for the blueprint.
 """
 
-from .readability import ExtractOptions, Extractor, extract, is_probably_readerable  # noqa: F401
+from .readability import (  # noqa: F401
+    ExtractOptions,
+    Extractor,
+    extract,
+    extract_document,
+    is_probably_readerable,
+)
 
 __version__ = "0.1.0"

@@ -1165,7 +1165,16 @@ class Extractor:
         no article could be extracted.  Raises MaxElemsExceeded if the
         document exceeds ``max_elems_to_parse``.
         """
-        doc = parse(html, url)
+        return self.parse_document(parse(html, url), url)
+
+    def parse_document(self, doc: Document, url: str = "about:blank") -> dict | None:
+        """Live-document pipeline (reference entry point 2, SURVEY.md §3.2 /
+        Readability.swift:81-85): operates DESTRUCTIVELY on the caller's
+        Document — no reparse; the tree is mutated in place exactly as the
+        string pipeline would mutate its own parse.  Not used across workers
+        (a DOM is not Arrow-serializable); exists for API parity and for
+        callers that already hold a parsed Document.
+        """
         self.doc = doc
 
         if self.opts.max_elems_to_parse > 0:
@@ -1231,3 +1240,11 @@ class Extractor:
 def extract(html: str, url: str = "about:blank", options: ExtractOptions | None = None) -> dict | None:
     """Convenience one-shot extraction (fresh Extractor per document)."""
     return Extractor(options).parse(html, url)
+
+
+def extract_document(
+    doc: Document, url: str = "about:blank", options: ExtractOptions | None = None
+) -> dict | None:
+    """One-shot live-document extraction — mutates the caller's ``doc``
+    (reference: Readability(document:), Readability.swift:81-85)."""
+    return Extractor(options).parse_document(doc, url)

@@ -286,3 +286,30 @@ def test_xml_serializer_mode():
     assert "<img" in r_xml["content"] and "/>" in r_xml["content"]
     # same text either way
     assert r_html["textContent"] == r_xml["textContent"]
+
+
+def test_live_document_pipeline_mutates_caller_dom():
+    """Entry point 2 (Readability(document:), SURVEY.md §3.2): extraction
+    operates destructively on the caller's Document — no reparse — and
+    produces the same result as the string pipeline."""
+    from swift_readability_ray import extract, extract_document
+    from swift_readability_ray.dom import parse
+
+    html = (
+        '<html><head><title>Live Doc | Site</title><script>x()</script></head>'
+        '<body><div class="article-content">'
+        + "<p>Sentence one, with commas, continues on. More text follows here.</p>" * 8
+        + "</div></body></html>"
+    )
+    doc = parse(html, "http://x.com/a.html")
+    n_scripts_before = len(doc.get_elements_by_tag_name("script"))
+    assert n_scripts_before == 1
+
+    r_live = extract_document(doc, "http://x.com/a.html")
+    r_str = extract(html, "http://x.com/a.html")
+
+    assert r_live is not None and r_str is not None
+    assert r_live["textContent"] == r_str["textContent"]
+    assert r_live["title"] == r_str["title"]
+    # destructive: caller's DOM was mutated (scripts removed in place)
+    assert len(doc.get_elements_by_tag_name("script")) == 0
