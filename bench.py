@@ -180,17 +180,27 @@ def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
     if not docs:
         return {"error": "fixture corpus not available"}
 
+    from swift_readability_ray import Extractor
+
     opts = ExtractOptions(classes_to_preserve=("caption",))
     url = "http://fakehost/test/page.html"
     for _ in range(warmup):
         for _, html in docs:
             extract(html, url, opts)
+    phase_totals: dict[str, float] = {}
     t0 = time.perf_counter()
     for _ in range(iterations):
         for _, html in docs:
-            extract(html, url, opts)
+            ex = Extractor(opts)
+            ex.timings = phase_totals  # reference --timings mirror
+            try:
+                ex.parse(html, url)
+            except Exception:
+                pass
     total = time.perf_counter() - t0
-    per_parse_ms = total / (iterations * len(docs)) * 1000
+    n_parses = iterations * len(docs)
+    per_parse_ms = total / n_parses * 1000
+    phase_ms = {k: round(v / n_parses * 1000, 3) for k, v in sorted(phase_totals.items())}
 
     # distributed: same corpus through the Ray extraction stage
     ray = _init_ray(NUM_CPUS)
@@ -222,6 +232,7 @@ def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
         "fixtures": len(docs),
         "single_thread_ms_per_parse": round(per_parse_ms, 2),
         "single_thread_docs_per_sec": round(1000 / per_parse_ms, 2),
+        "phase_ms_per_parse": phase_ms,
         "distributed_docs_per_sec": round(n / dist_secs, 2),
         "num_cpus": NUM_CPUS,
     }

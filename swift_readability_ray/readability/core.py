@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from time import perf_counter as _now
 
 from .. import regexps as R
 from ..dom import Comment, Document, Element, Node, TextNode, parse
@@ -78,6 +79,13 @@ class Extractor:
         # work counter for the metrics contract (north rule: candidates
         # scored per partition); accumulates across grab-retry attempts
         self.candidates_scored = 0
+        # per-phase wall seconds, mirroring the reference's TimingSink
+        # labels (Timing.swift / Readability.swift:141-175); None disables
+        self.timings: dict[str, float] | None = None
+
+    def _tick(self, label: str, start: float) -> None:
+        if self.timings is not None:
+            self.timings[label] = self.timings.get(label, 0.0) + (_now() - start)
 
     # ------------------------------------------------------------------ flags
     def _flag_is_active(self, flag: int) -> bool:
@@ -1165,7 +1173,10 @@ class Extractor:
         no article could be extracted.  Raises MaxElemsExceeded if the
         document exceeds ``max_elems_to_parse``.
         """
-        return self.parse_document(parse(html, url), url)
+        t0 = _now()
+        doc = parse(html, url)
+        self._tick("parseDocument", t0)
+        return self.parse_document(doc, url)
 
     def parse_document(self, doc: Document, url: str = "about:blank") -> dict | None:
         """Live-document pipeline (reference entry point 2, SURVEY.md §3.2 /
@@ -1183,7 +1194,9 @@ class Extractor:
                 raise MaxElemsExceeded(f"{num_tags} elements found")
 
         # readerable heuristic (non-destructive; computed before any mutation)
+        t0 = _now()
         readerable = is_probably_readerable(doc)
+        self._tick("readerable", t0)
 
         # base URI from <base href>, resolved against the document URI
         base_uri = url
@@ -1193,40 +1206,51 @@ class Extractor:
                 base_uri = resolve_url(href, url)
                 break
 
+        t0 = _now()
         self._unwrap_noscript_images(doc)
         jsonld = {} if self.opts.disable_jsonld else M.get_jsonld(doc)
         self._remove_scripts(doc)
         self._remove_comments(doc)
         self._prep_document(doc)
+        self._tick("preprocess", t0)
 
+        t0 = _now()
         metadata = M.get_article_metadata(doc, jsonld)
+        self._tick("metadata", t0)
         self._metadata = metadata
         self._article_title = metadata.get("title")
 
+        t0 = _now()
         article_content = self._grab_article(doc)
+        self._tick("grab", t0)
         if article_content is None:
             return None
 
+        t0 = _now()
         self._post_process_content(article_content, base_uri, url)
+        self._tick("postprocess", t0)
 
         if not metadata.get("excerpt"):
             paragraphs = article_content.get_elements_by_tag_name("p")
             if paragraphs:
                 metadata["excerpt"] = paragraphs[0].text_content.strip()
 
+        t0 = _now()
         text_content = article_content.text_content
+        result_content = (
+            article_content.inner_html
+            if self.opts.serializer == "html"
+            else article_content.inner_xml()
+            if self.opts.serializer == "xml"
+            else text_content
+        )
+        self._tick("serialize", t0)
         return {
             "title": self._article_title,
             "byline": metadata.get("byline") or self._article_byline,
             "dir": self._article_dir,
             "lang": self._article_lang,
-            "content": (
-                article_content.inner_html
-                if self.opts.serializer == "html"
-                else article_content.inner_xml()
-                if self.opts.serializer == "xml"
-                else text_content
-            ),
+            "content": result_content,
             "article_element": article_content,
             "textContent": text_content,
             "length": len(text_content),

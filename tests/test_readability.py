@@ -313,3 +313,23 @@ def test_live_document_pipeline_mutates_caller_dom():
     assert r_live["title"] == r_str["title"]
     # destructive: caller's DOM was mutated (scripts removed in place)
     assert len(doc.get_elements_by_tag_name("script")) == 0
+
+
+def test_phase_timings_collector():
+    """Per-phase timing labels mirror the reference's TimingSink
+    (Timing.swift; labels parseDocument/readerable/metadata/preprocess/
+    grab/postprocess/serialize)."""
+    from swift_readability_ray import Extractor
+
+    html = (
+        "<html><head><title>T</title></head><body><div>"
+        + "<p>Some content with, commas, and length enough to score well.</p>" * 10
+        + "</div></body></html>"
+    )
+    ex = Extractor()
+    ex.timings = {}
+    r = ex.parse(html, "http://x.com/")
+    assert r is not None
+    for label in ("parseDocument", "readerable", "preprocess", "metadata",
+                  "grab", "postprocess", "serialize"):
+        assert label in ex.timings and ex.timings[label] >= 0.0, label
