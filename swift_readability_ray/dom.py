@@ -97,6 +97,11 @@ class Node:
     COMMENT_NODE = 8
 
     node_type: int = 0
+    # global mutation epoch: bumped by every tree edit anywhere; used to
+    # invalidate text_content caches (coarse-grained version token, same
+    # idea as the reference's mutation-versioned caches,
+    # ArticleGrabber.swift:173-176)
+    mutation_epoch: int = 0
 
     def __init__(self) -> None:
         self.parent: Element | None = None
@@ -183,7 +188,8 @@ class Comment(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "child_nodes", "readability", "readability_data_table")
+    __slots__ = ("tag", "attrs", "child_nodes", "readability",
+                 "readability_data_table", "_tc_epoch", "_tc_val")
     node_type = Node.ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
@@ -225,12 +231,13 @@ class Element(Node):
     def has_attribute(self, name: str) -> bool:
         return name in self.attrs
 
-    # -- tree edits ---------------------------------------------------------
+    # -- tree edits (every path bumps the global mutation epoch) ------------
     def append_child(self, node: Node) -> Node:
         if node.parent is not None:
             node.parent.remove_child(node)
         node.parent = self
         self.child_nodes.append(node)
+        Node.mutation_epoch += 1
         return node
 
     def insert_before(self, node: Node, reference: Node | None) -> Node:
@@ -241,11 +248,13 @@ class Element(Node):
         idx = self.child_nodes.index(reference)
         node.parent = self
         self.child_nodes.insert(idx, node)
+        Node.mutation_epoch += 1
         return node
 
     def remove_child(self, node: Node) -> Node:
         self.child_nodes.remove(node)
         node.parent = None
+        Node.mutation_epoch += 1
         return node
 
     def replace_child(self, new: Node, old: Node) -> Node:
@@ -255,6 +264,7 @@ class Element(Node):
         old.parent = None
         new.parent = self
         self.child_nodes[idx] = new
+        Node.mutation_epoch += 1
         return old
 
     # -- navigation ---------------------------------------------------------
@@ -331,6 +341,13 @@ class Element(Node):
     # -- content ------------------------------------------------------------
     @property
     def text_content(self) -> str:
+        # epoch-cached: the scoring phases recompute text over the same
+        # unmutated subtrees many times (link density, length checks)
+        try:
+            if self._tc_epoch == Node.mutation_epoch:
+                return self._tc_val
+        except AttributeError:
+            pass
         parts: list[str] = []
         stack = list(reversed(self.child_nodes))
         while stack:
@@ -339,7 +356,10 @@ class Element(Node):
                 parts.append(node.data)
             elif isinstance(node, Element):
                 stack.extend(reversed(node.child_nodes))
-        return "".join(parts)
+        val = "".join(parts)
+        self._tc_epoch = Node.mutation_epoch
+        self._tc_val = val
+        return val
 
     @property
     def inner_html(self) -> str:
