@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": TD.word_counts,
         "events_sessions": TD.events_sessions,
         "events_hourly": TD.events_hourly,
+        "events_value_buckets": TD.events_value_buckets,
+        "events_asof_rates": TD.events_asof_rates,
         "readerable_flags": TD.readerable_flags,
         "ngram_dedup": TD.ngram_dedup,
         "top_docs_per_source": TD.top_docs_per_source,
@@ -155,6 +157,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type, hour
             ORDER BY event_type, hour
+        """,
+        "events_value_buckets": """
+            WITH b AS (
+                SELECT event_type,
+                       CASE WHEN value >= 0 AND value < 1000
+                            THEN CAST(floor(value / 100) AS BIGINT)
+                            ELSE -1 END AS bucket
+                FROM events)
+            SELECT event_type, bucket, count(*) AS n_events
+            FROM b GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
+        """,
+        "events_asof_rates": """
+            WITH dim AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       min(event_id) AS marker_id
+                FROM events GROUP BY hour)
+            SELECT d.marker_id, count(*) AS n_events
+            FROM events e ASOF JOIN dim d ON e.ts >= d.hour
+            GROUP BY d.marker_id ORDER BY d.marker_id
         """,
         "events_sessions": """
             WITH e AS (

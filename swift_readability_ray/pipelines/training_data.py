@@ -285,6 +285,94 @@ def extract_spans_repeated(sf_dir: str, repeat: int, batch_size: int = 32) -> ra
     )
 
 
+def events_value_buckets(sf_dir: str) -> pa.Table:
+    """Range join: events.value against a small bucket-boundary dimension.
+
+    The scale pattern for a range join with a small side: broadcast the
+    sorted boundaries once, binary-search per batch (vectorized
+    np.searchsorted), then aggregate — no shuffle of the fact table.
+    Buckets: [0,100), [100,200), ... [900,1000), values outside → bucket -1.
+    """
+    bounds = np.arange(0.0, 1000.0 + 1e-9, 100.0)
+    bounds_ref = ray.put(bounds)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, v, side="right") - 1
+        idx = np.where((v < b[0]) | (v >= b[-1]), -1, idx).astype(np.int32)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bucket": pa.array(idx, pa.int32())})
+        return t.group_by(["event_type", "bucket"]).aggregate([("bucket", "count")])
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby(["event_type", "bucket"])
+        .aggregate(Sum("bucket_count"))
+        .rename_columns(["event_type", "bucket", "n_events"])
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("event_type", "ascending"), ("bucket", "ascending")])
+
+
+def events_asof_rates(sf_dir: str) -> pa.Table:
+    """As-of join: each event matched to the latest hourly marker ≤ its ts.
+
+    The marker dimension (one row per hour: min event_id that hour) is built
+    with a small groupby, broadcast sorted, and matched per batch with
+    vectorized searchsorted — the canonical distributed as-of join with a
+    small right side.  Returns per-marker event counts (ints only).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "hour": pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                            pa.timestamp("us")),
+            "event_id": batch.column("event_id"),
+        })
+        return t.group_by(["hour"]).aggregate([("event_id", "min")])
+
+    from ray.data.aggregate import Min
+
+    dim = (
+        ds.map_batches(hour_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Min("event_id_min"))
+        .rename_columns(["hour", "marker_id"])
+    )
+    dim_tbl = pa.concat_tables(
+        [b for b in dim.iter_batches(batch_format="pyarrow")]
+    ).sort_by("hour")
+    hours = dim_tbl.column("hour").to_numpy(zero_copy_only=False)
+    markers = dim_tbl.column("marker_id").to_numpy(zero_copy_only=False)
+    dim_ref = ray.put((hours, markers))
+
+    def asof(batch: pa.Table) -> pa.Table:
+        h, m = ray.get(dim_ref)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(h, ts, side="right") - 1  # latest hour <= ts
+        t = pa.table({"marker_id": pa.array(m[idx], pa.int64())})
+        return t.group_by(["marker_id"]).aggregate([("marker_id", "count")])
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(asof, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby("marker_id")
+        .aggregate(Sum("marker_id_count"))
+        .rename_columns(["marker_id", "n_events"])
+    )
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("marker_id")
+
+
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling-window aggregate: events per (type, hour) with value sums.
 

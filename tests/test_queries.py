@@ -59,6 +59,7 @@ ORACLED = [
     "orders_by_segment", "events_json_stats", "lineitem_agg",
     "events_sessions", "top_docs_per_source", "extract_metadata",
     "sample_docs", "word_counts", "events_hourly",
+    "events_value_buckets", "events_asof_rates",
 ]
 
 
