@@ -158,3 +158,60 @@ def test_partition_metrics_checkpointed(ray_session, fixture_corpus_dir, tmp_pat
     assert tbl.schema.equals(METRICS)
     inp = pq.read_table(os.path.join(fixture_corpus_dir, "documents.parquet"))
     assert sum(tbl.column("docs_processed").to_pylist()) == inp.num_rows
+
+
+def test_ray_pipeline_equals_local_on_real_fixtures(ray_session, tmp_path):
+    """Distributed extraction (span pipeline through map_batches) produces
+    exactly the library's local results on the real Mozilla fixture corpus."""
+    import pyarrow as pa
+    import ray.data
+
+    from swift_readability_ray import ExtractOptions, extract
+    from swift_readability_ray.schema import DOCUMENTS, SPAN
+    from swift_readability_ray.spans import emit_spans
+    from swift_readability_ray.stages.extract import extract_spans_batch
+
+    fix = "/root/reference/tmp-readability/test/test-pages"
+    if not os.path.isdir(fix):
+        pytest.skip("reference fixtures unavailable")
+    names = sorted(os.listdir(fix))[:40]  # bounded runtime
+    url = "http://fakehost/test/page.html"
+
+    ids, span_lists, local = [], [], {}
+    for n in names:
+        with open(os.path.join(fix, n, "source.html"), encoding="utf-8",
+                  errors="replace") as f:
+            html = f.read()
+        ids.append(n)
+        span_lists.append(
+            [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]
+        )
+        r = extract(html, url)
+        local[n] = (
+            None if r is None else
+            ([tuple(s.values()) for s in emit_spans(r["article_element"])],
+             r["title"], r["length"])
+        )
+
+    tbl = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()), pa.array(span_lists, pa.list_(SPAN))],
+        schema=DOCUMENTS,
+    )
+    out = ray.data.from_arrow(tbl).map_batches(
+        extract_spans_batch,
+        fn_kwargs={"base_url": url},
+        batch_format="pyarrow",
+        batch_size=8,
+    )
+    got = {r["doc_id"]: r for r in out.take_all()}
+    assert set(got) == set(local)
+    for n in names:
+        if local[n] is None:
+            assert got[n]["error"] is not None, n
+            continue
+        spans, title, length = local[n]
+        assert got[n]["error"] is None, (n, got[n]["error"])
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[n]["spans"]
+        ] == spans, n
+        assert got[n]["title"] == title and got[n]["length"] == length, n
