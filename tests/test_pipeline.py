@@ -215,3 +215,38 @@ def test_ray_pipeline_equals_local_on_real_fixtures(ray_session, tmp_path):
             (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[n]["spans"]
         ] == spans, n
         assert got[n]["title"] == title and got[n]["length"] == length, n
+
+
+def test_staging_missing_with_pending_partitions_raises(ray_session, fixture_corpus_dir, tmp_path):
+    import shutil
+
+    from swift_readability_ray.pipelines import run_resumable_extraction
+
+    out = str(tmp_path / "stage_err")
+    with pytest.raises(RuntimeError, match="injected"):
+        run_resumable_extraction(
+            fixture_corpus_dir + "/documents.parquet", out,
+            num_partitions=4, base_url=BASE_URL, fail_after_partitions=1,
+        )
+    shutil.rmtree(os.path.join(out, "staging"))
+    with pytest.raises(RuntimeError, match="staging missing"):
+        run_resumable_extraction(
+            fixture_corpus_dir + "/documents.parquet", out,
+            num_partitions=4, base_url=BASE_URL,
+        )
+
+
+def test_lsh_bucket_pair_cap():
+    """Degenerate buckets star-join instead of emitting O(n^2) pairs."""
+    import pyarrow as pa
+
+    from swift_readability_ray.stages.dedup import MAX_BUCKET_PAIRWISE, _emit_pairs
+
+    n = MAX_BUCKET_PAIRWISE + 10
+    giant = pa.table({"doc_id": pa.array(list(range(n)))})
+    pairs = _emit_pairs(giant)
+    assert pairs.num_rows == n - 1  # linear, hub = min doc
+    assert set(pairs.column("doc_a").to_pylist()) == {0}
+
+    small = pa.table({"doc_id": pa.array([3, 1, 2])})
+    assert _emit_pairs(small).num_rows == 3  # full pairwise below the cap
