@@ -431,6 +431,7 @@ class Extractor:
         page_cache_html = page.inner_html
 
         while True:
+            _t_prep = _now()
             strip_unlikely_candidates = self._flag_is_active(FLAG_STRIP_UNLIKELYS)
 
             elements_to_score: list[Element] = []
@@ -537,7 +538,9 @@ class Extractor:
 
                 node = self._get_next_node(node)
 
+            self._tick("grab.prepareNodes", _t_prep)
             # ------------------------------------------------ Phase E: scoring
+            _t_score = _now()
             candidates: list[Element] = []
             for element_to_score in elements_to_score:
                 if element_to_score.parent is None or not isinstance(
@@ -579,7 +582,9 @@ class Extractor:
                     assert ancestor.readability is not None
                     ancestor.readability += content_score / score_divider
 
+            self._tick("grab.scoreElements", _t_score)
             # ------------------------------------- Phase F: top candidates
+            _t_top = _now()
             top_candidates: list[Element] = []
             for candidate in candidates:
                 candidate_score = (candidate.readability or 0.0) * (
@@ -716,7 +721,10 @@ class Extractor:
                 else:
                     s += 1
 
+            self._tick("grab.topCandidate", _t_top)
+            _t_pa = _now()
             self._prep_article(article_content, doc)
+            self._tick("grab.prepArticle", _t_pa)
 
             if needed_to_create_top_candidate:
                 top_candidate.id = "readability-page-1"
