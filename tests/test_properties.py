@@ -94,3 +94,37 @@ def test_lang_id_returns_known_code(s):
 def test_hamming_symmetry(a, b):
     assert T.hamming64(a, b) == T.hamming64(b, a)
     assert T.hamming64(a, a) == 0
+
+
+# --------------------------------------------------------------- extraction
+
+_HTML_BITS = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<br>",
+    "<!-- c -->", "<script>x()</script>", "<img src=i.png>", "&amp;", "&#65;",
+    "text one, two, three. ", "<table><tr><td>c</td></tr></table>",
+    "<h1>Head</h1>", "<span>", "</span>", "<b>", "словá ", "漢字テスト ",
+    "<noscript><img src=n.png></noscript>", "<style>p{}</style>", "<<>>",
+    "\x00", "<p attr='v\"w'>", "</bogus>", "<?pi?>", "<![CDATA[x]]>",
+])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_HTML_BITS, min_size=1, max_size=40))
+def test_extract_never_raises_and_invariants_hold(bits):
+    from swift_readability_ray import extract
+    from swift_readability_ray.spans import emit_spans
+
+    html = "".join(bits)
+    r = extract(html, "http://x.com/a/")  # must not raise on any input
+    if r is None:
+        return
+    assert r["length"] == len(r["textContent"])
+    spans = emit_spans(r["article_element"])
+    # span invariant: offsets are the emission order, media refs non-empty
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    for s in spans:
+        assert s["kind"] in ("text", "media")
+        if s["kind"] == "media":
+            assert s["media_ref"]
+        else:
+            assert s["text"]
