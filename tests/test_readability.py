@@ -333,3 +333,23 @@ def test_phase_timings_collector():
     for label in ("parseDocument", "readerable", "preprocess", "metadata",
                   "grab", "postprocess", "serialize"):
         assert label in ex.timings and ex.timings[label] >= 0.0, label
+
+
+def test_disable_jsonld_option():
+    """disableJSONLD toggle (ParitySupplementaryTests analog): with JSON-LD
+    disabled, metadata falls back to meta tags / title element."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = (
+        '<html><head><title>Tag Title</title>'
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"Article",'
+        '"headline":"LD Title","author":{"name":"LD Author"}}</script>'
+        '</head><body><div class="article-content">'
+        + "<p>Body text, long enough, with commas, to extract properly.</p>" * 8
+        + "</div></body></html>"
+    )
+    r_on = extract(html, "http://x.com/")
+    r_off = extract(html, "http://x.com/", ExtractOptions(disable_jsonld=True))
+    assert r_on["title"] == "LD Title" and r_on["byline"] == "LD Author"
+    assert r_off["title"] == "Tag Title" and r_off["byline"] is None
