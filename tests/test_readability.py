@@ -353,3 +353,46 @@ def test_disable_jsonld_option():
     r_off = extract(html, "http://x.com/", ExtractOptions(disable_jsonld=True))
     assert r_on["title"] == "LD Title" and r_on["byline"] == "LD Author"
     assert r_off["title"] == "Tag Title" and r_off["byline"] is None
+
+
+def test_char_threshold_retry_fallback():
+    """Short articles trigger the grab retry ladder; a tiny char_threshold
+    accepts the first attempt (Readability.js charThreshold semantics)."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    short = (
+        "<html><body><div class='article-content'>"
+        "<p>Short but real content, with commas, here.</p>"
+        "</div></body></html>"
+    )
+    r_small = extract(short, options=ExtractOptions(char_threshold=10))
+    assert r_small is not None and r_small["length"] > 0
+    # default 500-char threshold still returns the best attempt (never None
+    # just for being short — the 4-attempt ladder keeps the longest)
+    r_default = extract(short)
+    assert r_default is not None
+    assert r_default["textContent"].strip() == r_small["textContent"].strip()
+
+
+def test_link_density_modifier_spares_linky_blocks():
+    """Positive linkDensityModifier raises the removal threshold so linky
+    (but legitimate) blocks survive cleanConditionally."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    linky_list = (
+        "<div><ul>"
+        + "".join(f"<li><a href='/{i}'>link {i} text</a> tail</li>" for i in range(12))
+        + "</ul></div>"
+    )
+    html = (
+        "<html><body><div class='article-content'>"
+        + "<p>Real content paragraph, with commas, and enough length to score.</p>" * 6
+        + linky_list
+        + "</div></body></html>"
+    )
+    r_strict = extract(html)
+    r_lenient = extract(html, options=ExtractOptions(link_density_modifier=1.0))
+    assert ("link 3 text" in r_lenient["textContent"]) >= (
+        "link 3 text" in r_strict["textContent"]
+    )
+    assert "link 3 text" in r_lenient["textContent"]
