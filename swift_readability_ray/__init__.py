@@ -12,6 +12,7 @@ from .readability import (  # noqa: F401
     extract,
     extract_document,
     is_probably_readerable,
+    is_probably_readerable_html,
 )
 
 __version__ = "0.1.0"

@@ -80,3 +80,18 @@ def is_probably_readerable(
         if score > min_score:
             return True
     return False
+
+
+def is_probably_readerable_html(
+    html: str,
+    min_content_length: int = 140,
+    min_score: float = 20.0,
+    visibility_checker=None,
+) -> bool:
+    """String-input convenience (reference static entry point,
+    Readability.isProbablyReaderable(html:), Readability.swift:197-208)."""
+    from ..dom import parse
+
+    return is_probably_readerable(
+        parse(html), min_content_length, min_score, visibility_checker
+    )
