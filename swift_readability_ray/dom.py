@@ -189,7 +189,8 @@ class Comment(Node):
 
 class Element(Node):
     __slots__ = ("tag", "attrs", "child_nodes", "readability",
-                 "readability_data_table", "_tc_epoch", "_tc_val")
+                 "readability_data_table", "_tc_epoch", "_tc_val",
+                 "_it_epoch", "_it_val")
     node_type = Node.ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:

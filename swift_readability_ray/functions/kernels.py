@@ -15,11 +15,25 @@ from ..dom import Element
 
 
 def get_inner_text(el: Element, normalize_spaces: bool = True) -> str:
-    """textContent trimmed; optionally collapse 2+ whitespace to one space."""
-    text = el.text_content.strip()
+    """textContent trimmed; optionally collapse 2+ whitespace to one space.
+
+    The normalized form is epoch-cached on the element (same mutation token
+    as text_content) — link-density scoring recomputes it over unmutated
+    subtrees constantly.
+    """
+    from ..dom import Node
+
     if normalize_spaces:
-        return R.NORMALIZE.sub(" ", text)
-    return text
+        try:
+            if el._it_epoch == Node.mutation_epoch:
+                return el._it_val
+        except AttributeError:
+            pass
+        val = R.NORMALIZE.sub(" ", el.text_content.strip())
+        el._it_epoch = Node.mutation_epoch
+        el._it_val = val
+        return val
+    return el.text_content.strip()
 
 
 def text_similarity(text_a: str, text_b: str) -> float:
