@@ -53,14 +53,9 @@ def _to_df(x) -> pd.DataFrame:
     return df[sorted(df.columns)].reset_index(drop=True)
 
 
-ORACLED = [
-    "token_counts", "fingerprints", "doc_stats", "readerable_filter",
-    "top_docs", "exact_dedup", "embedding_neardup", "knn_bruteforce",
-    "orders_by_segment", "events_json_stats", "lineitem_agg",
-    "events_sessions", "top_docs_per_source", "extract_metadata",
-    "sample_docs", "word_counts", "events_hourly",
-    "events_value_buckets", "events_asof_rates",
-]
+# derived at collection time: every oracle_sql() key is compared — a new
+# oracle can never be silently left out of the matrix
+ORACLED = sorted(_entry_module().oracle_sql())
 
 
 @pytest.mark.parametrize("name", ORACLED)
