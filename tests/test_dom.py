@@ -137,3 +137,57 @@ def test_serialize_deep_nesting_no_recursion_error():
     html = root.outer_html
     assert html.startswith("<div><div>") and html.endswith("</div></div>")
     assert "deep" in html
+
+
+def test_fast_feed_matches_stdlib_feed():
+    """The one-shot tokenizer must be byte-identical to stdlib-driven
+    parsing (decisions are stdlib's parse_* helpers; only goahead's
+    bookkeeping is skipped). Differential over fixtures + fuzz."""
+    import os
+    import random
+    from html.parser import HTMLParser
+
+    import swift_readability_ray.dom as dom
+
+    class StdBuilder(dom._TreeBuilder):
+        feed = HTMLParser.feed  # restore the stdlib incremental path
+
+    def std_parse(html):
+        doc = dom.Document("about:blank")
+        b = StdBuilder(doc, fragment=False)
+        try:
+            b.feed(html)
+            b.close()
+        except Exception:
+            pass
+        de = doc.document_element
+        if de is None or de.tag != "html":
+            html_el = dom.Element("html")
+            for c in list(doc.child_nodes):
+                doc.remove_child(c)
+                html_el.append_child(c)
+            doc.append_child(html_el)
+            de = html_el
+        if doc.head is None:
+            de.insert_before(dom.Element("head"), de.first_child)
+        if doc.body is None:
+            de.append_child(dom.Element("body"))
+        return doc
+
+    fix = "/root/reference/tmp-readability/test/test-pages"
+    if os.path.isdir(fix):
+        for n in sorted(os.listdir(fix))[:25]:
+            with open(os.path.join(fix, n, "source.html"), encoding="utf-8",
+                      errors="replace") as f:
+                src = f.read()
+            assert dom.parse(src).outer_html == std_parse(src).outer_html, n
+
+    rng = random.Random(11)
+    toks = ["<div>", "</div>", "<p a=1 b='2'>", "</p", "<br/>", "<!--x-->",
+            "<!-- open", "<script>if(a<b){}</script>", "<script>open",
+            "text&amp;more", "&#65;&bogus;", "<a href=x?y=1&z=2>", "<", "<>",
+            "< p>", "</>", "<!doctype html>", "<?pi?>", "<![CDATA[raw]]>",
+            "<title>T<i>t</title>", "&", "&am", "plain ", "é€𝄞"]
+    for _ in range(400):
+        s = "".join(rng.choice(toks) for _ in range(rng.randint(1, 25)))
+        assert dom.parse(s).outer_html == std_parse(s).outer_html, repr(s)
