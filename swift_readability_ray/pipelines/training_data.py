@@ -490,8 +490,17 @@ def word_counts(sf_dir: str, k: int = 20) -> pa.Table:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = partials.groupby("token").aggregate(Sum("n")).rename_columns(["token", "n"])
-    out = agg.sort(["n", "token"], descending=[True, False]).limit(k)
-    return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+
+    # top-k via per-block combiner + tiny driver merge — never a full sort
+    # of the vocabulary (which at corpus scale is millions of rows)
+    keys = [("n", "descending"), ("token", "ascending")]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        return batch.take(pc.sort_indices(batch, sort_keys=keys)[:k])
+
+    tops = agg.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables([b for b in tops.iter_batches(batch_format="pyarrow")])
+    return tbl.take(pc.sort_indices(tbl, sort_keys=keys)[:k])
 
 
 def lineitem_agg(sf_dir: str) -> pa.Table:
