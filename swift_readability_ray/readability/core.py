@@ -219,18 +219,18 @@ class Extractor:
         return True
 
     def _is_valid_byline(self, node: Element, match_string: str) -> bool:
+        # cheap predicates first; text walk only when one matches
+        # (upstream order: _checkByline tests rel/itemprop/regex, THEN text)
         rel = node.get_attribute("rel")
         itemprop = node.get_attribute("itemprop")
+        if not (
+            rel == "author"
+            or (itemprop is not None and "author" in itemprop)
+            or R.BYLINE.search(match_string)
+        ):
+            return False
         byline_length = len(node.text_content.strip())
-        return (
-            (
-                rel == "author"
-                or (itemprop is not None and "author" in itemprop)
-                or bool(R.BYLINE.search(match_string))
-            )
-            and byline_length > 0
-            and byline_length < 100
-        )
+        return 0 < byline_length < 100
 
     def _header_duplicates_title(self, node: Element) -> bool:
         if node.tag not in ("h1", "h2"):
