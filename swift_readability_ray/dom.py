@@ -198,7 +198,7 @@ class Comment(Node):
 class Element(Node):
     __slots__ = ("tag", "attrs", "child_nodes", "readability",
                  "readability_data_table", "_tc_epoch", "_tc_val",
-                 "_it_epoch", "_it_val")
+                 "_it_epoch", "_it_val", "_ld_epoch", "_ld_val")
     node_type = Node.ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
@@ -233,9 +233,11 @@ class Element(Node):
 
     def set_attribute(self, name: str, value: str) -> None:
         self.attrs[name] = value
+        Node.mutation_epoch += 1  # link-density cache reads href attrs
 
     def remove_attribute(self, name: str) -> None:
         self.attrs.pop(name, None)
+        Node.mutation_epoch += 1
 
     def has_attribute(self, name: str) -> bool:
         return name in self.attrs

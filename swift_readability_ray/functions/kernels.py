@@ -213,13 +213,27 @@ def resolve_url(uri: str, base: str) -> str:
 
 
 def get_link_density(element: Element) -> float:
-    """Σ(linkText·coeff)/textLen; coeff 0.3 for in-page `#…` hrefs."""
+    """Σ(linkText·coeff)/textLen; coeff 0.3 for in-page `#…` hrefs.
+
+    Epoch-cached per element (the reference versions this cache the same
+    way, ArticleGrabber.swift:173-176 / Helpers.swift:22-25)."""
+    from ..dom import Node
+
+    try:
+        if element._ld_epoch == Node.mutation_epoch:
+            return element._ld_val
+    except AttributeError:
+        pass
     text_length = len(get_inner_text(element))
     if text_length == 0:
-        return 0.0
-    link_length = 0.0
-    for link in element.get_elements_by_tag_name("a"):
-        href = link.get_attribute("href")
-        coefficient = 0.3 if (href and R.HASH_URL.match(href)) else 1.0
-        link_length += len(get_inner_text(link)) * coefficient
-    return link_length / text_length
+        val = 0.0
+    else:
+        link_length = 0.0
+        for link in element.get_elements_by_tag_name("a"):
+            href = link.get_attribute("href")
+            coefficient = 0.3 if (href and R.HASH_URL.match(href)) else 1.0
+            link_length += len(get_inner_text(link)) * coefficient
+        val = link_length / text_length
+    element._ld_epoch = Node.mutation_epoch
+    element._ld_val = val
+    return val
