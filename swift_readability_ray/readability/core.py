@@ -996,11 +996,29 @@ class Extractor:
                 node.remove()
 
     def _should_clean_conditionally(self, node: Element, tag: str, is_data_table) -> bool:
+        # one fused subtree walk for every tag census this predicate needs
+        tag_counts: dict[str, int] = {}
+        embeds: list[Element] = []
+        tables: list[Element] = []
+        lists: list[Element] = []
+        stack = list(reversed(node.child_nodes))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                t = n.tag
+                tag_counts[t] = tag_counts.get(t, 0) + 1
+                if t in ("object", "embed", "iframe"):
+                    embeds.append(n)
+                elif t == "table":
+                    tables.append(n)
+                elif t in ("ul", "ol"):
+                    lists.append(n)
+                if n.child_nodes:
+                    stack.extend(reversed(n.child_nodes))
+
         is_list = tag in ("ul", "ol")
         if not is_list:
-            list_length = 0
-            for lst in node.get_all_nodes_with_tag(["ul", "ol"]):
-                list_length += len(get_inner_text(lst))
+            list_length = sum(len(get_inner_text(lst)) for lst in lists)
             total = len(get_inner_text(node))
             is_list = total > 0 and list_length / total > 0.9
 
@@ -1010,7 +1028,7 @@ class Extractor:
             return False
         if self._has_ancestor_tag(node, "code"):
             return False
-        if any(is_data_table(t) for t in node.get_elements_by_tag_name("table")):
+        if any(is_data_table(t) for t in tables):
             return False
 
         weight = self._get_class_weight(node)
@@ -1018,16 +1036,16 @@ class Extractor:
             return True
 
         if self._get_char_count(node, ",") < 10:
-            p = len(node.get_elements_by_tag_name("p"))
-            img = len(node.get_elements_by_tag_name("img"))
-            li = len(node.get_elements_by_tag_name("li")) - 100
-            input_count = len(node.get_elements_by_tag_name("input"))
+            p = tag_counts.get("p", 0)
+            img = tag_counts.get("img", 0)
+            li = tag_counts.get("li", 0) - 100
+            input_count = tag_counts.get("input", 0)
             heading_density = self._get_text_density(
                 node, ["h1", "h2", "h3", "h4", "h5", "h6"]
             )
 
             embed_count = 0
-            for embed in node.get_all_nodes_with_tag(["object", "embed", "iframe"]):
+            for embed in embeds:
                 for value in embed.attrs.values():
                     if self._allowed_video_regex.search(value):
                         return False
