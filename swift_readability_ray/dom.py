@@ -549,8 +549,14 @@ class _TreeBuilder(HTMLParser):
             if not self._saw_body:
                 self._open("body", {})
                 self._saw_body = True
-        elif self.stack[-1] is self._in_head and tag not in _HEAD_TAGS and tag not in ("head",) and not for_text:
-            # non-head content while in head → close head, open body
+        elif (
+            self.stack[-1].tag == "head"
+            and tag not in _HEAD_TAGS
+            and tag != "head"
+        ):
+            # non-head content (elements OR non-whitespace text, matching a
+            # browser's "in head" anything-else reprocessing) while in head —
+            # explicit or synthesized — closes head and opens body
             self._pop()
             if not self._saw_body:
                 self._open("body", {})

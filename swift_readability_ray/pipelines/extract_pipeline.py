@@ -108,6 +108,12 @@ def extraction_dataset(
             fn_kwargs=fn_opts, batch_format="pyarrow", zero_copy_batch=True
         )
         extractor = extract_spans_batch
+        if concurrency is not None:
+            # tasks pool: cap max concurrent tasks; a (min,max) tuple is
+            # actor-pool-only, so take its max for the task cap
+            kwargs["concurrency"] = (
+                concurrency if isinstance(concurrency, int) else concurrency[1]
+            )
     else:
         kwargs = dict(
             fn_constructor_kwargs=fn_opts, batch_format="pyarrow", zero_copy_batch=True
@@ -123,7 +129,7 @@ def extraction_dataset(
     # small-batch pool so they can't straggle an average batch.  Both pools
     # MUST autoscale from 1 actor: two fixed-size pools can reserve every
     # CPU and deadlock the read/write tasks on a small cluster.
-    if isinstance(kwargs.get("concurrency"), int):
+    if pool == "actors" and isinstance(kwargs.get("concurrency"), int):
         kwargs["concurrency"] = (1, kwargs["concurrency"])
     sized = ds.map_batches(_span_bytes, batch_format="pyarrow", zero_copy_batch=True)
     small = sized.filter(expr=f"payload_bytes <= {skew_threshold_bytes}").drop_columns(

@@ -91,17 +91,25 @@ def _emit_pairs(group: pa.Table) -> pa.Table:
 
     Buckets larger than ``MAX_BUCKET_PAIRWISE`` are near-certainly a
     degenerate key (empty shingle set, boilerplate); quadratic emission
-    there would produce O(n²) pairs from one group task.  Star-join against
-    the min doc instead (linear) — transitive duplicate clusters are still
-    connected through the hub.
+    there would produce O(n²) pairs from one group task.  Emit a linear
+    star-join against the min doc PLUS the consecutive chain (i, i+1) so
+    every member of a degenerate bucket stays pair-connected even when it
+    shares no other bucket with its true duplicate — capped buckets trade
+    exact uncapped-LSH pair semantics for connectivity (recall loss bounded
+    to non-adjacent, non-hub pairs inside one capped bucket; a capped-bucket
+    marker column would cost a schema change, so the trade is documented
+    here and in the caller docstrings).
     """
     ids = sorted(set(group.column("doc_id").to_pylist()))
     a_out, b_out = [], []
     if len(ids) > MAX_BUCKET_PAIRWISE:
         hub = ids[0]
-        for other in ids[1:]:
+        for idx, other in enumerate(ids[1:]):
             a_out.append(hub)
             b_out.append(other)
+            if idx > 0:  # chain (i, i+1): keeps the cluster connected
+                a_out.append(ids[idx])  # ids[idx] == previous member
+                b_out.append(other)
     else:
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -123,12 +131,14 @@ def minhash_candidate_pairs(
     per shared band — callers that collect the (small) candidate set anyway
     should dedup driver-side instead of paying a second all-to-all.
     """
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     sig = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        # autoscale to the cluster — a fixed cap strands cores on big clusters
+        concurrency=(1, max(2, n_cpus)),
     )
     pairs = sig.groupby("bucket").map_groups(_emit_pairs, batch_format="pyarrow")
     if not distinct:
@@ -201,7 +211,9 @@ def simhash_dedup_pairs(
             for key in T.simhash_band_keys(h, bands=max_hamming + 1):
                 doc_ids.append(doc_id)
                 buckets.append(key)
-                hashes.append(h & 0x7FFFFFFFFFFFFFFF)
+                # full 64 bits as two's-complement int64 (masking bit 63
+                # would understate hamming for ~50% of pairs)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids),
@@ -213,20 +225,30 @@ def simhash_dedup_pairs(
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        # recover uint64 from the two's-complement int64 storage
         rows = sorted(
-            {(i, h) for i, h in zip(group.column("doc_id").to_pylist(),
-                                    group.column("simhash").to_pylist())}
+            {(i, h & 0xFFFFFFFFFFFFFFFF)
+             for i, h in zip(group.column("doc_id").to_pylist(),
+                             group.column("simhash").to_pylist())}
         )
         if len(rows) > MAX_BUCKET_PAIRWISE:
-            # degenerate band key: star-join against the min doc (linear)
+            # degenerate band key: star-join against the min doc plus the
+            # consecutive chain (linear; see _emit_pairs on the recall trade)
             hub_id, hub_h = rows[0]
             a_out, b_out, d_out = [], [], []
-            for other_id, other_h in rows[1:]:
+            for idx, (other_id, other_h) in enumerate(rows[1:]):
                 d = T.hamming64(hub_h, other_h)
                 if d <= max_hamming:
                     a_out.append(hub_id)
                     b_out.append(other_id)
                     d_out.append(d)
+                if idx > 0:
+                    prev_id, prev_h = rows[idx]
+                    d = T.hamming64(prev_h, other_h)
+                    if d <= max_hamming:
+                        a_out.append(prev_id)
+                        b_out.append(other_id)
+                        d_out.append(d)
             return pa.table(
                 {"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
                  "hamming": pa.array(d_out, pa.int32())}

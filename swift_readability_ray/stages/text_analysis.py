@@ -40,8 +40,11 @@ def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    # two's-complement int64 keeps all 64 bits (recover with & ((1<<64)-1));
+    # masking bit 63 would corrupt downstream hamming distances
+    def to_i64(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
     texts = batch.column(text_col).to_pylist()
-    hashes = pa.array(
-        [T.simhash64(t or "") & 0x7FFFFFFFFFFFFFFF for t in texts], pa.int64()
-    )
+    hashes = pa.array([to_i64(T.simhash64(t or "")) for t in texts], pa.int64())
     return batch.append_column("simhash", hashes)

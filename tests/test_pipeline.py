@@ -237,7 +237,7 @@ def test_staging_missing_with_pending_partitions_raises(ray_session, fixture_cor
 
 
 def test_lsh_bucket_pair_cap():
-    """Degenerate buckets star-join instead of emitting O(n^2) pairs."""
+    """Degenerate buckets stay linear: star-join + consecutive chain, not O(n^2)."""
     import pyarrow as pa
 
     from swift_readability_ray.stages.dedup import MAX_BUCKET_PAIRWISE, _emit_pairs
@@ -245,8 +245,10 @@ def test_lsh_bucket_pair_cap():
     n = MAX_BUCKET_PAIRWISE + 10
     giant = pa.table({"doc_id": pa.array(list(range(n)))})
     pairs = _emit_pairs(giant)
-    assert pairs.num_rows == n - 1  # linear, hub = min doc
-    assert set(pairs.column("doc_a").to_pylist()) == {0}
+    assert pairs.num_rows == 2 * n - 3  # (n-1) hub pairs + (n-2) chain pairs
+    emitted = set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+    assert {(0, i) for i in range(1, n)} <= emitted  # hub connectivity
+    assert {(i, i + 1) for i in range(1, n - 1)} <= emitted  # chain connectivity
 
     small = pa.table({"doc_id": pa.array([3, 1, 2])})
     assert _emit_pairs(small).num_rows == 3  # full pairwise below the cap
