@@ -438,20 +438,17 @@ def readerable_flags(sf_dir: str) -> pa.Table:
 def ngram_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     """n-gram Jaccard near-dup pairs with similarity values (the fifth
     dedup family as a first-class op; LSH prunes the candidate space, true
-    word-trigram Jaccard decides)."""
+    word-trigram Jaccard decides — all verification distributed)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = D.minhash_dedup_pairs(ds, threshold=threshold)
-    if not pairs:
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    return pa.table(
-        {
-            "doc_a": pa.array([p["doc_a"] for p in pairs]),
-            "doc_b": pa.array([p["doc_b"] for p in pairs]),
-            "jaccard": pa.array([p["jaccard"] for p in pairs], pa.float64()),
-        }
+    return pa.concat_tables(batches).select(["doc_a", "doc_b", "jaccard"]).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 
@@ -759,32 +756,27 @@ def quality_table(sf_dir: str) -> pa.Table:
 def minhash_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = D.minhash_dedup_pairs(ds, threshold=threshold)
-    if not pairs:
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
-    return pa.table(
-        {
-            "doc_a": pa.array([p["doc_a"] for p in pairs]),
-            "doc_b": pa.array([p["doc_b"] for p in pairs]),
-        }
+    return pa.concat_tables(batches).select(["doc_a", "doc_b"]).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = D.simhash_dedup_pairs(ds, max_hamming=max_hamming)
-    if not pairs:
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int32())}
         )
-    return pa.table(
-        {
-            "doc_a": pa.array([p["doc_a"] for p in pairs]),
-            "doc_b": pa.array([p["doc_b"] for p in pairs]),
-            "hamming": pa.array([p["hamming"] for p in pairs], pa.int32()),
-        }
+    return pa.concat_tables(batches).select(["doc_a", "doc_b", "hamming"]).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 
