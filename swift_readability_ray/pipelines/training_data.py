@@ -134,9 +134,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     pairs = D.embedding_neardup_pairs(ds, threshold=threshold)
-    tbl = pa.concat_tables([b for b in pairs.iter_batches(batch_format="pyarrow")])
-    if tbl.num_rows == 0:
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(batches)
     return tbl.select(["id_a", "id_b"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
