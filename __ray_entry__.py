@@ -220,4 +220,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # language-ID heuristic mirrored exactly: token-empty check, charset
+        # shortcut on the first 400 chars, stopword-hit argmax with
+        # first-in-order tie-break (en, es, fr, de)
+        "langid": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                                x -> x <> ''),
+                                    x -> lower(x)) AS toks,
+                     substr(text, 1, 400) AS sample
+              FROM documents),
+            h AS (
+              SELECT doc_id, toks, sample,
+                len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS h_en,
+                len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','no','por'], x))) AS h_es,
+                len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], x))) AS h_fr,
+                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS h_de
+              FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE WHEN len(toks) = 0 THEN 'und'
+                   WHEN regexp_matches(sample, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                   WHEN regexp_matches(sample, '[\x{0400}-\x{04ff}]') THEN 'ru'
+                   WHEN regexp_matches(sample, '[\x{0600}-\x{06ff}]') THEN 'ar'
+                   WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                   WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                   WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                   WHEN h_fr >= h_de THEN 'fr'
+                   ELSE 'de' END AS lang_pred
+            FROM h ORDER BY doc_id
+        """,
+        # quality formula mirrored term-by-term; floor(x*1e6+0.5)/1e6 is the
+        # shared half-up rounding (see functions/text_stats.py)
+        "quality": r"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS n,
+                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r\f\x0b]')) AS n_punct
+              FROM documents),
+            m AS (
+              SELECT doc_id, n, n_punct, len(toks) AS n_tok,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                     END AS mean_len,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> list_contains(
+                                 ['a','and','ce','dans','das','de','den','der','die','ein','el','en','es','est','et','for','in','is','ist','it','la','le','mit','no','of','por','pour','que','that','the','to','un','und','von','y','zu'],
+                                 lower(x))))::DOUBLE / len(toks)
+                     END AS stop_ratio
+              FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CASE WHEN n = 0 OR n_tok = 0 THEN 0.0
+                   ELSE floor((0.3 * least(n / 500.0, 1.0)
+                        + 0.2 * (CASE WHEN mean_len BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.5 END)
+                        + 0.2 * (1.0 - least((n_punct::DOUBLE / n) * 5.0, 1.0))
+                        + 0.3 * least(stop_ratio * 4.0, 1.0)) * 1000000 + 0.5) / 1000000
+              END AS quality
+            FROM m ORDER BY doc_id
+        """,
+        # exact all-pairs word-trigram Jaccard — also certifies the LSH
+        # candidate generation has full recall on this corpus (a pair the
+        # LSH missed would appear in the oracle and hash-mismatch)
+        "ngram_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                          WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                               / len(list_distinct(a.sh || b.sh))::DOUBLE
+                     END AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                   round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "minhash_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                          WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                               / len(list_distinct(a.sh || b.sh))::DOUBLE
+                     END AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+            FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
     }

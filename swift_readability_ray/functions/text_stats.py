@@ -67,7 +67,13 @@ def quality_score(text: str) -> float:
     word_term = 1.0 if 2.5 <= mean_len <= 9.0 else 0.5
     punct_term = 1.0 - min(punct_ratio * 5.0, 1.0)
     stop_term = min(stop_ratio * 4.0, 1.0)
-    return round(0.3 * length_term + 0.2 * word_term + 0.2 * punct_term + 0.3 * stop_term, 6)
+    x = 0.3 * length_term + 0.2 * word_term + 0.2 * punct_term + 0.3 * stop_term
+    # floor(x*1e6 + 0.5): half-up in both Python and the DuckDB oracle SQL
+    # (Python round() is banker's, DuckDB round() is half-away — either
+    # alone would diverge on exact ties)
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
 def lang_id(text: str) -> str:
