@@ -16,6 +16,7 @@ per row.
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass
 from time import perf_counter as _now
@@ -52,6 +53,20 @@ class ExtractOptions:
     allowed_video_regex: str | None = None
     link_density_modifier: float = 0.0
     serializer: str = "html"  # "html" | "xml" | "text" (named modes, not closures)
+    # per-run overrides for the pattern table, mirroring the reference's
+    # RegExUtil init params (RegExUtil.swift:45-58): tuple of (name, pattern)
+    # pairs so the dataclass stays frozen/hashable for fn_constructor_kwargs.
+    # Overridable names: unlikely_candidates, ok_maybe_its_a_candidate,
+    # positive, negative, byline, videos, share_elements, whitespace,
+    # has_content.  (normalize/next_link/prev_link/extraneous/replace_fonts
+    # exist in the reference table but are never consulted by the v0.6
+    # algorithm core, so overriding them would be dead config.)
+    regex_overrides: tuple[tuple[str, str], ...] = ()
+    # verbose per-phase logging (reference: Models.swift:13 `debug`)
+    debug: bool = False
+
+
+_logger = logging.getLogger("swift_readability_ray.readability")
 
 
 class MaxElemsExceeded(Exception):
@@ -61,12 +76,37 @@ class MaxElemsExceeded(Exception):
 class Extractor:
     """One extraction run over one document. Do not reuse across documents."""
 
+    #: override names accepted by ExtractOptions.regex_overrides
+    OVERRIDABLE_PATTERNS = frozenset(
+        ("unlikely_candidates", "ok_maybe_its_a_candidate", "positive",
+         "negative", "byline", "videos", "share_elements", "whitespace",
+         "has_content")
+    )
+
     def __init__(self, options: ExtractOptions | None = None) -> None:
         self.opts = options or ExtractOptions()
+        ov = dict(self.opts.regex_overrides)
+        unknown = set(ov) - self.OVERRIDABLE_PATTERNS
+        if unknown:
+            raise ValueError(f"unknown regex_overrides: {sorted(unknown)}")
+
+        def rx(name: str, default: re.Pattern, flags: int = re.I) -> re.Pattern:
+            return re.compile(ov[name], flags) if name in ov else default
+
+        self._rx_unlikely = rx("unlikely_candidates", R.UNLIKELY_CANDIDATES)
+        self._rx_ok_maybe = rx("ok_maybe_its_a_candidate", R.OK_MAYBE_ITS_A_CANDIDATE)
+        self._rx_positive = rx("positive", R.POSITIVE)
+        self._rx_negative = rx("negative", R.NEGATIVE)
+        self._rx_byline = rx("byline", R.BYLINE)
+        self._rx_share = rx("share_elements", R.SHARE_ELEMENTS)
+        # reference compiles whitespace/hasContent without case-insensitivity
+        self._rx_whitespace = rx("whitespace", R.WHITESPACE, 0)
+        self._rx_has_content = rx("has_content", R.HAS_CONTENT, 0)
+        # priority mirrors RegExUtil.init: allowedVideoRegex ?? videos pattern
         self._allowed_video_regex = (
             re.compile(self.opts.allowed_video_regex, re.I)
             if self.opts.allowed_video_regex
-            else R.VIDEOS
+            else rx("videos", R.VIDEOS)
         )
         self._flags = FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY
         self._article_title: str | None = None
@@ -86,6 +126,13 @@ class Extractor:
     def _tick(self, label: str, start: float) -> None:
         if self.timings is not None:
             self.timings[label] = self.timings.get(label, 0.0) + (_now() - start)
+
+    def _log(self, *args) -> None:
+        """Verbose phase logging, gated on options.debug (Models.swift:13 /
+        Readability.js this.log); a logger, not print, so pipeline workers
+        stay quiet unless the deployment enables the logger."""
+        if self.opts.debug:
+            _logger.debug(" ".join(str(a) for a in args))
 
     # ------------------------------------------------------------------ flags
     def _flag_is_active(self, flag: int) -> bool:
@@ -185,13 +232,12 @@ class Extractor:
                     stack.extend(reversed(n.child_nodes))
         return len(node.children) == br_hr
 
-    @staticmethod
-    def _has_single_tag_inside_element(element: Element, tag: str) -> bool:
+    def _has_single_tag_inside_element(self, element: Element, tag: str) -> bool:
         children = element.children
         if len(children) != 1 or children[0].tag != tag:
             return False
         return not any(
-            isinstance(n, TextNode) and R.HAS_CONTENT.search(n.data)
+            isinstance(n, TextNode) and self._rx_has_content.search(n.data)
             for n in element.child_nodes
         )
 
@@ -226,7 +272,7 @@ class Extractor:
         if not (
             rel == "author"
             or (itemprop is not None and "author" in itemprop)
-            or R.BYLINE.search(match_string)
+            or self._rx_byline.search(match_string)
         ):
             return False
         byline_length = len(node.text_content.strip())
@@ -258,15 +304,15 @@ class Extractor:
         weight = 0
         cn = e.class_name
         if cn:
-            if R.NEGATIVE.search(cn):
+            if self._rx_negative.search(cn):
                 weight -= 25
-            if R.POSITIVE.search(cn):
+            if self._rx_positive.search(cn):
                 weight += 25
         eid = e.id
         if eid:
-            if R.NEGATIVE.search(eid):
+            if self._rx_negative.search(eid):
                 weight -= 25
-            if R.POSITIVE.search(eid):
+            if self._rx_positive.search(eid):
                 weight += 25
         return weight
 
@@ -374,7 +420,7 @@ class Extractor:
         while (
             nxt is not None
             and not isinstance(nxt, Element)
-            and R.WHITESPACE.match(nxt.text_content or "")
+            and self._rx_whitespace.match(nxt.text_content or "")
         ):
             nxt = nxt.next_sibling
         return nxt
@@ -481,8 +527,8 @@ class Extractor:
 
                 if strip_unlikely_candidates:
                     if (
-                        R.UNLIKELY_CANDIDATES.search(match_string)
-                        and not R.OK_MAYBE_ITS_A_CANDIDATE.search(match_string)
+                        self._rx_unlikely.search(match_string)
+                        and not self._rx_ok_maybe.search(match_string)
                         and not self._has_ancestor_tag(node, "table")
                         and not self._has_ancestor_tag(node, "code")
                         and node.tag != "body"
@@ -604,6 +650,11 @@ class Extractor:
             top_candidate = top_candidates[0] if top_candidates else None
             needed_to_create_top_candidate = False
             parent_of_top_candidate: Element | None = None
+            if top_candidate is not None:
+                self._log(
+                    "Top candidate:", top_candidate.tag,
+                    top_candidate.class_name, top_candidate.readability,
+                )
 
             if top_candidate is None or top_candidate.tag == "body":
                 top_candidate = doc.create_element("div")
@@ -741,6 +792,9 @@ class Extractor:
             text_length = len(get_inner_text(article_content, True))
             if text_length < self.opts.char_threshold:
                 parse_successful = False
+                self._log(
+                    "Article too short", text_length, "— retrying with relaxed flags",
+                )
                 page.set_inner_html(page_cache_html)
                 self._attempts.append((article_content, text_length))
                 if self._flag_is_active(FLAG_STRIP_UNLIKELYS):
@@ -787,7 +841,7 @@ class Extractor:
         for top_candidate in article_content.children:
             self._clean_matched_nodes(
                 top_candidate,
-                lambda n, ms: bool(R.SHARE_ELEMENTS.search(ms))
+                lambda n, ms: bool(self._rx_share.search(ms))
                 and len(n.text_content) < share_element_threshold,
             )
 

@@ -396,3 +396,71 @@ def test_link_density_modifier_spares_linky_blocks():
         "link 3 text" in r_strict["textContent"]
     )
     assert "link 3 text" in r_lenient["textContent"]
+
+
+# ------------------------------------------------- extension surface (round 2)
+
+
+def _page(body: str) -> str:
+    filler = "<p>" + ("Real article text, with commas, and length. " * 20) + "</p>"
+    return (
+        "<html><head><title>T</title></head><body>"
+        f'<div class="article-content">{filler}{body}{filler}</div>'
+        "</body></html>"
+    )
+
+
+def test_regex_override_unlikely_candidates():
+    """A regex_overrides entry replaces the table pattern (RegExUtil.swift:45-58)."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = _page('<div class="zzcustomzz"><p>Sidebar-ish text to prune or keep.</p></div>')
+    base = extract(html, "http://x/")
+    assert "Sidebar-ish" in base["textContent"]
+    # with the override, the custom class becomes an unlikely candidate
+    opts = ExtractOptions(
+        regex_overrides=(("unlikely_candidates", "zzcustomzz"),)
+    )
+    overridden = extract(html, "http://x/", options=opts)
+    assert "Sidebar-ish" not in overridden["textContent"]
+
+
+def test_regex_override_unknown_name_raises():
+    import pytest as _pytest
+
+    from swift_readability_ray import ExtractOptions, Extractor
+
+    with _pytest.raises(ValueError, match="unknown regex_overrides"):
+        Extractor(ExtractOptions(regex_overrides=(("nope", "x"),)))
+
+
+def test_debug_option_logs(caplog):
+    import logging
+
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = _page("")
+    with caplog.at_level(logging.DEBUG, logger="swift_readability_ray.readability"):
+        extract(html, "http://x/", options=ExtractOptions(debug=False))
+        assert not caplog.records
+        extract(html, "http://x/", options=ExtractOptions(debug=True))
+        assert caplog.records
+
+
+def test_xml_serializer_boolean_attr_forms():
+    """XML mode preserves the source's explicit attr="attr" vs bare-attr
+    forms — the behavior the reference reconstructs via source regexes
+    (Readability.swift:501-666); our parser keeps the value end-to-end, so
+    explicit forms round-trip and bare booleans serialize as attr=""."""
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = _page(
+        '<p itemscope="itemscope" itemprop="a">Alpha block, with text, '
+        "and more words here to survive cleaning.</p>"
+        '<p itemscope itemprop="b">Beta block, with text, '
+        "and more words here to survive cleaning.</p>"
+    )
+    out = extract(html, "http://x/", options=ExtractOptions(serializer="xml"))
+    content = out["content"]
+    assert 'itemscope="itemscope"' in content  # explicit form promoted/kept
+    assert 'itemscope=""' in content  # bare boolean stays empty-valued
