@@ -189,13 +189,13 @@ def _partition_metrics(path: str) -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    docs = failed = candidates = input_bytes = 0
+    docs = failed = candidates = input_bytes = wall_us = 0
     for root, _dirs, files in os.walk(path):
         for name in files:
             if name.endswith(".parquet"):
                 t = pq.read_table(
                     os.path.join(root, name),
-                    columns=["error", "n_candidates", "input_bytes"],
+                    columns=["error", "n_candidates", "input_bytes", "wall_us"],
                 )
                 docs += t.num_rows
                 failed += t.num_rows - pc.sum(
@@ -203,11 +203,13 @@ def _partition_metrics(path: str) -> dict:
                 ).as_py()
                 candidates += pc.sum(t.column("n_candidates")).as_py() or 0
                 input_bytes += pc.sum(t.column("input_bytes")).as_py() or 0
+                wall_us += pc.sum(t.column("wall_us")).as_py() or 0
     return {
         "docs_processed": docs,
         "docs_failed": failed,
         "candidates_scored": candidates,
         "bytes_parsed": input_bytes,
+        "wall_seconds": wall_us / 1e6,
     }
 
 

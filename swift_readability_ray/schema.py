@@ -38,6 +38,7 @@ OUT = pa.schema(
         ("error", pa.string()),             # null on success
         ("n_candidates", pa.int32()),       # work counter: elements scored
         ("input_bytes", pa.int32()),        # reassembled HTML size
+        ("wall_us", pa.int64()),            # per-row extraction wall time
     ]
 )
 

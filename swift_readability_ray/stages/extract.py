@@ -53,6 +53,15 @@ class ReadabilityExtractor:
         self.wall_seconds = 0.0
 
     def extract_one(self, doc_id: str, spans: list[dict]) -> dict:
+        """Extraction for one row, timed — ``wall_us`` rides the OUT row so
+        per-partition metrics can report real wall_seconds from data columns
+        alone (no retry-lossy side channel)."""
+        t0 = time.perf_counter()
+        row = self._extract_one_inner(doc_id, spans)
+        row["wall_us"] = int((time.perf_counter() - t0) * 1e6)
+        return row
+
+    def _extract_one_inner(self, doc_id: str, spans: list[dict]) -> dict:
         html = spans_to_html(spans)
         self.bytes_parsed += len(html)
         row = {

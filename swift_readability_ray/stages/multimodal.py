@@ -20,9 +20,20 @@ fits the worker heap (SURVEY.md memory guidance).
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+# import-gated real decoder (mirrors the lance gate in sources/io.py): the
+# stage lights up automatically when the environment provides PIL
+try:  # pragma: no cover - PIL absent in this container
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA = pa.schema(
     [
@@ -64,13 +75,19 @@ class MediaFeatureExtractor:
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.feature_dim = feature_dim
-        # STUB: a real build would load PIL/torchvision/ffmpeg here, once.
+        # once-per-actor decoder load: with PIL present this is where a real
+        # build would also warm any model weights
         self._model_loaded = True
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.decoder == "real":
-            # STUB: image/audio libs are not available in this container.
-            raise NotImplementedError("real media decoding requires PIL/ffmpeg")
+            if not HAS_PIL:
+                # STUB: decode libs absent in this container; plumbing real
+                raise NotImplementedError("real media decoding requires PIL")
+            img = _PILImage.open(io.BytesIO(payload)).convert("L")
+            # deterministic thumbnail feature: feature_dim × 1 grayscale strip
+            strip = img.resize((self.feature_dim, 1))
+            return (np.asarray(strip, dtype=np.float32).reshape(-1) / 255.0)
         return _fake_decode(payload, self.feature_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -111,7 +128,19 @@ class ImageResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
-            raise NotImplementedError("real image resize requires PIL")
+            if not HAS_PIL:
+                raise NotImplementedError("real image resize requires PIL")
+            payloads = []
+            for payload in batch.column("payload").to_pylist():
+                img = _PILImage.open(io.BytesIO(payload or b""))
+                buf = io.BytesIO()
+                img.resize((self.tw, self.th)).save(buf, format="PNG")
+                payloads.append(buf.getvalue())
+            batch = batch.set_column(
+                batch.schema.get_field_index("payload"),
+                "payload",
+                pa.array(payloads, pa.binary()),
+            )
         n = batch.num_rows
         batch = batch.set_column(
             batch.schema.get_field_index("width"),

@@ -89,3 +89,38 @@ def test_frame_sample_stage_rows_per_frame():
 def test_frame_sample_real_decoder_raises():
     with pytest.raises(NotImplementedError):
         FrameSampleStage(decoder="real")(_media_table(1))
+
+
+def test_real_decoder_gated_on_pil():
+    """decoder='real' works when PIL is present, raises cleanly when not."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from swift_readability_ray.stages.multimodal import HAS_PIL, MediaFeatureExtractor
+
+    ex = MediaFeatureExtractor(decoder="real", feature_dim=8)
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            ex._decode(b"\x89PNG")
+        # the batch path degrades to decode_ok=False, never a failed batch
+        batch = pa.table(
+            {
+                "media_ref": pa.array(["m1"]),
+                "media_type": pa.array(["image"]),
+                "payload": pa.array([b"notanimage"], pa.binary()),
+                "width": pa.array([0], pa.int32()),
+                "height": pa.array([0], pa.int32()),
+            }
+        )
+        out = ex(batch)
+        assert out.column("decode_ok").to_pylist() == [False]
+    else:  # pragma: no cover - PIL absent in this container
+        from PIL import Image
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (128, 0, 0)).save(buf, format="PNG")
+        feat = ex._decode(buf.getvalue())
+        assert feat.shape == (8,)
+        assert np.all((0 <= feat) & (feat <= 1))

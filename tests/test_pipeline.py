@@ -153,6 +153,7 @@ def test_partition_metrics_checkpointed(ray_session, fixture_corpus_dir, tmp_pat
         assert r["docs_processed"] == r["row_count"]
         assert r["bytes_parsed"] > 0
         assert r["candidates_scored"] > 0
+        assert r["wall_seconds"] > 0  # real per-partition wall time (r2 #8)
 
     tbl = log.metrics_table()
     assert tbl.schema.equals(METRICS)
