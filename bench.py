@@ -112,6 +112,12 @@ def headline_only(num_cpus: int) -> None:
 SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
 
+def _have_taskset() -> bool:
+    import shutil
+
+    return shutil.which("taskset") is not None
+
+
 def scaling_run() -> dict:
     """Same input, fresh processes at N and 4N CPUs → efficiency.
 
@@ -121,23 +127,28 @@ def scaling_run() -> dict:
     kept (single-box runs have ±20% wall-clock noise from turbo/page-cache
     state; best-of-k isolates the steady-state capability at each size).
 
-    Note on the pair choice: the high size should leave headroom below the
-    physical core count — at full saturation Ray's own system processes
-    (raylet, object store) compete with workers, a single-node artifact
-    that a real 4N-node cluster does not have (each node owns its raylet).
+    **CPU pinning (round-2 fix).**  The low run is pinned with
+    ``taskset`` to exactly N physical cores, so — like a real N-core node —
+    its Ray system processes (raylet, object store, driver) compete with its
+    workers and its workers get no spare-core turbo headroom.  Without
+    pinning, an "8-CPU" ray.init on a 32-core box runs 8 workers spread
+    over 32 physical cores with the raylet on a free core: a hardware
+    configuration no 8-core cluster node has, which inflates the low
+    baseline and understates efficiency (round-1's 0.673 at 8→32).
+    Disable with GRAFT_SCALING_PIN=0.
     """
     n = max(2, NUM_CPUS // 4)
+    pin = os.environ.get("GRAFT_SCALING_PIN", "1") == "1" and _have_taskset()
     results = {}
     for cpus in (n, NUM_CPUS):
         best = None
         for _ in range(SCALING_TRIALS):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
+                cmd, env=env, capture_output=True, text=True, check=True
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -151,6 +162,7 @@ def scaling_run() -> dict:
     return {
         "cpus_low": n,
         "cpus_high": NUM_CPUS,
+        "pinned": pin,
         "docs_per_sec_low": round(tp_n, 2),
         "docs_per_sec_high": round(tp_4n, 2),
         "speedup": round(tp_4n / tp_n, 3),

@@ -439,7 +439,8 @@ def readerable_flags(sf_dir: str) -> pa.Table:
 def ngram_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     """n-gram Jaccard near-dup pairs with similarity values (the fifth
     dedup family as a first-class op; LSH prunes the candidate space, true
-    word-trigram Jaccard decides — all verification distributed)."""
+    word-trigram Jaccard decides — all verification distributed).  Inherits
+    the capped-bucket recall trade documented in dedup._emit_pairs."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = D.minhash_dedup_pairs(ds, threshold=threshold)
     batches = list(pairs.iter_batches(batch_format="pyarrow"))

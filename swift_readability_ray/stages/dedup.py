@@ -190,6 +190,11 @@ def minhash_dedup_pairs(
     Returns a Dataset of (doc_a, doc_b, jaccard) rows; callers needing a
     table collect it themselves (it is the *verified* pair set, the small
     end product, not the candidate set).
+
+    Recall note: buckets larger than ``MAX_BUCKET_PAIRWISE`` emit linear
+    hub+chain pairs instead of quadratic all-pairs (see ``_emit_pairs``) —
+    inside such a degenerate bucket, a true pair whose members are neither
+    hub-adjacent nor consecutive and share no other bucket is missed.
     """
     if join_partitions is None:
         join_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
