@@ -278,6 +278,29 @@ def oracle_sql() -> dict[str, str]:
               END AS quality
             FROM m ORDER BY doc_id
         """,
+        # the synthesized page is deterministic (40-word <p> chunks), so the
+        # isProbablyReaderable sqrt scoring is reconstructable in SQL — an
+        # end-to-end check of parse → visibility → node scoring, like
+        # extract_metadata
+        "readerable_flags": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS idx FROM toks),
+            paras AS (
+              SELECT doc_id, (idx - 1) // 40 AS para,
+                     sum(length(tok)) + count(*) AS chars  -- (n-1) spaces + '.'
+              FROM w GROUP BY doc_id, para),
+            scores AS (
+              SELECT doc_id,
+                     sum(CASE WHEN chars >= 140 THEN sqrt(chars - 140) ELSE 0 END) AS score
+              FROM paras GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   coalesce(s.score, 0) > 20 AS readerable
+            FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+            ORDER BY CAST(d.doc_id AS VARCHAR)
+        """,
         # exact all-pairs word-trigram Jaccard — also certifies the LSH
         # candidate generation has full recall on this corpus (a pair the
         # LSH missed would appear in the oracle and hash-mismatch)

