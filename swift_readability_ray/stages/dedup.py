@@ -197,7 +197,17 @@ def minhash_dedup_pairs(
     hub-adjacent nor consecutive and share no other bucket is missed.
     """
     if join_partitions is None:
-        join_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        # scale join partitions with the data, capped by cluster CPUs: each
+        # hash-join partition is an aggregator actor, and 32 actors for a
+        # 5k-row corpus is pure spin-up overhead (measured 3-9x slower than
+        # right-sizing); ~500k rows per partition holds worker memory flat
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            n_rows = ds.count()  # parquet-metadata cheap for plain reads
+        except Exception:
+            n_rows = None
+        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
+        join_partitions = max(2, min(n_cpus, sized))
     pairs = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True)
     sides = pairs.map_batches(
         _explode_pair_sides, batch_format="pyarrow", zero_copy_batch=True
@@ -369,7 +379,16 @@ def embedding_neardup_pairs(
     approximation instead.
     """
     if num_blocks is None:
-        num_blocks = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        # scale block count with data (~100k vectors per block keeps a block
+        # pair comfortably in worker memory), capped by cluster CPUs — B²/2
+        # pair tasks over a tiny table is pure scheduling overhead otherwise
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            n_rows = ds.count()
+        except Exception:
+            n_rows = None
+        sized = (n_rows // 100_000 + 2) if n_rows is not None else n_cpus
+        num_blocks = max(2, min(32, n_cpus, sized))
 
     def norm_block(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
