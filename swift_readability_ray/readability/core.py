@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from time import perf_counter as _now
 
 from .. import regexps as R
-from ..dom import Comment, Document, Element, Node, TextNode, parse
+from ..dom import Comment, Document, Element, Node, TextNode, clone_node, parse
 from ..functions.kernels import (
     get_inner_text,
     get_link_density,
@@ -474,7 +474,10 @@ class Extractor:
         if page is None:
             return None
 
-        page_cache_html = page.inner_html
+        # pristine copy for grab retries: a deep clone is semantically the
+        # serialize+reparse the algorithm used to do (both yield a clean,
+        # unscored tree) at ~1/4 the cost — no tokenizer pass per attempt
+        page_cache_nodes = [clone_node(c) for c in page.child_nodes]
 
         while True:
             _t_prep = _now()
@@ -795,7 +798,10 @@ class Extractor:
                 self._log(
                     "Article too short", text_length, "— retrying with relaxed flags",
                 )
-                page.set_inner_html(page_cache_html)
+                for c in list(page.child_nodes):
+                    page.remove_child(c)
+                for c in page_cache_nodes:
+                    page.append_child(clone_node(c))
                 self._attempts.append((article_content, text_length))
                 if self._flag_is_active(FLAG_STRIP_UNLIKELYS):
                     self._remove_flag(FLAG_STRIP_UNLIKELYS)
