@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_stats": TD.events_json_stats,
         # multimodal plumbing (stubbed decode, real Ray plumbing)
         "media_features": TD.media_features,
+        # training-data privacy + packing ops
+        "pii_scrub": TD.pii_scrub,
+        "doc_chunks": TD.doc_chunks,
     }
 
 
@@ -277,6 +280,37 @@ def oracle_sql() -> dict[str, str]:
                         + 0.3 * least(stop_ratio * 4.0, 1.0)) * 1000000 + 0.5) / 1000000
               END AS quality
             FROM m ORDER BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS after_email,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_emails,
+                   len(regexp_extract_all(after_email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   length(regexp_replace(after_email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_len
+            FROM s ORDER BY doc_id
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, n, unnest(range(0, (n + 127) // 128)) AS chunk_id
+              FROM t WHERE n > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(CASE WHEN (chunk_id + 1) * 128 <= n THEN 128
+                             ELSE n - chunk_id * 128 END AS BIGINT) AS n_tokens
+            FROM c ORDER BY doc_id, chunk_id
         """,
         # the synthesized page is deterministic (40-word <p> chunks), so the
         # isProbablyReaderable sqrt scoring is reconstructable in SQL — an

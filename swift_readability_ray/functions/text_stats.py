@@ -212,3 +212,24 @@ def simhash_band_keys(h: int, bands: int = 4) -> list[int]:
     width = 64 // bands
     mask = (1 << width) - 1
     return [((h >> (i * width)) & mask) | (i << 48) for i in range(bands)]
+
+
+# ----------------------------------------------------------- PII scrubbing
+
+# ASCII-pinned, RE2-compatible patterns so the DuckDB oracle computes
+# identical counts/redactions (same discipline as the token regexes above)
+PII_EMAIL = re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")
+PII_IPV4 = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+
+def pii_scrub(text: str) -> tuple[str, int, int]:
+    """Redact emails and IPv4 literals; returns (clean, n_emails, n_ips).
+
+    The canonical pre-training privacy pass: deterministic regex redaction
+    with per-doc counts so the pipeline can report aggregate leakage.
+    """
+    n_emails = len(PII_EMAIL.findall(text))
+    clean = PII_EMAIL.sub("<EMAIL>", text)
+    n_ips = len(PII_IPV4.findall(clean))
+    clean = PII_IPV4.sub("<IP>", clean)
+    return clean, n_emails, n_ips

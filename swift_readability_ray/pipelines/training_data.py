@@ -852,3 +852,68 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("media_ref")
+
+
+def pii_scrub(sf_dir: str) -> pa.Table:
+    """PII redaction pass: per-doc email/IPv4 counts + post-scrub length
+    (training-data privacy op; pure map_batches, no shuffle)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        out_e, out_i, out_len = [], [], []
+        for t in batch.column("text").to_pylist():
+            clean, n_e, n_i = T.pii_scrub(t or "")
+            out_e.append(n_e)
+            out_i.append(n_i)
+            out_len.append(len(clean))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_emails": pa.array(out_e, pa.int64()),
+                "n_ips": pa.array(out_i, pa.int64()),
+                "clean_len": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def doc_chunks(sf_dir: str, chunk_tokens: int = 128) -> pa.Table:
+    """Sequence packing layout: split each document's whitespace tokens into
+    fixed-size windows, one row per (doc, chunk) with its token count — the
+    chunking step every LLM training pipeline runs before tokenized packing.
+    Embarrassingly parallel (no shuffle); the chunk table is the join key
+    surface for downstream sharding."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_id, out_chunk, out_n = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = T.ws_token_count(t or "")
+            full, rem = divmod(n, chunk_tokens)
+            for c in range(full):
+                out_id.append(doc_id)
+                out_chunk.append(c)
+                out_n.append(chunk_tokens)
+            if rem:
+                out_id.append(doc_id)
+                out_chunk.append(full)
+                out_n.append(rem)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "chunk_id": pa.array(out_chunk, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])

@@ -129,3 +129,26 @@ def test_link_density():
     assert get_link_density(doc.body.first_element_child) == pytest.approx(0.15)
     doc = parse("<body><div></div></body>")
     assert get_link_density(doc.body.first_element_child) == 0.0
+
+
+def test_pii_scrub_kernel():
+    from swift_readability_ray.functions.text_stats import pii_scrub
+
+    clean, n_e, n_i = pii_scrub(
+        "Contact john.doe+x@example.co.uk or admin@test.io from 192.168.1.100 now"
+    )
+    assert n_e == 2 and n_i == 1
+    assert "<EMAIL>" in clean and "<IP>" in clean
+    assert "example.co.uk" not in clean and "192.168" not in clean
+
+    clean, n_e, n_i = pii_scrub("no pii here, just text 1.2 and 3.4")
+    assert (n_e, n_i) == (0, 0)
+    assert clean == "no pii here, just text 1.2 and 3.4"
+
+
+def test_doc_chunks_math():
+    from swift_readability_ray.functions.text_stats import ws_token_count
+
+    # 300 tokens -> chunks of 128/128/44
+    text = " ".join(f"w{i}" for i in range(300))
+    assert ws_token_count(text) == 300
