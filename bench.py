@@ -221,6 +221,55 @@ def scaling_run() -> dict:
     return out
 
 
+def dedup_stress() -> dict:
+    """Web-corpus dedup regime: a corpus where EVERY document belongs to a
+    near-duplicate group (the 30-50%-dup world the distributed verification
+    path exists for).  The verified-pair set is consumed distributed
+    (count), never collected; driver peak RSS is reported as evidence that
+    no candidate pairs or texts ever materialize on the driver.
+    """
+    import resource
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages.dedup import minhash_dedup_pairs
+
+    ray = _init_ray(NUM_CPUS)
+    variants = int(os.environ.get("GRAFT_STRESS_VARIANTS", "4"))
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, texts):
+            for k in range(variants):
+                out_i.append(int(i) * variants + k)
+                out_t.append((t or "") + (f" tail{k}" if k else ""))
+        return pa.table(
+            {"doc_id": pa.array(out_i, pa.int64()), "text": pa.array(out_t, pa.string())}
+        )
+
+    corpus = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5)
+    n_pairs = pairs.count()
+    secs = time.perf_counter() - t0
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    ray.shutdown()
+    return {
+        "docs": n_docs,
+        "dup_fraction": round(1 - 1 / variants, 3),
+        "verified_pairs": n_pairs,
+        "secs": round(secs, 2),
+        "docs_per_sec": round(n_docs / secs, 1),
+        "driver_peak_rss_mb": round(rss_mb, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
     """Mirror of the reference's SwiftReadabilityBench harness: mean ms per
     parse over the 130 Mozilla fixture pages (single thread, no Ray), plus
@@ -306,7 +355,13 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--fixtures", action="store_true")
+    parser.add_argument("--dedup-stress", action="store_true")
     args = parser.parse_args()
+
+    if args.dedup_stress:
+        print(json.dumps({"metric": "near-dup verification on an all-dup corpus",
+                          "unit": "docs/sec", **dedup_stress()}))
+        return
 
     if args.fixtures:
         print(json.dumps({"metric": "fixture-corpus parse latency (reference-harness mirror)",
