@@ -672,11 +672,18 @@ class _TreeBuilder(HTMLParser):
         elif tag in _TABLE_STRUCTURE:
             # snap the insertion point back to the nearest table context,
             # past any foster-parented elements still open
+            in_table = False
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t == "table" or t in _TABLE_CONTEXT or t in ("td", "th", "caption"):
                     del self.stack[i + 1:]
+                    in_table = True
                     break
+            if not in_table and not self.fragment:
+                # stray table-structure start tag with no open table: the
+                # HTML5 "in body" mode ignores the token (its content flows
+                # as ordinary body content)
+                return
         if (
             self.stack[-1].tag in _TABLE_CONTEXT
             and tag not in _TABLE_ALLOWED

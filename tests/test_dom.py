@@ -273,3 +273,17 @@ def test_hidden_input_stays_in_table():
     assert table.get_elements_by_tag_name("input")
     body = doc.get_elements_by_tag_name("body")[0]
     assert not [c for c in body.children if c.tag == "input"]
+
+
+def test_stray_table_structure_tags_ignored():
+    """HTML5 'in body': td/tr/tbody/caption start tags with no open table
+    are ignored — their content flows as ordinary body content."""
+    doc = _tree("<body><td>stray cell text</td><p>after</p></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert not doc.get_elements_by_tag_name("td")
+    assert "stray cell text" in body.text_content
+    # fragment mode keeps the old permissive behavior (cell fragments)
+    from swift_readability_ray.dom import parse_fragment
+
+    frag = parse_fragment("<td>x</td>")
+    assert frag and frag[0].tag == "td"

@@ -105,6 +105,12 @@ _HTML_BITS = st.sampled_from([
     "<h1>Head</h1>", "<span>", "</span>", "<b>", "словá ", "漢字テスト ",
     "<noscript><img src=n.png></noscript>", "<style>p{}</style>", "<<>>",
     "\x00", "<p attr='v\"w'>", "</bogus>", "<?pi?>", "<![CDATA[x]]>",
+    # tree-construction fixup fodder (round 2): misnested formatting,
+    # table fostering, stray table structure, nested/unclosed tables
+    "</b>", "<table>", "</table>", "<tr>", "<td>", "</td>", "</tr>",
+    "<tbody>", "<i>", "</i>", "<em>x<p>y</em>z</p>",
+    "<table>loose<td>cell", "<li>", "</li>", "<ul>", "</ul>",
+    '<input type="hidden">', "<caption>",
 ])
 
 
