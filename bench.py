@@ -328,13 +328,17 @@ def fixtures_run(iterations: int = 3, warmup: int = 1) -> dict:
     )
     import ray.data as rd
 
-    ds0 = rd.from_arrow(tbl).union(*[rd.from_arrow(tbl)] * 7)  # 8x corpus
+    # 8x corpus, repartitioned so every core gets work (a from_arrow union
+    # is 8 blocks = 8 parallel tasks; map_batches parallelism is per block)
+    blocks = 3 * NUM_CPUS
+    ds0 = rd.from_arrow(tbl).union(*[rd.from_arrow(tbl)] * 7).repartition(blocks)
     ds0.map_batches(extract_html_batch, batch_size=4,
                     batch_format="pyarrow").count()  # warm workers
     t0 = time.perf_counter()
     n = (
         rd.from_arrow(tbl)
         .union(*[rd.from_arrow(tbl)] * 7)
+        .repartition(blocks)
         .map_batches(extract_html_batch, batch_size=4, batch_format="pyarrow")
         .count()
     )

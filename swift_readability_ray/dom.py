@@ -32,6 +32,24 @@ except ImportError:  # pragma: no cover
 
     _STARTTAGOPEN = _re_stop.compile("<[a-zA-Z]")
 
+# Fast-path start-tag scanner: the common case (ASCII tag name, attributes
+# with quoted or simple unquoted values containing no entity refs, '<', or
+# '=') tokenizes in one regex match instead of stdlib parse_starttag's
+# per-attribute machinery.  Char classes are strictly narrower than
+# stdlib's tolerant ones, so any input the fast regex matches is parsed
+# IDENTICALLY by stdlib (no '&' → unescape is identity); everything else
+# falls back to stdlib verbatim.  tests/test_dom.py's differential suite
+# (fixtures + fuzz vs the stdlib-driven parse) guards the equivalence.
+_FAST_VALUE = r'"[^"&<]*"|\'[^\'&<]*\'|[\-a-zA-Z0-9_./:%+;,#~?!]+'
+_FAST_STARTTAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][\-a-zA-Z0-9_:.]*(?:\s*=\s*(?:" + _FAST_VALUE + r"))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"\s+([a-zA-Z_:][\-a-zA-Z0-9_:.]*)(?:\s*=\s*(" + _FAST_VALUE + r"))?"
+)
+
 # ---------------------------------------------------------------------------
 # Tag categories (HTML5)
 # ---------------------------------------------------------------------------
@@ -818,9 +836,12 @@ class _TreeBuilder(HTMLParser):
         n = len(data)
         i = 0
         handle_data = self.handle_data
+        handle_starttag = self.handle_starttag
         startswith = data.startswith
         find = data.find
         starttag_match = _STARTTAGOPEN.match
+        fast_start = _FAST_STARTTAG.match
+        fast_attrs = _FAST_ATTR.finditer
         while i < n:
             if self.cdata_elem is None:
                 j = find("<", i)
@@ -843,6 +864,30 @@ class _TreeBuilder(HTMLParser):
                     handle_data(data[i:j])
                 i = j
             # at '<'
+            m = fast_start(data, i)
+            if m is not None:
+                # fast path for plain start tags (ASCII name, quoted/simple
+                # values with no entity refs): same decisions stdlib
+                # parse_starttag would make, without its per-attribute regex
+                # machinery; anything unusual falls through to stdlib below.
+                # Equivalence is guarded by the differential tests.
+                tag = m.group(1).lower()
+                attrs = []
+                raw_attrs = m.group(2)
+                if raw_attrs:
+                    for am in fast_attrs(raw_attrs):
+                        v = am.group(2)
+                        if v is not None and (v[0] == '"' or v[0] == "'"):
+                            v = v[1:-1]
+                        attrs.append((am.group(1).lower(), v))
+                if m.group(3):  # '/>' XHTML-style empty tag
+                    self.handle_startendtag(tag, attrs)
+                else:
+                    handle_starttag(tag, attrs)
+                    if tag in RAW_TEXT_ELEMENTS:
+                        self.set_cdata_mode(tag)
+                i = m.end()
+                continue
             if starttag_match(data, i):
                 k = self.parse_starttag(i)
             elif startswith("</", i):
