@@ -49,6 +49,10 @@ _FAST_STARTTAG = re.compile(
 _FAST_ATTR = re.compile(
     r"\s+([a-zA-Z_:][\-a-zA-Z0-9_:.]*)(?:\s*=\s*(" + _FAST_VALUE + r"))?"
 )
+# simple end tags: stdlib parse_endtag reaches handle_endtag(name.lower())
+# for exactly this shape; anything else (attributes, '<', bare '</>')
+# falls back to stdlib
+_FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 
 # ---------------------------------------------------------------------------
 # Tag categories (HTML5)
@@ -842,6 +846,7 @@ class _TreeBuilder(HTMLParser):
         starttag_match = _STARTTAGOPEN.match
         fast_start = _FAST_STARTTAG.match
         fast_attrs = _FAST_ATTR.finditer
+        fast_end = _FAST_ENDTAG.match
         while i < n:
             if self.cdata_elem is None:
                 j = find("<", i)
@@ -891,6 +896,14 @@ class _TreeBuilder(HTMLParser):
             if starttag_match(data, i):
                 k = self.parse_starttag(i)
             elif startswith("</", i):
+                # fast path only outside raw-text mode: stdlib parse_endtag
+                # also clears cdata mode / re-checks the cdata elem there
+                if self.cdata_elem is None:
+                    em = fast_end(data, i)
+                    if em is not None:
+                        self.handle_endtag(em.group(1).lower())
+                        i = em.end()
+                        continue
                 k = self.parse_endtag(i)
             elif startswith("<!--", i):
                 k = self.parse_comment(i)
