@@ -360,7 +360,24 @@ def main() -> None:
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--fixtures", action="store_true")
     parser.add_argument("--dedup-stress", action="store_true")
+    parser.add_argument("--headline-stats", action="store_true",
+                        help="print ds.stats() for the headline pipeline")
     args = parser.parse_args()
+
+    if args.headline_stats:
+        # the iterate-on-stats discipline: per-stage wall/cpu breakdown of
+        # the headline extraction so regressions show up as stage numbers
+        from swift_readability_ray.pipelines.training_data import extract_spans_repeated
+
+        ray = _init_ray(NUM_CPUS)
+        ds = extract_spans_repeated(SF_DIR, repeat=8)
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows  # consume the dataset itself so stats attach
+        print(f"rows: {n}")
+        print(ds.stats())
+        ray.shutdown()
+        return
 
     if args.dedup_stress:
         print(json.dumps({"metric": "near-dup verification on an all-dup corpus",

@@ -129,6 +129,12 @@ def extraction_dataset(
     # small-batch pool so they can't straggle an average batch.  Both pools
     # MUST autoscale from 1 actor: two fixed-size pools can reserve every
     # CPU and deadlock the read/write tasks on a small cluster.
+    # Trade-off: the two filter branches each re-execute the (column-pruned)
+    # read + cheap size tagging — Ray re-runs lineage per consumer.  When
+    # the double read matters (very large inputs), run the resumable path
+    # instead: its staging pass materializes hash partitions once and every
+    # later read is from staged files; or pass skew_threshold_bytes=None
+    # and rely on per-task isolation alone.
     if pool == "actors" and isinstance(kwargs.get("concurrency"), int):
         kwargs["concurrency"] = (1, kwargs["concurrency"])
     sized = ds.map_batches(_span_bytes, batch_format="pyarrow", zero_copy_batch=True)
