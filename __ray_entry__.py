@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data privacy + packing ops
         "pii_scrub": TD.pii_scrub,
         "doc_chunks": TD.doc_chunks,
+        # PDF/layout parse (north rule) — real pure-Python content-stream
+        # scanner over synthesized-from-text PDFs, SQL-oracled end-to-end
+        "pdf_extract": TD.pdf_extract,
     }
 
 
@@ -280,6 +283,27 @@ def oracle_sql() -> dict[str, str]:
                         + 0.3 * least(stop_ratio * 4.0, 1.0)) * 1000000 + 0.5) / 1000000
               END AS quality
             FROM m ORDER BY doc_id
+        """,
+        # pdf_extract synthesizes one 40-word-paragraph text object per
+        # block, so block/char counts are exactly reconstructable from text
+        "pdf_extract": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS idx FROM toks),
+            paras AS (
+              SELECT doc_id, (idx - 1) // 40 AS para,
+                     sum(length(tok)) + count(*) - 1 AS chars  -- (n-1) joiner spaces
+              FROM w GROUP BY doc_id, para),
+            agg AS (
+              SELECT doc_id, count(*) AS n_blocks, sum(chars) AS n_chars
+              FROM paras GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(a.n_blocks, 1) AS INTEGER) AS n_blocks,
+                   CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY CAST(d.doc_id AS BIGINT)
         """,
         "pii_scrub": r"""
             WITH s AS (

@@ -917,3 +917,42 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 128) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+def pdf_extract(sf_dir: str) -> pa.Table:
+    """PDF/layout parse end-to-end: each document's text is rendered into a
+    real (minimal) PDF — 40-word paragraphs, one text object each, Flate
+    compression alternating by doc — and parsed back through the
+    content-stream scanner into layout blocks.  SQL-oracled: the synthesis
+    is deterministic, so block and char counts are reconstructable from the
+    raw text (like extract_metadata / readerable_flags, this certifies the
+    whole parse path per document)."""
+    from ..functions.pdf import make_simple_pdf
+    from ..stages.pdf_layout import PdfLayoutParser
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            words = (t or "").split()
+            paras = [" ".join(words[j : j + 40]) for j in range(0, len(words), 40)] or [""]
+            payloads.append(make_simple_pdf(paras, compress=bool(int(i) % 2)))
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pdfs = ds.map_batches(to_pdf, batch_format="pyarrow", zero_copy_batch=True)
+    out = pdfs.map_batches(
+        PdfLayoutParser,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,  # binary payloads are fat
+        concurrency=(1, max(2, n_cpus)),
+    )
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(["doc_id", "n_blocks", "n_chars"]).sort_by("doc_id")

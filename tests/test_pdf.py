@@ -1,0 +1,87 @@
+"""PDF/layout parse: writer round-trip, escapes, compression, reading
+order, image media blocks, and per-row error isolation in the Ray stage."""
+
+import pyarrow as pa
+import pytest
+
+from swift_readability_ray.functions.pdf import (
+    extract_pdf_blocks,
+    make_simple_pdf,
+    pdf_to_spans,
+)
+
+
+def test_roundtrip_plain_and_compressed():
+    paras = ["First paragraph with words.", "Second (with parens) and \\ slash.",
+             "Third: umlauts äöü survive latin-1."]
+    for compress in (False, True):
+        pdf = make_simple_pdf(paras, page_paras=2, compress=compress)
+        assert pdf.startswith(b"%PDF-1.4")
+        blocks = extract_pdf_blocks(pdf)
+        texts = [b["text"] for b in blocks if b["kind"] == "text"]
+        assert texts == paras, compress
+        assert max(b["page"] for b in blocks) == 1  # 2 paras/page -> 2 pages
+
+
+def test_string_escapes_decoded():
+    pdf = (b"1 0 obj << /Length 60 >> stream\n"
+           b"BT 36 700 Td (line\\none\\ttab \\(x\\) \\\\ \\101) Tj ET\n"
+           b"endstream\n")
+    blocks = extract_pdf_blocks(pdf)
+    assert blocks[0]["text"] == "line\none\ttab (x) \\ A"  # \101 is octal 'A'
+
+
+def test_reading_order_resorts_content():
+    pdf = (b"1 0 obj << /Length 90 >> stream\n"
+           b"BT 36 100 Td (bottom) Tj ET\n"
+           b"BT 36 700 Td (top) Tj ET\n"
+           b"BT 200 700 Td (right) Tj ET\n"
+           b"endstream\n")
+    assert [b["text"] for b in extract_pdf_blocks(pdf)] == ["top", "right", "bottom"]
+
+
+def test_tj_array_concatenates():
+    pdf = (b"1 0 obj << /Length 60 >> stream\n"
+           b"BT 36 700 Td [ (Hel) -20 (lo ) 5 (world) ] TJ ET\n"
+           b"endstream\n")
+    assert extract_pdf_blocks(pdf)[0]["text"] == "Hello world"
+
+
+def test_image_xobject_becomes_media_span():
+    pdf = (b"1 0 obj << /Subtype /Image /Length 3 >> stream\n"
+           b"\x00\x01\x02endstream\n"
+           b"2 0 obj << /Length 40 >> stream\n"
+           b"BT 36 700 Td (text) Tj ET\nendstream\n")
+    spans = pdf_to_spans(pdf)
+    kinds = [(s["kind"], s["media_ref"]) for s in spans]
+    assert ("media", "pdf:img1") in kinds
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_empty_and_garbage_inputs():
+    assert extract_pdf_blocks(b"") == []
+    assert extract_pdf_blocks(b"not a pdf at all") == []
+    # corrupt flate stream is skipped, not fatal
+    bad = b"1 0 obj << /Filter /FlateDecode /Length 5 >> stream\nXXXXXendstream\n"
+    assert extract_pdf_blocks(bad) == []
+
+
+def test_stage_error_isolation(ray_session):
+    import ray.data as rd
+
+    from swift_readability_ray.stages.pdf_layout import PdfLayoutParser
+
+    good = make_simple_pdf(["alpha beta"], compress=True)
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "payload": pa.array([good, None], pa.binary())}
+    )
+    out = pa.concat_tables(list(
+        rd.from_arrow(tbl)
+        .map_batches(PdfLayoutParser, batch_format="pyarrow", concurrency=(1, 2), batch_size=2)
+        .iter_batches(batch_format="pyarrow")
+    )).sort_by("doc_id")
+    rows = out.to_pylist()
+    assert rows[0]["n_blocks"] == 1 and rows[0]["error"] is None
+    assert rows[0]["spans"][0]["text"] == "alpha beta"
+    assert rows[1]["n_blocks"] == 0 and rows[1]["error"] is None  # empty, not a crash
