@@ -109,16 +109,25 @@ def make_simple_pdf(
 
 # ----------------------------------------------------------------- reader
 
-_STREAM_RE = re.compile(rb"(<<.*?>>)\s*stream\r?\n(.*?)endstream", re.S)
-_BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-_OP_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"          # (string) Tj
-    rb"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ"       # [ (s) kern (s) ] TJ
-    rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+(?:Td|TD)" # x y Td/TD
-    rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm",
+# dict head must not span other objects: no bare '<'/'>' except one level
+# of nested <<...>> (Resources etc.)
+_STREAM_RE = re.compile(
+    rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n(.*?)endstream", re.S
+)
+# one string-literal token with escapes and one level of balanced parens
+_PDF_STR = rb"\(((?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*)\)"
+# content-stream tokenizer: strings are consumed as whole tokens FIRST, so
+# operator names occurring inside shown text (…BUDGET…, "(ET)") can never
+# be mistaken for the ET / Tj operators — the bug class a naive
+# BT(.*?)ET regex has
+_CONTENT_TOKEN = re.compile(
+    _PDF_STR                                    # 1: string literal
+    + rb"|(-?[\d.]+)"                           # 2: numeric operand
+    + rb"|(BT|ET|Tj|TJ|Td|TD|Tm)(?![A-Za-z])"  # 3: operators we track
+    + rb"|/[^\s/<>\[\]()]*"                     # name object (skipped)
+    + rb"|<[0-9A-Fa-f\s]*>",                    # hex string (skipped)
     re.S,
 )
-_TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image")
 
@@ -182,33 +191,54 @@ def extract_pdf_blocks(payload: bytes) -> list[dict]:
         if b"BT" not in data:
             continue
         page += 1
-        for bt in _BT_RE.finditer(data):
-            x = y = 0.0
-            texts: list[str] = []
-            bx = by = 0.0
-            for op in _OP_RE.finditer(bt.group(1)):
-                if op.group(1) is not None:  # Tj
-                    if not texts:
-                        bx, by = x, y
-                    texts.append(_decode_pdf_string(op.group(1)))
-                elif op.group(2) is not None:  # TJ array
-                    if not texts:
-                        bx, by = x, y
-                    texts.append(
-                        "".join(_decode_pdf_string(s.group(1))
-                                for s in _TJ_STR_RE.finditer(op.group(2)))
+        # single-pass token scan with string-aware tokenization
+        in_text = False
+        nums: list[float] = []
+        strs: list[bytes] = []
+        texts: list[str] = []
+        x = y = bx = by = 0.0
+        for tok in _CONTENT_TOKEN.finditer(data):
+            if tok.group(1) is not None:  # string literal
+                strs.append(tok.group(1))
+                continue
+            if tok.group(2) is not None:  # number
+                try:
+                    nums.append(float(tok.group(2)))
+                except ValueError:
+                    pass
+                continue
+            op = tok.group(3)
+            if op is None:  # name / hex string: operand we don't use
+                continue
+            if op == b"BT":
+                in_text = True
+                texts = []
+                x = y = bx = by = 0.0
+            elif op == b"ET":
+                if in_text and texts:
+                    blocks.append(
+                        {"kind": "text", "text": "\n".join(texts),
+                         "media_ref": "", "page": page, "x": bx, "y": by}
                     )
-                elif op.group(3) is not None:  # Td/TD (relative move)
-                    x += float(op.group(3))
-                    y += float(op.group(4))
-                else:  # Tm (absolute matrix: e, f are tx, ty)
-                    x = float(op.group(9))
-                    y = float(op.group(10))
-            if texts:
-                blocks.append(
-                    {"kind": "text", "text": "\n".join(texts), "media_ref": "",
-                     "page": page, "x": bx, "y": by}
-                )
+                in_text = False
+            elif in_text and op == b"Tj":
+                if strs:
+                    if not texts:
+                        bx, by = x, y
+                    texts.append(_decode_pdf_string(strs[-1]))
+            elif in_text and op == b"TJ":
+                if strs:
+                    if not texts:
+                        bx, by = x, y
+                    texts.append("".join(_decode_pdf_string(s) for s in strs))
+            elif in_text and op in (b"Td", b"TD") and len(nums) >= 2:
+                x += nums[-2]
+                y += nums[-1]
+            elif in_text and op == b"Tm" and len(nums) >= 6:
+                x = nums[-2]
+                y = nums[-1]
+            nums = []
+            strs = []
     blocks.sort(key=lambda b: (b["page"], -b["y"], b["x"]))
     return blocks
 

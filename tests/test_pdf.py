@@ -85,3 +85,21 @@ def test_stage_error_isolation(ray_session):
     assert rows[0]["n_blocks"] == 1 and rows[0]["error"] is None
     assert rows[0]["spans"][0]["text"] == "alpha beta"
     assert rows[1]["n_blocks"] == 0 and rows[1]["error"] is None  # empty, not a crash
+
+
+def test_operator_names_inside_text_do_not_truncate():
+    """'ET'/'BT'/'Tj' as substrings of shown text (BUDGET, ROBOT...) must
+    not be mistaken for operators — the tokenizer consumes strings first."""
+    pdf = (b"1 0 obj << /Length 120 >> stream\n"
+           b"BT 36 700 Td (BUDGET REPORT) Tj ET\n"
+           b"BT 36 660 Td (ROBOT BT ET Tj TJ inside) Tj ET\n"
+           b"endstream\n")
+    texts = [b["text"] for b in extract_pdf_blocks(pdf)]
+    assert texts == ["BUDGET REPORT", "ROBOT BT ET Tj TJ inside"]
+
+
+def test_balanced_parens_in_string():
+    pdf = (b"1 0 obj << /Length 60 >> stream\n"
+           b"BT 36 700 Td (outer (nested) tail) Tj ET\n"
+           b"endstream\n")
+    assert extract_pdf_blocks(pdf)[0]["text"] == "outer (nested) tail"
