@@ -254,7 +254,13 @@ def dedup_stress() -> dict:
     corpus = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
     n_docs = corpus.count()
     t0 = time.perf_counter()
-    pairs = minhash_dedup_pairs(corpus, threshold=0.5)
+    # transformed datasets have no free metadata count, so the library
+    # defaults to cluster-width join partitions (right at scale); the bench
+    # knows its corpus size and sizes the join accordingly
+    pairs = minhash_dedup_pairs(
+        corpus, threshold=0.5,
+        join_partitions=max(2, n_docs // 500_000 + 1),
+    )
     n_pairs = pairs.count()
     secs = time.perf_counter() - t0
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024

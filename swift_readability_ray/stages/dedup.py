@@ -28,6 +28,19 @@ import ray.data
 from ..functions import text_stats as T
 
 
+def _metadata_row_count(ds: ray.data.Dataset) -> int | None:
+    """Row count from datasource metadata only (parquet footers), or None.
+
+    ``Dataset.count()`` EXECUTES transformed datasets — a full extra pass at
+    100 TB — so parallelism sizing must never call it; this returns None
+    for anything the metadata can't answer and callers fall back to a
+    CPU-count heuristic."""
+    try:
+        return ds._meta_count()  # private but stable; guarded for upgrades
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -202,10 +215,7 @@ def minhash_dedup_pairs(
         # 5k-row corpus is pure spin-up overhead (measured 3-9x slower than
         # right-sizing); ~500k rows per partition holds worker memory flat
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        try:
-            n_rows = ds.count()  # parquet-metadata cheap for plain reads
-        except Exception:
-            n_rows = None
+        n_rows = _metadata_row_count(ds)  # free, or None — NEVER an extra pass
         sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
         join_partitions = max(2, min(n_cpus, sized))
     pairs = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True)
@@ -383,10 +393,7 @@ def embedding_neardup_pairs(
         # pair comfortably in worker memory), capped by cluster CPUs — B²/2
         # pair tasks over a tiny table is pure scheduling overhead otherwise
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        try:
-            n_rows = ds.count()
-        except Exception:
-            n_rows = None
+        n_rows = _metadata_row_count(ds)
         sized = (n_rows // 100_000 + 2) if n_rows is not None else n_cpus
         num_blocks = max(2, min(32, n_cpus, sized))
 
