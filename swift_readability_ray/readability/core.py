@@ -64,6 +64,11 @@ class ExtractOptions:
     regex_overrides: tuple[tuple[str, str], ...] = ()
     # verbose per-phase logging (reference: Models.swift:13 `debug`)
     debug: bool = False
+    # isProbablyReaderable thresholds (reference ReaderableOptions,
+    # Readability.swift:210-222) — plumbed so pipeline stages can tune the
+    # readerable gate without a custom checker
+    readerable_min_content_length: int = 140
+    readerable_min_score: float = 20.0
 
 
 _logger = logging.getLogger("swift_readability_ray.readability")
@@ -1281,7 +1286,11 @@ class Extractor:
 
         # readerable heuristic (non-destructive; computed before any mutation)
         t0 = _now()
-        readerable = is_probably_readerable(doc)
+        readerable = is_probably_readerable(
+            doc,
+            min_content_length=self.opts.readerable_min_content_length,
+            min_score=self.opts.readerable_min_score,
+        )
         self._tick("readerable", t0)
 
         # base URI from <base href>, resolved against the document URI

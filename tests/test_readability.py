@@ -464,3 +464,12 @@ def test_xml_serializer_boolean_attr_forms():
     content = out["content"]
     assert 'itemscope="itemscope"' in content  # explicit form promoted/kept
     assert 'itemscope=""' in content  # bare boolean stays empty-valued
+
+
+def test_readerable_thresholds_plumbed_through_options():
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = _page("")
+    assert extract(html, "http://x/")["readerable"] is True
+    strict = ExtractOptions(readerable_min_score=10_000.0)
+    assert extract(html, "http://x/", options=strict)["readerable"] is False
