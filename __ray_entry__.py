@@ -387,6 +387,43 @@ def oracle_sql() -> dict[str, str]:
                    round(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
         """,
+        # SimHash all-pairs mirror: token hash is md5-first-8-bytes on BOTH
+        # sides (bit-identical signatures verified), and 4-band pigeonhole
+        # search is EXACT for hamming <= 3 — so the banded pipeline must
+        # reproduce the quadratic oracle's pair set precisely
+        "simhash_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                                    x -> lower(x)) AS ts
+              FROM documents),
+            tc AS (
+              SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+            h AS (
+              SELECT doc_id, cnt,
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+              FROM tc),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                              ELSE CAST(0 AS UBIGINT) END) AS sim
+              FROM bits GROUP BY doc_id),
+            allsig AS (
+              SELECT d.doc_id, coalesce(s.sim, CAST(0 AS UBIGINT)) AS sim
+              FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
         "minhash_dedup": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -182,13 +182,19 @@ def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens weighted by frequency."""
+    """64-bit SimHash over whitespace tokens weighted by frequency.
+
+    Token hash = first 8 bytes of md5 — chosen so the DuckDB oracle can
+    compute bit-identical signatures (``substr(md5(tok), 1, 16)`` as
+    uint64); with 4 bands the pigeonhole guarantee makes the banded pair
+    search EXACT for hamming ≤ 3, so an all-pairs SQL mirror is sound.
+    """
     tokens = [t.lower() for t in _WS_SPLIT.split(text.strip()) if t]
     if not tokens:
         return 0
     uniq, counts = np.unique(np.array(tokens), return_counts=True)
     hashes = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") for t in uniq),
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in uniq),
         dtype=np.uint64,
         count=len(uniq),
     )
