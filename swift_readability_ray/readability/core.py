@@ -1257,19 +1257,28 @@ class Extractor:
             child = child.next_element_sibling
 
     # ================================================================= parse
-    def parse(self, html: str, url: str = "about:blank") -> dict | None:
+    def parse(self, html: str, url: str = "about:blank",
+              serializer=None) -> dict | None:
         """Run the full extraction pipeline over one HTML document string.
 
         Returns a flat result dict (SURVEY.md §1.1 output table) or None when
         no article could be extracted.  Raises MaxElemsExceeded if the
         document exceeds ``max_elems_to_parse``.
+
+        ``serializer`` is the reference's closure overload
+        (``parse(serializer:)``, Readability.swift:177-194): a callable
+        ``(Element) -> str`` applied to the article element for the
+        ``content`` field, overriding the named ``options.serializer`` mode.
+        Process-local API — distributed stages use the named modes, which
+        broadcast as frozen config.
         """
         t0 = _now()
         doc = parse(html, url)
         self._tick("parseDocument", t0)
-        return self.parse_document(doc, url)
+        return self.parse_document(doc, url, serializer=serializer)
 
-    def parse_document(self, doc: Document, url: str = "about:blank") -> dict | None:
+    def parse_document(self, doc: Document, url: str = "about:blank",
+                       serializer=None) -> dict | None:
         """Live-document pipeline (reference entry point 2, SURVEY.md §3.2 /
         Readability.swift:81-85): operates DESTRUCTIVELY on the caller's
         Document — no reparse; the tree is mutated in place exactly as the
@@ -1332,13 +1341,17 @@ class Extractor:
 
         t0 = _now()
         text_content = article_content.text_content
-        result_content = (
-            article_content.inner_html
-            if self.opts.serializer == "html"
-            else article_content.inner_xml()
-            if self.opts.serializer == "xml"
-            else text_content
-        )
+        if serializer is not None:
+            # closure overload (Readability.swift:177-194 parse(serializer:))
+            result_content = serializer(article_content)
+        else:
+            result_content = (
+                article_content.inner_html
+                if self.opts.serializer == "html"
+                else article_content.inner_xml()
+                if self.opts.serializer == "xml"
+                else text_content
+            )
         self._tick("serialize", t0)
         return {
             "title": self._article_title,

@@ -473,3 +473,16 @@ def test_readerable_thresholds_plumbed_through_options():
     assert extract(html, "http://x/")["readerable"] is True
     strict = ExtractOptions(readerable_min_score=10_000.0)
     assert extract(html, "http://x/", options=strict)["readerable"] is False
+
+
+def test_custom_serializer_closure():
+    """parse(serializer:) overload — a callable receives the article element
+    and its return value becomes the content field."""
+    from swift_readability_ray import Extractor
+
+    html = _page("")
+    r = Extractor().parse(html, "http://x/", serializer=lambda el: f"<custom>{el.tag}</custom>")
+    assert r["content"] == "<custom>div</custom>"
+    # named modes unaffected
+    r2 = Extractor().parse(html, "http://x/")
+    assert r2["content"].startswith("<div")
