@@ -960,3 +960,17 @@ def pdf_extract(sf_dir: str) -> pa.Table:
     )
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id", "n_blocks", "n_chars"]).sort_by("doc_id")
+
+
+def minhash_dedup_docs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Corpus-level near-dedup: the doc_ids KEPT after collapsing every
+    near-duplicate cluster (connected component of the verified pair graph)
+    to its min-doc_id representative — pairs are an analysis artifact, this
+    is the operation a training-data pipeline actually runs.  Label
+    propagation and the final anti-join are fully distributed."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    kept = D.near_dedup_keep_first(ds, threshold=threshold)
+    batches = list(kept.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).select(["doc_id"]).sort_by("doc_id")

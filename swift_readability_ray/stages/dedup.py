@@ -272,6 +272,96 @@ def minhash_dedup_pairs(
     return joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow")
 
 
+def near_dedup_keep_first(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    max_rounds: int = 15,
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-level near-dedup: keep the min-doc_id representative of every
+    near-duplicate CLUSTER (connected component of the verified pair graph),
+    plus every unpaired document.
+
+    The component labels are computed by distributed min-label propagation:
+    labels only ever decrease, so the global label sum is a monotone
+    convergence witness — iteration stops when it stops changing (or at
+    ``max_rounds``; hub+chain pair emission keeps cluster diameters small).
+    Each round is edges ⋈ labels + a groupby-min, all Datasets; the final
+    filter is a distributed left-anti join, so neither the corpus nor the
+    cluster map ever materializes on the driver.
+    """
+    if join_partitions is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_rows = _metadata_row_count(ds)
+        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
+        join_partitions = max(2, min(n_cpus, sized))
+
+    pairs = minhash_dedup_pairs(
+        ds, threshold, num_perm, bands, text_col, join_partitions=join_partitions
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").combine_chunks()
+        b = batch.column("doc_b").combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round — avoid re-running LSH per round
+
+    def min_label(group: pa.Table) -> pa.Table:
+        u = group.column("u")[0].as_py()
+        lbl = min(u, pc.min(group.column("label")).as_py())
+        t = group.schema.field("u").type
+        return pa.table({"u": pa.array([u], t), "label": pa.array([lbl], t)})
+
+    # round 0: label(u) = min(u, neighbors)
+    init = edges.map_batches(
+        lambda b: pa.table({"u": b.column("u"), "label": b.column("v")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    labels = init.groupby("u").map_groups(min_label, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    def label_sum(lbls: ray.data.Dataset) -> int:
+        out = lbls.aggregate(Sum("label"))
+        return int(out["sum(label)"] or 0)
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        # candidate labels via neighbors: edge (u,v) contributes label(v)
+        cand = edges.join(
+            labels, join_type="inner", num_partitions=join_partitions,
+            on=("v",), right_on=("u",), right_suffix="_r",
+        ).map_batches(
+            lambda b: pa.table({"u": b.column("u"), "label": b.column("label")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        labels = (
+            cand.union(labels)
+            .groupby("u")
+            .map_groups(min_label, batch_format="pyarrow")
+            .materialize()
+        )
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:  # monotone decreasing → fixpoint
+            break
+        prev_sum = new_sum
+
+    # non-representatives: paired docs whose component min is someone else
+    drops = labels.filter(expr="label < u").map_batches(
+        lambda b: pa.table({"doc_id": b.column("u")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.join(
+        drops, join_type="left_anti", num_partitions=join_partitions, on=("doc_id",)
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -291,3 +291,29 @@ def test_dedup_verification_is_distributed(ray_session, monkeypatch):
     sh = D.simhash_dedup_pairs(ds, max_hamming=3)
     tbl2 = pa.concat_tables(list(sh.iter_batches(batch_format="pyarrow")))
     assert tbl2.num_rows >= 1  # identical-modulo-one-token docs collide
+
+
+def test_near_dedup_keep_first_clusters(ray_session):
+    """Connected components, not just pairs: a chain a~b~c collapses to one
+    representative even when (a,c) was never a direct candidate pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages import dedup as D
+
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        {"doc_id": 10, "text": base},                      # cluster {10,11,12}
+        {"doc_id": 11, "text": base + " x"},
+        {"doc_id": 12, "text": base + " x y"},
+        {"doc_id": 20, "text": " ".join(f"q{i}" for i in range(60))},  # unpaired
+        {"doc_id": 30, "text": ""},                        # empty pair cluster
+        {"doc_id": 31, "text": ""},
+    ]
+    ds = rd.from_items(docs)
+    kept = D.near_dedup_keep_first(ds, threshold=0.5, join_partitions=2)
+    ids = sorted(
+        pa.concat_tables(list(kept.iter_batches(batch_format="pyarrow")))
+        .column("doc_id").to_pylist()
+    )
+    assert ids == [10, 20, 30]
