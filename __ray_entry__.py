@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": TD.minhash_dedup_docs,
         "simhash_dedup": TD.simhash_dedup,
         "embedding_neardup": TD.embedding_neardup,
+        "embedding_neardup_lsh": TD.embedding_neardup_lsh_query,
         # similarity search
         "knn_bruteforce": TD.knn_bruteforce_query,
         "ivf_topk": TD.ivf_topk_query,
@@ -117,6 +118,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+            ORDER BY id_a, id_b
+        """,
+        # LSH path over the augmented (planted near-copy) embedding set;
+        # exact all-pairs mirror — sound because planted pairs are far above
+        # the recall knee and candidates are exact-verified
+        "embedding_neardup_lsh": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     [embedding[1] + 0.1] || embedding[2:]
+              FROM embeddings WHERE vec_id < 100)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM aug a, aug b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY id_a, id_b
         """,
         "knn_bruteforce": """

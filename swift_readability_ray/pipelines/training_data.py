@@ -974,3 +974,40 @@ def minhash_dedup_docs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     return pa.concat_tables(batches).select(["doc_id"]).sort_by("doc_id")
+
+
+def _augment_embeddings(batch: pa.Table) -> pa.Table:
+    """Original vectors + a planted near-copy (id+100000, first component
+    +0.1) for vec_id < 100 — deterministic near-dup pairs for the LSH path,
+    reproducible in SQL for the oracle."""
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    sel = ids < 100
+    planted = mat[sel].copy()
+    if len(planted):
+        planted[:, 0] += 0.1
+    out_ids = np.concatenate([ids, ids[sel] + 100000])
+    out_mat = np.concatenate([mat, planted]) if len(planted) else mat
+    return pa.table(
+        {"vec_id": pa.array(out_ids, pa.int64()),
+         "embedding": pa.array([row.tolist() for row in out_mat],
+                               pa.list_(pa.float64()))}
+    )
+
+
+def embedding_neardup_lsh_query(sf_dir: str, threshold: float = 0.9) -> pa.Table:
+    """LSH-bucketed cosine near-dup (the 100 TB path) over the embeddings
+    table augmented with planted near-copies; exact-verified candidates, so
+    the DuckDB all-pairs oracle must match exactly (planted pairs sit at
+    cosine ≈0.999 where 16-band recall is ≈1)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    aug = ds.map_batches(_augment_embeddings, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = D.embedding_neardup_lsh(aug, threshold=threshold, join_partitions=2)
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )

@@ -317,3 +317,31 @@ def test_near_dedup_keep_first_clusters(ray_session):
         .column("doc_id").to_pylist()
     )
     assert ids == [10, 20, 30]
+
+
+def test_embedding_lsh_neardup_planted_pairs(ray_session):
+    """LSH sketch path finds planted near-identical vectors with exact
+    verification and no false positives among random vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages import dedup as D
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 32).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:10].copy()
+    near[:, 0] += 0.05  # cosine ~0.9988
+    ids = list(range(40)) + [1000 + i for i in range(10)]
+    mat = np.concatenate([base, near])
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))}
+    ))
+    pairs = D.embedding_neardup_lsh(ds, threshold=0.95, join_partitions=2)
+    tbl = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")))
+    found = set(zip(tbl.column("id_a").to_pylist(), tbl.column("id_b").to_pylist()))
+    assert found == {(i, 1000 + i) for i in range(10)}
+    # verified cosines are real dot products, not sketch estimates
+    assert all(c >= 0.95 for c in tbl.column("cosine").to_pylist())
