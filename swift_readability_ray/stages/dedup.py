@@ -14,10 +14,17 @@ Five families (all first-class per the build brief):
   hamming ≤ 3), in-bucket hamming verification, distributed pair dedup.
 - **n-gram Jaccard**: the verification kernel, exposed directly.
 - **embedding cosine**: exact near-dup pairs via block-pair matmul over
-  object-store blocks (each task holds two blocks, never the whole matrix).
+  object-store blocks (each task holds two blocks, never the whole matrix),
+  plus the LSH scale path (random-hyperplane band buckets + exact verify)
+  whose candidate volume scales with dup density, not the corpus square.
+- **corpus-level**: ``near_dedup_keep_first`` collapses each near-dup
+  cluster (connected component of the verified pair graph, distributed
+  min-label propagation) to its min-doc_id representative.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -448,8 +455,6 @@ def simhash_dedup_pairs(
 
 
 # ------------------------------------- embedding cosine (LSH scale path)
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
