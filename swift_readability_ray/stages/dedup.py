@@ -279,40 +279,38 @@ def minhash_dedup_pairs(
     return joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow")
 
 
-def near_dedup_keep_first(
+def components_keep_first(
     ds: ray.data.Dataset,
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
-    text_col: str = "text",
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_rounds: int = 15,
     join_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Corpus-level near-dedup: keep the min-doc_id representative of every
-    near-duplicate CLUSTER (connected component of the verified pair graph),
-    plus every unpaired document.
+    """Collapse every cluster (connected component of ``pairs``) to its
+    min-id representative: returns the rows of ``ds`` that survive.
 
-    The component labels are computed by distributed min-label propagation:
-    labels only ever decrease, so the global label sum is a monotone
-    convergence witness — iteration stops when it stops changing (or at
-    ``max_rounds``; hub+chain pair emission keeps cluster diameters small).
-    Each round is edges ⋈ labels + a groupby-min, all Datasets; the final
-    filter is a distributed left-anti join, so neither the corpus nor the
-    cluster map ever materializes on the driver.
+    Works over ANY verified pair source — MinHash, SimHash, embedding LSH —
+    so each near-dup family composes into an actual corpus deduplicator.
+
+    Component labels come from distributed min-label propagation: labels
+    only ever decrease, so the global label sum is a monotone convergence
+    witness — iteration stops when it stops changing (or at ``max_rounds``;
+    hub+chain pair emission keeps cluster diameters small).  Each round is
+    edges ⋈ labels + a groupby-min, all Datasets; the final filter is a
+    distributed left-anti join, so neither the corpus nor the cluster map
+    ever materializes on the driver.
     """
     if join_partitions is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         n_rows = _metadata_row_count(ds)
         sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
         join_partitions = max(2, min(n_cpus, sized))
-
-    pairs = minhash_dedup_pairs(
-        ds, threshold, num_perm, bands, text_col, join_partitions=join_partitions
-    )
+    col_a, col_b = pair_cols
 
     def both_dirs(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").combine_chunks()
-        b = batch.column("doc_b").combine_chunks()
+        a = batch.column(col_a).combine_chunks()
+        b = batch.column(col_b).combine_chunks()
         return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(
@@ -361,11 +359,111 @@ def near_dedup_keep_first(
 
     # non-representatives: paired docs whose component min is someone else
     drops = labels.filter(expr="label < u").map_batches(
-        lambda b: pa.table({"doc_id": b.column("u")}),
+        lambda b, _c=id_col: pa.table({_c: b.column("u")}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return ds.join(
-        drops, join_type="left_anti", num_partitions=join_partitions, on=("doc_id",)
+    # the arrow hash join rejects nested payload columns (list embeddings,
+    # span structs): pack them to binary for the ride and restore after
+    packed, nested = _pack_nested_columns(ds)
+    kept = packed.join(
+        drops, join_type="left_anti", num_partitions=join_partitions, on=(id_col,)
+    )
+    return _unpack_nested_columns(kept, nested)
+
+
+def _join_compatible(t: pa.DataType) -> bool:
+    return not (pa.types.is_nested(t) or pa.types.is_dictionary(t))
+
+
+def _pack_nested_columns(ds: ray.data.Dataset):
+    """(packed_ds, {col: original_type}) — nested columns become binary.
+
+    Numeric lists pack as raw numpy buffers (cheap, the embedding case);
+    anything else falls back to per-row pickle."""
+    nested = {
+        f.name: f.type for f in ds.schema().base_schema if not _join_compatible(f.type)
+    }
+    if not nested:
+        return ds, nested
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            t = nested.get(name)
+            if t is None:
+                cols[name] = col
+            elif pa.types.is_list(t) and (
+                pa.types.is_floating(t.value_type) or pa.types.is_integer(t.value_type)
+            ):
+                dt = t.value_type.to_pandas_dtype()
+                cols[name] = pa.array(
+                    [np.asarray(v if v is not None else [], dtype=dt).tobytes()
+                     for v in col.to_pylist()],
+                    pa.binary(),
+                )
+            else:
+                cols[name] = pa.array(
+                    [pickle.dumps(v) for v in col.to_pylist()], pa.binary()
+                )
+        return pa.table(cols)
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True), nested
+
+
+def _unpack_nested_columns(ds: ray.data.Dataset, nested: dict) -> ray.data.Dataset:
+    if not nested:
+        return ds
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            t = nested.get(name)
+            if t is None:
+                cols[name] = col
+            elif pa.types.is_list(t) and (
+                pa.types.is_floating(t.value_type) or pa.types.is_integer(t.value_type)
+            ):
+                dt = t.value_type.to_pandas_dtype()
+                cols[name] = pa.array(
+                    [np.frombuffer(v or b"", dtype=dt).tolist() for v in col.to_pylist()],
+                    t,
+                )
+            else:
+                cols[name] = pa.array(
+                    [pickle.loads(v) for v in col.to_pylist()], t
+                )
+        return pa.table(cols)
+
+    return ds.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dedup_keep_first(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    max_rounds: int = 15,
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """MinHash front-end of :func:`components_keep_first`: verified Jaccard
+    pairs → cluster collapse → surviving corpus rows."""
+    if join_partitions is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_rows = _metadata_row_count(ds)
+        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
+        join_partitions = max(2, min(n_cpus, sized))
+    pairs = minhash_dedup_pairs(
+        ds, threshold, num_perm, bands, text_col, join_partitions=join_partitions
+    )
+    return components_keep_first(
+        ds, pairs, max_rounds=max_rounds, join_partitions=join_partitions
     )
 
 

@@ -345,3 +345,34 @@ def test_embedding_lsh_neardup_planted_pairs(ray_session):
     assert found == {(i, 1000 + i) for i in range(10)}
     # verified cosines are real dot products, not sketch estimates
     assert all(c >= 0.95 for c in tbl.column("cosine").to_pylist())
+
+
+def test_components_keep_first_composes_with_any_pair_source(ray_session):
+    """The cluster collapse accepts arbitrary verified pair Datasets (here:
+    embedding-LSH pairs with id columns id_a/id_b)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages import dedup as D
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(20, 16).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:5].copy()
+    near[:, 0] += 0.05
+    ids = list(range(20)) + [100 + i for i in range(5)]
+    mat = np.concatenate([base, near])
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))}
+    ))
+    pairs = D.embedding_neardup_lsh(ds, threshold=0.95, join_partitions=2)
+    kept = D.components_keep_first(
+        ds, pairs, id_col="vec_id", pair_cols=("id_a", "id_b"), join_partitions=2
+    )
+    kept_ids = sorted(
+        pa.concat_tables(list(kept.iter_batches(batch_format="pyarrow")))
+        .column("vec_id").to_pylist()
+    )
+    assert kept_ids == list(range(20))  # every planted copy collapsed away
