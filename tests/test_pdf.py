@@ -103,3 +103,24 @@ def test_balanced_parens_in_string():
            b"BT 36 700 Td (outer (nested) tail) Tj ET\n"
            b"endstream\n")
     assert extract_pdf_blocks(pdf)[0]["text"] == "outer (nested) tail"
+
+
+def test_pdf_roundtrip_property():
+    """Property: any latin-1 paragraph list round-trips through write+parse
+    in order, compressed or not (incl. parens, backslashes, newlines)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.characters(min_codepoint=32, max_codepoint=255, blacklist_characters="\x7f")
+    paras_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(paras=paras_strategy, compress=st.booleans(), per_page=st.integers(1, 3))
+    def check(paras, compress, per_page):
+        pdf = make_simple_pdf(paras, page_paras=per_page, compress=compress)
+        texts = [b["text"] for b in extract_pdf_blocks(pdf) if b["kind"] == "text"]
+        assert texts == paras
+
+    check()
