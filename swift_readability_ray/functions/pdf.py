@@ -155,8 +155,10 @@ def _decode_pdf_string(raw: bytes) -> str:
         if nxt in _SIMPLE_ESCAPES:
             out += _SIMPLE_ESCAPES[nxt]
             i += 2
-        elif nxt in (b"\n", b"\r"):  # line continuation
+        elif nxt in (b"\n", b"\r"):  # line continuation: consume the EOL
             i += 2
+            if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                i += 1  # backslash-CRLF is ONE line continuation, not \r + \n
         else:  # unknown escape: PDF spec says drop the backslash
             out += nxt
             i += 2

@@ -18,7 +18,10 @@ import zlib
 
 import numpy as np
 
-_WS_SPLIT = re.compile(r"\s+")
+# pinned to RE2's \s class ([\t\n\f\r ]) so DuckDB oracles tokenize
+# identically: Python unicode \s would additionally split on \v, NBSP,
+# U+2028 etc. and silently diverge from the SQL mirrors on such text
+_WS_SPLIT = re.compile(r"[ \t\n\r\f]+")
 # BPE-ish: ASCII word runs or single non-word non-space symbols (RE2-compatible)
 _BPE_TOKEN = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
 _PUNCT = re.compile(r"[^\w\s]", re.A)

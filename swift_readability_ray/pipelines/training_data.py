@@ -181,7 +181,10 @@ def orders_by_segment(sf_dir: str, broadcast_limit: int = 5_000_000) -> pa.Table
         def tag_segment(batch: pa.Table) -> pa.Table:
             m = ray.get(seg_ref)
             segs = [m.get(ck) for ck in batch.column("o_custkey").to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            out = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            # inner-join semantics, matching the join fallback and the SQL
+            # oracle: orders with no customer row are dropped, not tagged null
+            return out.filter(pc.is_valid(out.column("c_mktsegment")))
 
         tagged = orders.map_batches(
             tag_segment, batch_format="pyarrow", zero_copy_batch=True
@@ -751,8 +754,12 @@ def _extract_pages(ds: ray.data.Dataset, concurrency, batch_size: int) -> ray.da
 
 
 def synthesize_page(doc_id: str, text: str, source: str) -> str:
-    """Deterministic HTML page around a document's text (flagship input)."""
-    words = text.split()
+    """Deterministic HTML page around a document's text (flagship input).
+
+    Tokenized with the RE2-pinned splitter so SQL oracles that reconstruct
+    the page (extract_metadata, readerable_flags) stay exact on any text.
+    """
+    words = [w for w in T._WS_SPLIT.split(text) if w]
     paras = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)] or [""]
     body = "".join(f"<p>{p}.</p>" for p in paras)
     return (
@@ -941,7 +948,7 @@ def pdf_extract(sf_dir: str) -> pa.Table:
         texts = batch.column("text").to_pylist()
         payloads = []
         for i, t in zip(ids, texts):
-            words = (t or "").split()
+            words = [w for w in T._WS_SPLIT.split(t or "") if w]  # RE2-pinned
             paras = [" ".join(words[j : j + 40]) for j in range(0, len(words), 40)] or [""]
             payloads.append(make_simple_pdf(paras, compress=bool(int(i) % 2)))
         return pa.table(

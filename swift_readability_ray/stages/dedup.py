@@ -48,6 +48,30 @@ def _metadata_row_count(ds: ray.data.Dataset) -> int | None:
         return None
 
 
+def _default_join_partitions(
+    ds: ray.data.Dataset, rows_per_partition: int = 500_000
+) -> int:
+    """Hash-join partition count sized to the data, capped by cluster CPUs.
+
+    Each join partition is an aggregator actor; 32 actors over a 5k-row
+    corpus is pure spin-up overhead (measured 3-9× slower than
+    right-sizing), while ~rows_per_partition rows per partition holds
+    worker memory flat at scale.  Row count comes from free datasource
+    metadata only — unknown (transformed) inputs default to cluster width,
+    which is correct for large data."""
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_rows = _metadata_row_count(ds)
+    sized = (n_rows // rows_per_partition + 1) if n_rows is not None else n_cpus
+    return max(2, min(n_cpus, sized))
+
+
+def _id_type(ds: ray.data.Dataset, col: str) -> pa.DataType:
+    try:
+        return ds.schema().base_schema.field(col).type
+    except Exception:
+        return pa.int64()
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -172,24 +196,6 @@ def minhash_candidate_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_group, batch_format="pyarrow")
 
 
-def _explode_pair_sides(batch: pa.Table) -> pa.Table:
-    """(doc_a, doc_b) → two rows keyed by each member's doc_id.
-
-    The reduce-side-join trick: each pair contributes one row per side so a
-    hash join on doc_id attaches that side's features, and a groupby on the
-    pair key reunites the two sides — no driver materialization anywhere.
-    """
-    a = batch.column("doc_a").combine_chunks()
-    b = batch.column("doc_b").combine_chunks()
-    return pa.table(
-        {
-            "doc_id": pa.concat_arrays([a, b]),
-            "doc_a": pa.concat_arrays([a, a]),
-            "doc_b": pa.concat_arrays([b, b]),
-        }
-    )
-
-
 def minhash_dedup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
@@ -217,18 +223,17 @@ def minhash_dedup_pairs(
     hub-adjacent nor consecutive and share no other bucket is missed.
     """
     if join_partitions is None:
-        # scale join partitions with the data, capped by cluster CPUs: each
-        # hash-join partition is an aggregator actor, and 32 actors for a
-        # 5k-row corpus is pure spin-up overhead (measured 3-9x slower than
-        # right-sizing); ~500k rows per partition holds worker memory flat
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_rows = _metadata_row_count(ds)  # free, or None — NEVER an extra pass
-        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
-        join_partitions = max(2, min(n_cpus, sized))
-    pairs = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True)
-    sides = pairs.map_batches(
-        _explode_pair_sides, batch_format="pyarrow", zero_copy_batch=True
-    )
+        join_partitions = _default_join_partitions(ds)
+    # materialize the deduped candidate set: a dup-free corpus yields ZERO
+    # groups, whose schema-less empty dataset would crash the hash join —
+    # and the shuffles on either side of this point are barriers anyway
+    pairs = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True).materialize()
+    idt = _id_type(ds, "doc_id")
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], idt), "doc_b": pa.array([], idt),
+                      "jaccard": pa.array([], pa.float64())})
+        )
 
     # shingle once per doc (the same tokenization the signatures used), so
     # verification never re-reads raw text; packed as binary because the
@@ -246,37 +251,52 @@ def minhash_dedup_pairs(
             }
         )
 
-    shingles = ds.map_batches(add_shingles, batch_format="pyarrow", zero_copy_batch=True)
-    joined = sides.join(
-        shingles, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
+    shingles = ds.map_batches(
+        add_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # both per-side joins read it; don't shingle twice
+
+    def as_side(side: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"doc_{side}": batch.column("doc_id"),
+                 f"__sh_{side}": batch.column("__shingles")}
+            )
+        return rename
+
+    # attach each side's shingles by two hash joins keyed on the pair
+    # columns, then verify VECTORIZED per batch — no per-pair groupby and
+    # no 1-row table construction (at billions of candidates, per-pair
+    # Python dispatch would dominate)
+    with_a = pairs.join(
+        shingles.map_batches(as_side("a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_a",),
+    )
+    with_ab = with_a.join(
+        shingles.map_batches(as_side("b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_b",),
     )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sh = group.column("__shingles").to_pylist()
-        by_id = dict(zip(ids, sh))
-        a = group.column("doc_a")[0].as_py()
-        b = group.column("doc_b")[0].as_py()
-        sa = set(np.frombuffer(by_id.get(a) or b"", dtype=np.uint32).tolist())
-        sb = set(np.frombuffer(by_id.get(b) or b"", dtype=np.uint32).tolist())
-        if not sa and not sb:
-            j = 1.0  # mirrors T.ngram_jaccard empty-empty semantics
-        elif not sa or not sb:
-            j = 0.0
-        else:
-            j = len(sa & sb) / len(sa | sb)
-        id_type = group.schema.field("doc_a").type
-        if j < threshold:
-            return pa.table(
-                {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {"doc_a": pa.array([a], id_type), "doc_b": pa.array([b], id_type),
-             "jaccard": pa.array([round(j, 6)], pa.float64())}
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        sh_a = batch.column("__sh_a").to_pylist()
+        sh_b = batch.column("__sh_b").to_pylist()
+        jac = np.empty(len(sh_a), dtype=np.float64)
+        for i, (ra, rb) in enumerate(zip(sh_a, sh_b)):
+            sa = set(np.frombuffer(ra or b"", dtype=np.uint32).tolist())
+            sb = set(np.frombuffer(rb or b"", dtype=np.uint32).tolist())
+            if not sa and not sb:
+                jac[i] = 1.0  # mirrors T.ngram_jaccard empty-empty semantics
+            elif not sa or not sb:
+                jac[i] = 0.0
+            else:
+                jac[i] = len(sa & sb) / len(sa | sb)
+        keep = pa.array(jac >= threshold)
+        out = pa.table(
+            {"doc_a": batch.column("doc_a"), "doc_b": batch.column("doc_b"),
+             "jaccard": pa.array(np.round(jac, 6))}
         )
+        return out.filter(keep)
 
-    return joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def components_keep_first(
@@ -302,10 +322,7 @@ def components_keep_first(
     ever materializes on the driver.
     """
     if join_partitions is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_rows = _metadata_row_count(ds)
-        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
-        join_partitions = max(2, min(n_cpus, sized))
+        join_partitions = _default_join_partitions(ds)
     col_a, col_b = pair_cols
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -316,6 +333,8 @@ def components_keep_first(
     edges = pairs.map_batches(
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused every round — avoid re-running LSH per round
+    if edges.count() == 0:
+        return ds  # no pairs → every row is its own representative
 
     def min_label(group: pa.Table) -> pa.Table:
         u = group.column("u")[0].as_py()
@@ -337,6 +356,7 @@ def components_keep_first(
         return int(out["sum(label)"] or 0)
 
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         # candidate labels via neighbors: edge (u,v) contributes label(v)
         cand = edges.join(
@@ -346,16 +366,35 @@ def components_keep_first(
             lambda b: pa.table({"u": b.column("u"), "label": b.column("label")}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        # pointer jumping: label(u) ← label(label(u)) — halves the effective
+        # path length every round, so convergence is O(log diameter) rather
+        # than O(diameter) and a 15-round cap covers ~2^15-hop chains
+        jumped = labels.join(
+            labels, join_type="inner", num_partitions=join_partitions,
+            on=("label",), right_on=("u",), right_suffix="_p",
+        ).map_batches(
+            lambda b: pa.table({"u": b.column("u"), "label": b.column("label_p")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         labels = (
-            cand.union(labels)
+            cand.union(jumped, labels)
             .groupby("u")
             .map_groups(min_label, batch_format="pyarrow")
             .materialize()
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:  # monotone decreasing → fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "components_keep_first: label propagation hit max_rounds=%d "
+            "without converging — some clusters may keep >1 representative",
+            max_rounds,
+        )
 
     # non-representatives: paired docs whose component min is someone else
     drops = labels.filter(expr="label < u").map_batches(
@@ -399,8 +438,10 @@ def _pack_nested_columns(ds: ray.data.Dataset):
                 pa.types.is_floating(t.value_type) or pa.types.is_integer(t.value_type)
             ):
                 dt = t.value_type.to_pandas_dtype()
+                # None stays None (binary null) — packing null as b"" would
+                # silently turn null lists into empty lists on unpack
                 cols[name] = pa.array(
-                    [np.asarray(v if v is not None else [], dtype=dt).tobytes()
+                    [None if v is None else np.asarray(v, dtype=dt).tobytes()
                      for v in col.to_pylist()],
                     pa.binary(),
                 )
@@ -431,7 +472,8 @@ def _unpack_nested_columns(ds: ray.data.Dataset, nested: dict) -> ray.data.Datas
             ):
                 dt = t.value_type.to_pandas_dtype()
                 cols[name] = pa.array(
-                    [np.frombuffer(v or b"", dtype=dt).tolist() for v in col.to_pylist()],
+                    [None if v is None else np.frombuffer(v, dtype=dt).tolist()
+                     for v in col.to_pylist()],
                     t,
                 )
             else:
@@ -625,10 +667,16 @@ def embedding_neardup_lsh(
     def first_row(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(first_row, batch_format="pyarrow")
-    sides = pairs.map_batches(
-        _explode_pair_sides, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # materialize the deduped candidates: zero candidates would otherwise
+    # produce a schema-less dataset that crashes the hash join
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first_row, batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
 
     def pack_vecs(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
@@ -644,31 +692,44 @@ def embedding_neardup_lsh(
              "__vec": pa.array(packed, pa.binary())}
         )
 
-    vecs = ds.map_batches(pack_vecs, batch_format="pyarrow", zero_copy_batch=True)
-    joined = sides.join(
-        vecs, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
+    vecs = ds.map_batches(
+        pack_vecs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # read by both per-side joins
+
+    def as_side(side: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"doc_{side}": batch.column("doc_id"),
+                 f"__vec_{side}": batch.column("__vec")}
+            )
+        return rename
+
+    with_a = pairs.join(
+        vecs.map_batches(as_side("a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_a",),
+    )
+    with_ab = with_a.join(
+        vecs.map_batches(as_side("b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_b",),
     )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        raw = group.column("__vec").to_pylist()
-        by_id = dict(zip(ids, raw))
-        a = group.column("doc_a")[0].as_py()
-        b = group.column("doc_b")[0].as_py()
-        va = np.frombuffer(by_id.get(a) or b"", dtype=np.float32)
-        vb = np.frombuffer(by_id.get(b) or b"", dtype=np.float32)
-        cos = float(va @ vb) if len(va) and len(va) == len(vb) else 0.0
-        if cos < threshold:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {"id_a": pa.array([a], pa.int64()), "id_b": pa.array([b], pa.int64()),
-             "cosine": pa.array([round(cos, 6)], pa.float64())}
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        ra = batch.column("__vec_a").to_pylist()
+        rb = batch.column("__vec_b").to_pylist()
+        cos = np.zeros(len(ra), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(ra, rb)):
+            va = np.frombuffer(ba or b"", dtype=np.float32)
+            vb = np.frombuffer(bb or b"", dtype=np.float32)
+            if len(va) and len(va) == len(vb):
+                cos[i] = float(va @ vb)
+        out = pa.table(
+            {"id_a": pc.cast(batch.column("doc_a"), pa.int64()),
+             "id_b": pc.cast(batch.column("doc_b"), pa.int64()),
+             "cosine": pa.array(np.round(cos, 6))}
         )
+        return out.filter(pa.array(cos >= threshold))
 
-    return joined.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------- embedding cosine

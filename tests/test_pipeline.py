@@ -376,3 +376,60 @@ def test_components_keep_first_composes_with_any_pair_source(ray_session):
         .column("vec_id").to_pylist()
     )
     assert kept_ids == list(range(20))  # every planted copy collapsed away
+
+
+def test_dedup_paths_handle_dup_free_corpora(ray_session):
+    """Zero-candidate inputs return empty results / unchanged corpora
+    instead of crashing the hash join (round-2 review findings 1-3)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages import dedup as D
+
+    # all-unique texts: no LSH candidates anywhere
+    docs = [{"doc_id": i, "text": " ".join(f"u{i}w{j}" for j in range(25))}
+            for i in range(8)]
+    ds = rd.from_items(docs)
+    pairs = D.minhash_dedup_pairs(ds, threshold=0.5, join_partitions=2)
+    assert sum(b.num_rows for b in pairs.iter_batches(batch_format="pyarrow")) == 0
+
+    kept = D.near_dedup_keep_first(ds, threshold=0.5, join_partitions=2)
+    assert kept.count() == len(docs)
+
+    # typed empty pairs dataset → corpus unchanged
+    empty_pairs = rd.from_arrow(pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    ))
+    kept2 = D.components_keep_first(ds, empty_pairs, join_partitions=2)
+    assert kept2.count() == len(docs)
+
+    # orthogonal-ish vectors at a high threshold: no LSH candidates
+    rng = np.random.RandomState(1)
+    mat = rng.randn(8, 16)
+    vds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(range(8), pa.int64()),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64()))}
+    ))
+    vpairs = D.embedding_neardup_lsh(vds, threshold=0.999, join_partitions=2)
+    assert sum(b.num_rows for b in vpairs.iter_batches(batch_format="pyarrow")) == 0
+
+
+def test_nested_pack_preserves_nulls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages.dedup import (
+        _pack_nested_columns,
+        _unpack_nested_columns,
+    )
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))}
+    )
+    packed, nested = _pack_nested_columns(rd.from_arrow(tbl))
+    restored = pa.concat_tables(list(
+        _unpack_nested_columns(packed, nested).iter_batches(batch_format="pyarrow")
+    )).sort_by("doc_id")
+    assert restored.column("embedding").to_pylist() == [[1.0, 2.0], None]
