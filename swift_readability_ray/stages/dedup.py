@@ -224,16 +224,6 @@ def minhash_dedup_pairs(
     """
     if join_partitions is None:
         join_partitions = _default_join_partitions(ds)
-    # materialize the deduped candidate set: a dup-free corpus yields ZERO
-    # groups, whose schema-less empty dataset would crash the hash join —
-    # and the shuffles on either side of this point are barriers anyway
-    pairs = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True).materialize()
-    idt = _id_type(ds, "doc_id")
-    if pairs.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({"doc_a": pa.array([], idt), "doc_b": pa.array([], idt),
-                      "jaccard": pa.array([], pa.float64())})
-        )
 
     # shingle once per doc (the same tokenization the signatures used), so
     # verification never re-reads raw text; packed as binary because the
@@ -251,9 +241,29 @@ def minhash_dedup_pairs(
             }
         )
 
-    shingles = ds.map_batches(
+    # materialize the deduped candidate set (a dup-free corpus yields ZERO
+    # groups, whose schema-less empty dataset would crash the hash join; the
+    # shuffles on either side are barriers anyway) and the shingle table
+    # (read by both per-side joins) CONCURRENTLY — the two passes are
+    # independent, so serializing them would waste half the cluster
+    from concurrent.futures import ThreadPoolExecutor
+
+    pairs_lazy = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True)
+    shingles_lazy = ds.map_batches(
         add_shingles, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # both per-side joins read it; don't shingle twice
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pairs_f = pool.submit(pairs_lazy.materialize)
+        shingles_f = pool.submit(shingles_lazy.materialize)
+        pairs = pairs_f.result()
+        shingles = shingles_f.result()
+
+    idt = _id_type(ds, "doc_id")
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], idt), "doc_b": pa.array([], idt),
+                      "jaccard": pa.array([], pa.float64())})
+        )
 
     def as_side(side: str):
         def rename(batch: pa.Table) -> pa.Table:
