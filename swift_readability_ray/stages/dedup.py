@@ -367,7 +367,7 @@ def components_keep_first(
 
     prev_sum = label_sum(labels)
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # candidate labels via neighbors: edge (u,v) contributes label(v)
         cand = edges.join(
             labels, join_type="inner", num_partitions=join_partitions,
@@ -376,18 +376,23 @@ def components_keep_first(
             lambda b: pa.table({"u": b.column("u"), "label": b.column("label")}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        # pointer jumping: label(u) ← label(label(u)) — halves the effective
-        # path length every round, so convergence is O(log diameter) rather
-        # than O(diameter) and a 15-round cap covers ~2^15-hop chains
-        jumped = labels.join(
-            labels, join_type="inner", num_partitions=join_partitions,
-            on=("label",), right_on=("u",), right_suffix="_p",
-        ).map_batches(
-            lambda b: pa.table({"u": b.column("u"), "label": b.column("label_p")}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+        sources = [cand, labels]
+        if rnd > 0:
+            # pointer jumping: label(u) ← label(label(u)) — halves effective
+            # path length per round, so convergence is O(log diameter) and a
+            # 15-round cap covers ~2^15-hop chains.  Skipped in round 0:
+            # typical pair graphs (stars, short chains) converge immediately
+            # and the extra join would be pure fixed cost
+            jumped = labels.join(
+                labels, join_type="inner", num_partitions=join_partitions,
+                on=("label",), right_on=("u",), right_suffix="_p",
+            ).map_batches(
+                lambda b: pa.table({"u": b.column("u"), "label": b.column("label_p")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            sources.append(jumped)
         labels = (
-            cand.union(jumped, labels)
+            sources[0].union(*sources[1:])
             .groupby("u")
             .map_groups(min_label, batch_format="pyarrow")
             .materialize()
