@@ -402,7 +402,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS jaccard
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-                   round(jaccard, 6) AS jaccard
+                   floor(jaccard * 1000000 + 0.5) / 1000000 AS jaccard
             FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
         """,
         # SimHash all-pairs mirror: token hash is md5-first-8-bytes on BOTH
