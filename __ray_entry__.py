@@ -33,9 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from swift_readability_ray.pipelines import training_data as TD
 
     return {
-        # extraction core (rows-only: not SQL-expressible)
+        # extraction core (DOM content rows-only; span_stats is the
+        # SQL-oracled projection certifying span emission end-to-end)
         "extract_articles": TD.extract_articles,
         "extract_spans": TD.extract_spans,
+        "span_stats": TD.span_stats,
         # text analysis
         "token_counts": TD.token_counts,
         "fingerprints": TD.fingerprints,
@@ -70,7 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins / json scalar functions
         "orders_by_segment": TD.orders_by_segment,
         "events_json_stats": TD.events_json_stats,
-        # multimodal plumbing (stubbed decode, real Ray plumbing)
+        # multimodal: REAL pure-Python PNG decode (functions/png.py),
+        # SQL-oracled geometry + pixel statistics
         "media_features": TD.media_features,
         # training-data privacy + packing ops
         "pii_scrub": TD.pii_scrub,
@@ -323,6 +326,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             ORDER BY CAST(d.doc_id AS BIGINT)
         """,
+        # media_features synthesizes an 8-bit grayscale PNG per doc (w = 8 +
+        # id%8, h = 8 + id%5, pixels = md5 chain over "id:block") and decodes
+        # it with the pure-Python PNG codec — geometry and pixel sums are
+        # exactly reconstructable from the same md5 arithmetic in SQL, so a
+        # hash match certifies the real encode→decode path end to end
+        "media_features": r"""
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+              FROM documents WHERE doc_id < 64),
+            e AS (SELECT doc_id, w, h, w * h AS n FROM d),
+            blocks AS (
+              SELECT doc_id, w, h, n, unnest(range(0, (n + 15) // 16)) AS b
+              FROM e),
+            hx AS (
+              SELECT doc_id, w, h, n, b, md5(doc_id || ':' || b) AS hh
+              FROM blocks),
+            bytes AS (
+              SELECT doc_id, w, h, n, b, hh, unnest(range(0, 16)) AS j
+              FROM hx),
+            v AS (
+              SELECT doc_id, w, h, n,
+                     CAST(('0x' || substr(hh, j * 2 + 1, 2)) AS BIGINT) AS byte
+              FROM bytes WHERE b * 16 + j < n)
+            SELECT 'mem://doc/' || doc_id AS media_ref,
+                   'image' AS media_type,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(n AS BIGINT) AS n_pixels,
+                   CAST(sum(byte) AS BIGINT) AS pixel_sum,
+                   true AS decode_ok
+            FROM v GROUP BY doc_id, w, h, n ORDER BY media_ref
+        """,
         "pii_scrub": r"""
             WITH s AS (
               SELECT doc_id,
@@ -353,6 +388,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (chunk_id + 1) * 128 <= n THEN 128
                              ELSE n - chunk_id * 128 END AS BIGINT) AS n_tokens
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        # the span flagship, projected to SQL-reconstructable stats: one
+        # text span per 40-word paragraph plus the inline media span;
+        # single-paragraph pages take grabArticle's body fallback and add
+        # the nav/footer runs (n_paras = 1 branch) — a hash match certifies
+        # parse → grabArticle → span emission per document
+        "span_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS idx FROM toks),
+            paras AS (
+              SELECT doc_id, (idx - 1) // 40 AS para,
+                     sum(length(tok)) + count(*) AS chars  -- (n-1) spaces + '.'
+              FROM w GROUP BY doc_id, para),
+            agg AS (
+              SELECT doc_id, count(*) AS n_paras, sum(chars) AS chars
+              FROM paras GROUP BY doc_id),
+            f AS (
+              SELECT d.doc_id, coalesce(a.n_paras, 1) AS n_paras,
+                     coalesce(a.chars, 1) AS chars
+              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN n_paras = 1 THEN 4 ELSE n_paras + 1 END AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_media_spans,
+                   CAST(CASE WHEN n_paras = 1 THEN chars + 10 ELSE chars END AS BIGINT) AS text_chars
+            FROM f ORDER BY doc_id
         """,
         # the synthesized page is deterministic (40-word <p> chunks), so the
         # isProbablyReaderable sqrt scoring is reconstructable in SQL — an
