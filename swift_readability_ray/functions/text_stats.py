@@ -12,6 +12,7 @@ SQL in __ray_entry__.py computes identical values.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import zlib
@@ -184,6 +185,15 @@ def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
 # ---------------------------------------------------------------- SimHash
 
 
+@functools.lru_cache(maxsize=1_000_000)
+def _token_hash64(token: str) -> int:
+    """First 8 md5 bytes of a token as uint64 — per-process cached: corpus
+    vocabulary repeats heavily across documents, so the cache turns one md5
+    per token OCCURRENCE into one per distinct token per worker (bounded at
+    1M entries ≈ 80 MB, evicting LRU beyond that)."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens weighted by frequency.
 
@@ -197,18 +207,12 @@ def simhash64(text: str) -> int:
         return 0
     uniq, counts = np.unique(np.array(tokens), return_counts=True)
     hashes = np.fromiter(
-        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in uniq),
-        dtype=np.uint64,
-        count=len(uniq),
+        (_token_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
     )
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     weights = counts[:, None]
     v = (np.where(bits == 1, 1, -1) * weights).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if v[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return int((np.packbits((v > 0)[::-1]).view(">u8")[0]))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -33,6 +33,44 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _read_sized(
+    path: str, columns=None, rows_per_block: int = 4096
+) -> ray.data.Dataset:
+    """read_parquet with block count sized from the parquet FOOTER row count
+    (a metadata read, no scan).
+
+    Ray defaults a tiny single-file table to ~2×CPU blocks; for a cheap
+    map/aggregate query the per-block fixed cost then dominates wall time
+    (measured 5× on a 5k-row table: 64 blocks 0.85s vs right-sized 0.17s).
+    Small tables get ``rows // rows_per_block + 1`` blocks; anything big
+    enough to want ≥3 blocks/CPU keeps Ray's own sizing (never capped — a
+    100 TB read must produce however many blocks its bytes demand).
+
+    ``rows_per_block`` is per-query: ~4096 for near-free kernels and pure
+    aggregates, smaller for heavier per-row work so a small corpus still
+    spreads across the pool.
+    """
+    import pyarrow.parquet as pq
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        n_rows = pq.read_metadata(path).num_rows
+    except Exception:
+        return ray.data.read_parquet(path, columns=columns)
+    sized = n_rows // rows_per_block + 1
+    if sized >= 3 * n_cpus:
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=max(2, sized)
+    )
+
+
+def _docs_sized(sf_dir: str, columns=None, rows_per_block: int = 4096):
+    return _read_sized(
+        f"{sf_dir}/documents.parquet", columns=columns, rows_per_block=rows_per_block
+    )
+
+
 # verified minhash pair tables, one per (sf_dir, threshold), materialized —
 # minhash_dedup, ngram_dedup and minhash_dedup_docs all consume the same
 # pair set, so a job running several of them pays for ONE signature+verify
@@ -51,42 +89,69 @@ def _minhash_pairs_cached(sf_dir: str, threshold: float) -> ray.data.Dataset:
     return _MINHASH_PAIR_CACHE[key]
 
 
+def _merge_partials(
+    partials: ray.data.Dataset, keys: list[str], aggs: list[tuple[str, str]]
+) -> pa.Table:
+    """Driver-side merge of per-block PARTIAL aggregates: each ``(col, fn)``
+    in ``aggs`` (fn ∈ sum/min/max — the re-combinable reductions) is applied
+    per ``keys`` group and renamed back to the partial column name.
+
+    The scale rule: valid only when the group cardinality is small and
+    bounded, so the partial table is ≤ blocks × groups tiny rows —
+    kilobytes at bench scale, ~10 MB even at 100k-block scale.  Ray's
+    Aggregate operator costs ~10 ms of sort/combine per BLOCK regardless of
+    size (measured: 3.3 s over 74 six-row partial blocks), so for a 6-group
+    rollup the driver merge is strictly better at every scale.  Unbounded
+    cardinalities (word_counts' vocabulary, per-user sessions) must keep
+    the distributed groupby instead.
+    """
+    tbl = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    merged = tbl.group_by(keys).aggregate(aggs)
+    return merged.rename_columns(keys + [c for c, _ in aggs])
+
+
 # ------------------------------------------------------------ SQL-oracled
 
 
 def doc_stats(sf_dir: str) -> pa.Table:
-    """Per-language doc count and char stats (groupby aggregate)."""
-    ds = _docs(sf_dir, columns=["lang", "n_chars"])
-    from ray.data.aggregate import Count, Mean, Sum
+    """Per-language doc count and char stats: per-block partial aggregate +
+    tiny driver merge (bounded group cardinality — see _merge_partials)."""
+    ds = _docs_sized(sf_dir, columns=["lang", "n_chars"])
 
-    out = (
-        ds.groupby("lang")
-        .aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
-        .rename_columns(["lang", "n_docs", "total_chars", "avg_chars"])
-    )
-    # result is a handful of rows — sort driver-side, not a Dataset sort
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("lang")
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        ).rename_columns(["lang", "chars", "n"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    m = _merge_partials(p, ["lang"], [("chars", "sum"), ("n", "sum")])
+    return pa.table({
+        "lang": m.column("lang"),
+        "n_docs": m.column("n"),
+        "total_chars": pc.cast(m.column("chars"), pa.int64()),
+        # exact mirror of SQL avg(): double(sum) / count
+        "avg_chars": pc.divide(pc.cast(m.column("chars"), pa.float64()),
+                               pc.cast(m.column("n"), pa.float64())),
+    }).sort_by("lang")
 
 
 def readerable_filter(sf_dir: str, min_chars: int = 500) -> pa.Table:
     """Docs crossing the charThreshold-style gate, counted per source."""
-    ds = _docs(sf_dir, columns=["source", "n_chars"])
-    from ray.data.aggregate import Count
-
+    ds = _docs_sized(sf_dir, columns=["source", "n_chars"])
     filtered = ds.filter(expr=f"n_chars >= {min_chars}")
-    out = filtered.groupby("source").aggregate(Count()).rename_columns(
-        ["source", "n_docs"]
-    )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("source")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["source"]).aggregate(
+            [("source", "count")]
+        ).rename_columns(["source", "n_docs"])
+
+    p = filtered.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_partials(p, ["source"], [("n_docs", "sum")]).sort_by("source")
 
 
 def token_counts(sf_dir: str) -> pa.Table:
     """Per-doc whitespace + BPE-ish token counts (vectorized map_batches)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
     out = ds.map_batches(TA.add_token_counts, batch_format="pyarrow", zero_copy_batch=True)
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id", "ws_tokens", "bpe_tokens"]).sort_by("doc_id")
@@ -94,7 +159,7 @@ def token_counts(sf_dir: str) -> pa.Table:
 
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Exact dedup: min doc_id kept per distinct text (hash groupby)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
     kept = D.exact_dedup_keep_first(ds)
     tbl = pa.concat_tables([b for b in kept.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id"]).sort_by("doc_id")
@@ -105,7 +170,7 @@ def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
 
     Per-batch top-k combiner + tiny driver merge — a global top-k never
     needs the all-to-all sort shuffle."""
-    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "n_chars"])
     keys = [("n_chars", "descending"), ("doc_id", "ascending")]
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -118,7 +183,7 @@ def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
 
 def fingerprints(sf_dir: str) -> pa.Table:
     """Per-doc md5 fingerprint (matches DuckDB md5())."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def add_md5(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -170,12 +235,10 @@ def orders_by_segment(sf_dir: str, broadcast_limit: int = 5_000_000) -> pa.Table
     scan); a fatter dimension falls back to a distributed hash join so the
     driver never builds an unbounded dict.
     """
-    customers = ray.data.read_parquet(
+    customers = _read_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    )
+    orders = _read_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     if customers.count() > broadcast_limit:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -236,7 +299,7 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     """
     import hashlib
 
-    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = _docs_sized(sf_dir, columns=["doc_id"])
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -382,28 +445,22 @@ def events_value_buckets(sf_dir: str) -> pa.Table:
     bounds = np.arange(0.0, 1000.0 + 1e-9, 100.0)
     bounds_ref = ray.put(bounds)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         b = ray.get(bounds_ref)
         v = batch.column("value").to_numpy(zero_copy_only=False)
         idx = np.searchsorted(b, v, side="right") - 1
-        idx = np.where((v < b[0]) | (v >= b[-1]), -1, idx).astype(np.int32)
+        idx = np.where((v < b[0]) | (v >= b[-1]), -1, idx)
         t = pa.table({"event_type": batch.column("event_type"),
-                      "bucket": pa.array(idx, pa.int32())})
+                      "bucket": pa.array(idx, pa.int64())})
         return t.group_by(["event_type", "bucket"]).aggregate([("bucket", "count")])
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby(["event_type", "bucket"])
-        .aggregate(Sum("bucket_count"))
-        .rename_columns(["event_type", "bucket", "n_events"])
+    m = _merge_partials(partials, ["event_type", "bucket"], [("bucket_count", "sum")])
+    return m.rename_columns(["event_type", "bucket", "n_events"]).sort_by(
+        [("event_type", "ascending"), ("bucket", "ascending")]
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by([("event_type", "ascending"), ("bucket", "ascending")])
 
 
 def events_asof_rates(sf_dir: str) -> pa.Table:
@@ -414,7 +471,7 @@ def events_asof_rates(sf_dir: str) -> pa.Table:
     vectorized searchsorted — the canonical distributed as-of join with a
     small right side.  Returns per-marker event counts (ints only).
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def hour_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -424,17 +481,10 @@ def events_asof_rates(sf_dir: str) -> pa.Table:
         })
         return t.group_by(["hour"]).aggregate([("event_id", "min")])
 
-    from ray.data.aggregate import Min
-
-    dim = (
-        ds.map_batches(hour_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("hour")
-        .aggregate(Min("event_id_min"))
-        .rename_columns(["hour", "marker_id"])
-    )
-    dim_tbl = pa.concat_tables(
-        [b for b in dim.iter_batches(batch_format="pyarrow")]
-    ).sort_by("hour")
+    dim_p = ds.map_batches(hour_partial, batch_format="pyarrow", zero_copy_batch=True)
+    dim_tbl = _merge_partials(
+        dim_p, ["hour"], [("event_id_min", "min")]
+    ).rename_columns(["hour", "marker_id"]).sort_by("hour")
     hours = dim_tbl.column("hour").to_numpy(zero_copy_only=False)
     markers = dim_tbl.column("marker_id").to_numpy(zero_copy_only=False)
     dim_ref = ray.put((hours, markers))
@@ -446,17 +496,10 @@ def events_asof_rates(sf_dir: str) -> pa.Table:
         t = pa.table({"marker_id": pa.array(m[idx], pa.int64())})
         return t.group_by(["marker_id"]).aggregate([("marker_id", "count")])
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(asof, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby("marker_id")
-        .aggregate(Sum("marker_id_count"))
-        .rename_columns(["marker_id", "n_events"])
-    )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("marker_id")
+    return _merge_partials(
+        partials, ["marker_id"], [("marker_id_count", "sum")]
+    ).rename_columns(["marker_id", "n_events"]).sort_by("marker_id")
 
 
 def events_hourly(sf_dir: str) -> pa.Table:
@@ -466,9 +509,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
     floor-truncation) so the shuffle moves (key, partial) rows only; value
     sums are integer cents for schedule-independent exactness.
     """
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
-    )
+    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def keyed(batch: pa.Table) -> pa.Table:
         hour = pc.cast(
@@ -486,18 +527,14 @@ def events_hourly(sf_dir: str) -> pa.Table:
             [("value_c", "sum"), ("value_c", "count")]
         )
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby(["event_type", "hour"])
-        .aggregate(Sum("value_c_sum"), Sum("value_c_count"))
-        .rename_columns(["event_type", "hour", "sum_value_c", "n_events"])
+    m = _merge_partials(
+        partials, ["event_type", "hour"],
+        [("value_c_sum", "sum"), ("value_c_count", "sum")],
     )
-    tbl = pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
+    tbl = m.rename_columns(
+        ["event_type", "hour", "sum_value_c", "n_events"]
     ).sort_by([("event_type", "ascending"), ("hour", "ascending")])
-    # normalize the window-key unit (shuffle may re-derive timestamp[s])
     return tbl.set_column(
         tbl.schema.get_field_index("hour"),
         "hour",
@@ -558,7 +595,7 @@ def word_counts(sf_dir: str, k: int = 20) -> pa.Table:
     if _TOKEN_RE is None:
         _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
-    ds = _docs(sf_dir, columns=["text"])
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=512)
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -595,10 +632,11 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
     order-independent and exact under any partial-combine schedule (float
     sums would be schedule-dependent in the last bits).
     """
-    ds = ray.data.read_parquet(
+    ds = _read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
+        rows_per_block=8192,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -618,21 +656,15 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
             [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ("qty_c", "count")]
         )
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c_sum"), Sum("price_c_sum"), Sum("disc_c_sum"), Sum("qty_c_count")
-        )
-        .rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c",
-             "sum_disc_c", "count_order"]
-        )
+    m = _merge_partials(
+        partials, ["l_returnflag", "l_linestatus"],
+        [("qty_c_sum", "sum"), ("price_c_sum", "sum"),
+         ("disc_c_sum", "sum"), ("qty_c_count", "sum")],
     )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
+    return m.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c",
+         "sum_disc_c", "count_order"]
     ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
@@ -644,7 +676,7 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
     key); the per-group window logic is a vectorized numpy diff over the
     sorted timestamps — no Python loop over events.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def sessionize(group: pa.Table) -> pa.Table:
         uid = group.column("user_id")[0].as_py()
@@ -668,7 +700,7 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
 def top_docs_per_source(sf_dir: str, k: int = 3) -> pa.Table:
     """Top-k docs by size within each source (per-group sort, global shuffle
     only on the group key)."""
-    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "source", "n_chars"])
 
     def head_k(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -705,32 +737,27 @@ def extract_metadata(sf_dir: str) -> pa.Table:
 
 def events_json_stats(sf_dir: str) -> pa.Table:
     """JSON scalar extraction: sum/count of props.k per event type."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
-    )
+    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["event_type", "props"],
+                     rows_per_block=1024)
 
     def extract_k(batch: pa.Table) -> pa.Table:
         ks = [
             int(json.loads(p).get("k", 0)) if p else 0
             for p in batch.column("props").to_pylist()
         ]
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "k": pa.array(ks, pa.int64()),
             }
         )
+        return t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum")]
+        ).rename_columns(["event_type", "n_events", "sum_k"])
 
-    tagged = ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Count, Sum
-
-    out = (
-        tagged.groupby("event_type")
-        .aggregate(Count(), Sum("k"))
-        .rename_columns(["event_type", "n_events", "sum_k"])
-    )
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
+    p = ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_partials(
+        p, ["event_type"], [("n_events", "sum"), ("sum_k", "sum")]
     ).sort_by("event_type")
 
 
@@ -827,14 +854,14 @@ def synthesize_page(doc_id: str, text: str, source: str) -> str:
 
 
 def langid_table(sf_dir: str) -> pa.Table:
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
     out = ds.map_batches(TA.add_lang_id, batch_format="pyarrow", zero_copy_batch=True)
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id", "lang_pred"]).sort_by("doc_id")
 
 
 def quality_table(sf_dir: str) -> pa.Table:
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
     out = ds.map_batches(TA.add_quality, batch_format="pyarrow", zero_copy_batch=True)
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id", "quality"]).sort_by("doc_id")
@@ -853,7 +880,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=512)
     pairs = D.simhash_dedup_pairs(ds, max_hamming=max_hamming)
     batches = list(pairs.iter_batches(batch_format="pyarrow"))
     if not batches or sum(b.num_rows for b in batches) == 0:
@@ -947,7 +974,7 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
 def pii_scrub(sf_dir: str) -> pa.Table:
     """PII redaction pass: per-doc email/IPv4 counts + post-scrub length
     (training-data privacy op; pure map_batches, no shuffle)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def scrub(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -978,7 +1005,7 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 128) -> pa.Table:
     chunking step every LLM training pipeline runs before tokenized packing.
     Embarrassingly parallel (no shuffle); the chunk table is the join key
     surface for downstream sharding."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def chunk(batch: pa.Table) -> pa.Table:
         out_id, out_chunk, out_n = [], [], []

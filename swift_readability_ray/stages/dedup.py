@@ -416,12 +416,23 @@ def components_keep_first(
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_rounds: int = 15,
     join_partitions: int | None = None,
+    driver_limit: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Collapse every cluster (connected component of ``pairs``) to its
     min-id representative: returns the rows of ``ds`` that survive.
 
     Works over ANY verified pair source — MinHash, SimHash, embedding LSH —
     so each near-dup family composes into an actual corpus deduplicator.
+
+    Regime split on the VERIFIED pair count (free metadata after the edge
+    materialize): at or under ``driver_limit`` edges, a driver-side
+    union-find labels the graph in one pass — the verified pair set is the
+    small end product of dedup, and a per-round join+aggregate cadence
+    (actor pools spinning up each round) costs orders of magnitude more
+    than an O(E·α) scan at this size.  Above the limit — the 100 TB world,
+    where the pair graph itself is distributed state — min-label
+    propagation with pointer jumping runs entirely as Dataset joins and
+    native Min aggregates.  Both paths produce identical labels.
 
     Component labels come from distributed min-label propagation: every
     per-round reduction is a NATIVE ``groupby.aggregate(Min(...))`` — no
@@ -447,8 +458,15 @@ def components_keep_first(
     edges = pairs.map_batches(
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused every round — avoid re-running LSH per round
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ds  # no pairs → every row is its own representative
+
+    if n_edges <= driver_limit:
+        drops = _union_find_drops(edges, id_col)
+        if drops is None:
+            return ds
+        return _anti_join_drops(ds, drops, id_col, join_partitions)
 
     from ray.data.aggregate import Min
 
@@ -526,6 +544,9 @@ def components_keep_first(
         labels = merged.drop_columns(["old_label"])
         if n_changed == 0:  # monotone decreasing → fixpoint
             converged = True
+            logger.info(
+                "components_keep_first: converged in %d rounds", rnd + 1
+            )
             break
     if not converged:
         logger.warning(
@@ -539,6 +560,49 @@ def components_keep_first(
         lambda b, _c=id_col: pa.table({_c: b.column("u")}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    return _anti_join_drops(ds, drops, id_col, join_partitions)
+
+
+def _union_find_drops(
+    edges: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset | None:
+    """Driver-side min-root union-find over a small materialized edge list
+    → Dataset of ids to drop (or None if every node is its own min)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    id_type = None
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        if id_type is None:
+            id_type = batch.schema.field("u").type
+        for u, v in zip(batch.column("u").to_pylist(),
+                        batch.column("v").to_pylist()):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:  # min-root union: root IS the component min
+                    ru, rv = rv, ru
+                parent[rv] = ru
+    drop_ids = [u for u in parent if find(u) != u]
+    if not drop_ids:
+        return None
+    return ray.data.from_arrow(pa.table({id_col: pa.array(drop_ids, id_type)}))
+
+
+def _anti_join_drops(
+    ds: ray.data.Dataset, drops: ray.data.Dataset, id_col: str,
+    join_partitions: int,
+) -> ray.data.Dataset:
     # the arrow hash join rejects nested payload columns (list embeddings,
     # span structs): pack them to binary for the ride and restore after
     packed, nested = _pack_nested_columns(ds)
