@@ -4,22 +4,27 @@ Five families (all first-class per the build brief):
 
 - **exact**: md5-hash partition + per-group first — a hash-shuffle groupby;
   at scale this is the canonical exact-dedup exchange.
-- **MinHash+LSH**: shingle → 64-perm minhash → 16-band bucket groupby →
-  candidate pairs → true-Jaccard verification.  Fully distributed: pair
-  dedup is a (doc_a, doc_b) groupby, shingle sets are attached by a hash
-  join on doc_id, and the Jaccard verdict runs inside map_groups — no
-  candidate pairs or texts ever materialize on the driver (a web corpus is
-  30-50% near-dup; the candidate set is NOT small relative to the corpus).
+- **MinHash+LSH**: shingle → 64-perm minhash → 16-band bucket groupby pair
+  emission (per-group dispatch is in-process slicing, ~10µs/group)
+  → native pair-distinct aggregate → true-Jaccard verification, vectorized
+  over packed shingle buffers attached by hash join (or a ``ray.put``
+  broadcast when parquet metadata proves the corpus small).  No candidate
+  pairs or texts ever materialize on the driver in the distributed regime
+  (a web corpus is 30-50% near-dup; the candidate set is NOT small
+  relative to the corpus).
 - **SimHash**: 64-bit signatures, 4×16-bit band buckets (pigeonhole for
-  hamming ≤ 3), in-bucket hamming verification, distributed pair dedup.
+  hamming ≤ 3), in-bucket hamming verification, native pair dedup.
 - **n-gram Jaccard**: the verification kernel, exposed directly.
 - **embedding cosine**: exact near-dup pairs via block-pair matmul over
   object-store blocks (each task holds two blocks, never the whole matrix),
   plus the LSH scale path (random-hyperplane band buckets + exact verify)
   whose candidate volume scales with dup density, not the corpus square.
 - **corpus-level**: ``near_dedup_keep_first`` collapses each near-dup
-  cluster (connected component of the verified pair graph, distributed
-  min-label propagation) to its min-doc_id representative.
+  cluster (connected component of the verified pair graph) to its
+  min-doc_id representative — union-find on the driver while the VERIFIED
+  edge list is metadata-provably small, distributed min-label propagation
+  with pointer jumping (native Min aggregates, changed-count convergence)
+  at scale.
 """
 
 from __future__ import annotations
@@ -146,6 +151,7 @@ def _emit_pairs(group: pa.Table) -> pa.Table:
     marker column would cost a schema change, so the trade is documented
     here and in the caller docstrings).
     """
+    idt = group.column("doc_id").type  # type-stable even for 0-pair outputs
     ids = sorted(set(group.column("doc_id").to_pylist()))
     a_out, b_out = [], []
     if len(ids) > MAX_BUCKET_PAIRWISE:
@@ -169,7 +175,7 @@ def _emit_pairs(group: pa.Table) -> pa.Table:
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
-    return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
+    return pa.table({"doc_a": pa.array(a_out, idt), "doc_b": pa.array(b_out, idt)})
 
 
 def minhash_candidate_pairs(
@@ -754,6 +760,7 @@ def simhash_dedup_pairs(
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        idt = group.column("doc_id").type
         # recover uint64 from the two's-complement int64 storage
         rows = sorted(
             {(i, h & 0xFFFFFFFFFFFFFFFF)
@@ -779,7 +786,7 @@ def simhash_dedup_pairs(
                         b_out.append(other_id)
                         d_out.append(d)
             return pa.table(
-                {"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
+                {"doc_a": pa.array(a_out, idt), "doc_b": pa.array(b_out, idt),
                  "hamming": pa.array(d_out, pa.int32())}
             )
         a_out, b_out, d_out = [], [], []
@@ -791,7 +798,7 @@ def simhash_dedup_pairs(
                     b_out.append(rows[j][0])
                     d_out.append(d)
         return pa.table(
-            {"doc_a": pa.array(a_out), "doc_b": pa.array(b_out),
+            {"doc_a": pa.array(a_out, idt), "doc_b": pa.array(b_out, idt),
              "hamming": pa.array(d_out, pa.int32())}
         )
 
