@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": TD.knn_bruteforce_query,
         "ivf_topk": TD.ivf_topk_query,
+        "ivf_topk_full": TD.ivf_topk_full_query,
         # joins / json scalar functions
         "orders_by_segment": TD.orders_by_segment,
         "events_json_stats": TD.events_json_stats,
@@ -140,6 +141,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                    FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # full-probe IVF == brute force: certifies the IVF machinery with
+        # the same exact ranking mirror as knn_bruteforce
+        "ivf_topk_full": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 4),
                  scored AS (
