@@ -5,8 +5,11 @@ here calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` maps operator names (SURVEY.md §2 + the training-data ops) to
 callables over ``sf_dir``; SQL-expressible ones have a matching DuckDB
-oracle in ``oracle_sql()`` with identical column names.  Extraction-core and
-sketch-based ops are rows-only (not SQL-expressible).
+oracle in ``oracle_sql()`` with identical column names.  Rows-only (no
+oracle): extract_articles / extract_spans (DOM content — but ``span_stats``
+SQL-certifies their span emission) and ivf_topk (pruned-approximate — but
+``ivf_topk_full`` SQL-certifies the IVF machinery at full probe, and a
+pytest asserts pruned results are contained in brute-force top-k').
 """
 
 from __future__ import annotations

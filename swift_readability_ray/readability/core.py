@@ -74,6 +74,8 @@ class ExtractOptions:
 _logger = logging.getLogger("swift_readability_ray.readability")
 
 
+
+
 class MaxElemsExceeded(Exception):
     pass
 
@@ -1345,6 +1347,16 @@ class Extractor:
             # closure overload (Readability.swift:177-194 parse(serializer:))
             result_content = serializer(article_content)
         else:
+            # NOTE on the reference's normalizeBooleanAttributes
+            # (Readability.swift:501-666): SwiftSoup canonicalizes boolean
+            # attributes (controls="controls" parses to a valueless
+            # BooleanAttribute), so the reference must reconstruct the
+            # literal form from source regexes before XML emission.  Our
+            # DOM stores attribute values verbatim — literal and bare forms
+            # both round-trip byte-faithfully through every serializer mode
+            # by construction (pinned by
+            # test_xml_boolean_attr_forms_round_trip) — so that mechanism
+            # has no work to do here.
             result_content = (
                 article_content.inner_html
                 if self.opts.serializer == "html"

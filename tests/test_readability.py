@@ -486,3 +486,28 @@ def test_custom_serializer_closure():
     # named modes unaffected
     r2 = Extractor().parse(html, "http://x/")
     assert r2["content"].startswith("<div")
+
+
+def test_xml_boolean_attr_forms_round_trip():
+    """The reference reconstructs literal attr="attr" boolean forms from
+    source regexes before XML emission (Readability.swift:501-666) because
+    SwiftSoup canonicalizes boolean attributes to valueless form.  Our DOM
+    stores attribute values verbatim, so BOTH source forms round-trip
+    byte-faithfully through every serializer mode by construction — this
+    test pins that equivalence (the mechanism's whole observable effect).
+    """
+    from swift_readability_ray import ExtractOptions, extract
+
+    html = (
+        '<html><head><title>T</title></head><body>'
+        '<div class="article-content">'
+        + "".join(f"<p>word{i} text here and more prose of value.</p>" for i in range(30))
+        + '<video id="v1" src="http://x/v.mp4" controls="controls" loop></video>'
+        '</div></body></html>'
+    )
+    for mode in ("xml", "html"):
+        r = extract(html, "http://fakehost/p", ExtractOptions(serializer=mode))
+        assert r is not None
+        # literal source form survives literally; bare source form stays bare
+        assert 'controls="controls"' in r["content"]
+        assert 'loop="loop"' not in r["content"]
