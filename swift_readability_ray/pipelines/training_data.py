@@ -1166,7 +1166,10 @@ def embedding_neardup_lsh_query(sf_dir: str, threshold: float = 0.9) -> pa.Table
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     aug = ds.map_batches(_augment_embeddings, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = D.embedding_neardup_lsh(aug, threshold=threshold, join_partitions=2)
+    # broadcast verify: the augmented corpus is metadata-provably small
+    # (embeddings rows + 100 planted copies) but transformed, so the caller
+    # asserts the broadcast regime explicitly
+    pairs = D.embedding_neardup_lsh(aug, threshold=threshold, broadcast=True)
     batches = list(pairs.iter_batches(batch_format="pyarrow"))
     if not batches or sum(b.num_rows for b in batches) == 0:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})

@@ -834,6 +834,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     join_partitions: int | None = None,
+    broadcast: bool = False,
 ) -> ray.data.Dataset:
     """Approximate cosine near-dup pairs — the 100 TB path.
 
@@ -846,6 +847,11 @@ def embedding_neardup_lsh(
     below; precision is exact (verified).  Unlike the block-pair exact path
     this never compares all pairs — candidate volume scales with the
     near-dup density, not the corpus square.
+
+    ``broadcast=True`` (caller-asserted small corpus — transformed inputs
+    have no metadata row count to gate on): verification ships the packed
+    normalized vectors once via ``ray.put`` and skips the two hash-join
+    actor spin-ups; identical results, same kernel.
     """
     # bucket keys pack the band tag at bit 48 over the band's bit pattern:
     # bits_per_band must divide n_planes and fit in [1, 32] or keys collide
@@ -916,6 +922,39 @@ def embedding_neardup_lsh(
              "__vec": pa.array(packed, pa.binary())}
         )
 
+    def verdict_table(batch: pa.Table, ra: list, rb: list) -> pa.Table:
+        cos = _pairwise_cosine(ra, rb)
+        out = pa.table(
+            {"id_a": pc.cast(batch.column("doc_a"), pa.int64()),
+             "id_b": pc.cast(batch.column("doc_b"), pa.int64()),
+             "cosine": pa.array(np.round(cos, 6))}
+        )
+        return out.filter(pa.array(cos >= threshold))
+
+    if broadcast:
+        # caller-asserted small corpus: one pass packs the normalized
+        # vectors into a broadcast map, verification is a single join-free
+        # map over the candidate pairs
+        vec_map: dict = {}
+        packed_rows = ds.map_batches(
+            pack_vecs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in packed_rows.iter_batches(batch_format="pyarrow"):
+            for i, v in zip(b.column("doc_id").to_pylist(),
+                            b.column("__vec").to_pylist()):
+                vec_map[i] = v
+        vec_ref = ray.put(vec_map)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            m = ray.get(vec_ref)
+            ra = [m.get(i, b"") for i in batch.column("doc_a").to_pylist()]
+            rb = [m.get(i, b"") for i in batch.column("doc_b").to_pylist()]
+            return verdict_table(batch, ra, rb)
+
+        return pairs.map_batches(
+            verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     vecs = ds.map_batches(
         pack_vecs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # read by both per-side joins
@@ -938,22 +977,25 @@ def embedding_neardup_lsh(
     )
 
     def verify_batch(batch: pa.Table) -> pa.Table:
-        ra = batch.column("__vec_a").to_pylist()
-        rb = batch.column("__vec_b").to_pylist()
-        cos = np.zeros(len(ra), dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(ra, rb)):
-            va = np.frombuffer(ba or b"", dtype=np.float32)
-            vb = np.frombuffer(bb or b"", dtype=np.float32)
-            if len(va) and len(va) == len(vb):
-                cos[i] = float(va @ vb)
-        out = pa.table(
-            {"id_a": pc.cast(batch.column("doc_a"), pa.int64()),
-             "id_b": pc.cast(batch.column("doc_b"), pa.int64()),
-             "cosine": pa.array(np.round(cos, 6))}
+        return verdict_table(
+            batch,
+            batch.column("__vec_a").to_pylist(),
+            batch.column("__vec_b").to_pylist(),
         )
-        return out.filter(pa.array(cos >= threshold))
 
     return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pairwise_cosine(ra: list, rb: list) -> np.ndarray:
+    """Cosine per pair of packed normalized float32 buffers (0.0 when either
+    side is missing or dimensions disagree)."""
+    cos = np.zeros(len(ra), dtype=np.float64)
+    for i, (ba, bb) in enumerate(zip(ra, rb)):
+        va = np.frombuffer(ba or b"", dtype=np.float32)
+        vb = np.frombuffer(bb or b"", dtype=np.float32)
+        if len(va) and len(va) == len(vb):
+            cos[i] = float(va @ vb)
+    return cos
 
 
 # ------------------------------------------------------- embedding cosine
