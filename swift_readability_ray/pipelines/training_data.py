@@ -961,7 +961,7 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     SQL-reconstructable (the md5 arithmetic mirrors exactly in DuckDB), so
     the whole encode→decode→feature path is oracled per document."""
     from ..functions.png import encode_png_gray
-    from ..stages.multimodal import MediaFeatureExtractor
+    from ..stages.multimodal import media_features_batch
 
     # filter (not limit): doc_id < n is reproducible in SQL regardless of
     # file ordering
@@ -997,15 +997,14 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
         )
 
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # task-pool form on warm workers (module-cached decoder instance) — no
+    # actor-pool spin-up; binary payloads keep batch_size small
     out = media.map_batches(
-        MediaFeatureExtractor,
-        fn_constructor_kwargs={"decoder": "png", "feature_dim": 8},
+        media_features_batch,
+        fn_kwargs={"decoder": "png", "feature_dim": 8},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=16,
-        # autoscale to the cluster (judge r1: fixed (1,4) strands cores)
-        concurrency=(1, max(2, n_cpus)),
     )
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     # scalar columns only (the float feature list is not part of the oracle
@@ -1090,7 +1089,7 @@ def pdf_extract(sf_dir: str) -> pa.Table:
     raw text (like extract_metadata / readerable_flags, this certifies the
     whole parse path per document)."""
     from ..functions.pdf import make_simple_pdf
-    from ..stages.pdf_layout import PdfLayoutParser
+    from ..stages.pdf_layout import parse_pdf_batch
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
@@ -1107,14 +1106,14 @@ def pdf_extract(sf_dir: str) -> pa.Table:
              "payload": pa.array(payloads, pa.binary())}
         )
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     pdfs = ds.map_batches(to_pdf, batch_format="pyarrow", zero_copy_batch=True)
+    # task-pool form on warm workers (module-cached parser) — no actor-pool
+    # spin-up; binary payloads keep batch_size small
     out = pdfs.map_batches(
-        PdfLayoutParser,
+        parse_pdf_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=16,  # binary payloads are fat
-        concurrency=(1, max(2, n_cpus)),
+        batch_size=16,
     )
     tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return tbl.select(["doc_id", "n_blocks", "n_chars"]).sort_by("doc_id")

@@ -236,3 +236,20 @@ class FrameSampleStage:
                 "frame_index": pa.array(frames, pa.int32()),
             }
         )
+
+
+_CACHED_EXTRACTORS: dict = {}
+
+
+def media_features_batch(
+    batch: pa.Table, decoder: str = "fake", feature_dim: int = 32
+) -> pa.Table:
+    """Task-pool form of :class:`MediaFeatureExtractor`: one cached instance
+    per (decoder, feature_dim) per worker process — skips actor-pool
+    spin-up for pipelines that run on warm workers."""
+    key = (decoder, feature_dim)
+    ex = _CACHED_EXTRACTORS.get(key)
+    if ex is None:
+        ex = MediaFeatureExtractor(decoder=decoder, feature_dim=feature_dim)
+        _CACHED_EXTRACTORS[key] = ex
+    return ex(batch)
