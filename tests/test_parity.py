@@ -125,6 +125,12 @@ def test_xml_mode_fixture_parity_byte_level():
         # so only tag/attribute/text bytes are compared
         xml = _WS.sub(" ", xml)
         xml = xml.replace("> <", "><")
+        # js-beautify line-wraps long text by inserting a newline directly
+        # before the closing tag even where the source had no whitespace
+        # ("learned.\n</p>" from "learned.</p>"), which the run-collapse
+        # above turns into a spurious space; whitespace immediately before
+        # a closing tag is render-insignificant, so drop it on BOTH sides
+        xml = xml.replace(" </", "</")
         return xml.strip()
 
     passed, failed = 0, []
@@ -146,4 +152,4 @@ def test_xml_mode_fixture_parity_byte_level():
             passed += 1
         else:
             failed.append(name)
-    assert passed >= 120, f"XML byte-level parity {passed}/{len(names)}; failing: {failed[:10]}"
+    assert passed >= 130, f"XML byte-level parity {passed}/{len(names)}; failing: {failed[:10]}"
