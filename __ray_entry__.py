@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PDF/layout parse (north rule) — real pure-Python content-stream
         # scanner over synthesized-from-text PDFs, SQL-oracled end-to-end
         "pdf_extract": TD.pdf_extract,
+        # corpus duplication + salience signals (Lee et al. 2022 / TF-IDF)
+        "dup_ngram_stats": TD.dup_ngram_stats,
+        "tfidf_top_terms": TD.tfidf_top_terms,
     }
 
 
@@ -581,5 +584,52 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
             FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        # cross-doc duplicated word-8-gram counts per document (docs with
+        # <8 tokens emit no grams and are absent on both sides)
+        "dup_ngram_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ts[i.g : i.g+7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(ts)-7)) AS i(g)),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            cnt AS (SELECT gram, count(*) AS nd FROM dg GROUP BY gram)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_grams,
+                   floor(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*) * 1000000 + 0.5) / 1000000 AS dup_ratio
+            FROM dg d JOIN cnt c USING (gram)
+            GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # idf = ln(N/df); rank on the 1e-6-half-up-rounded score (term
+        # tie-break) so the cross-engine float ranking is stable
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        t -> t <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1000000 + 0.5)
+                         / 1000000 AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (
+                         PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER)
+                         AS rank
+              FROM scored)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, rank, term, tfidf
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
         """,
     }

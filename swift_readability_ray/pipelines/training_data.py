@@ -1175,3 +1175,229 @@ def embedding_neardup_lsh_query(sf_dir: str, threshold: float = 0.9) -> pa.Table
     return pa.concat_tables(batches).select(["id_a", "id_b"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+def dup_ngram_stats(
+    sf_dir: str, n: int = 8, driver_limit: int = 5_000_000
+) -> pa.Table:
+    """Cross-document duplicated n-gram signal (the exact-substring dup
+    statistic of "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): per document, how many of its distinct word ``n``-grams
+    occur in at least one OTHER document, plus the duplicated fraction.
+
+    Distributed shape (no driver-side gram text at any point):
+      1. map_batches: per-doc DISTINCT grams, emitted as 64-bit md5 keys —
+         8-byte rows cross any exchange, never gram text;
+      2. per-gram doc counts: vectorized per-block partial count
+         (``pc.value_counts``); the combine is METADATA-GATED — when the
+         materialized gram table is ≤``driver_limit`` rows (~80 MB of
+         int64 pairs at 5M) the partials merge on the driver (Ray's
+         Aggregate costs ~10 ms/block regardless of rows — see
+         _merge_partials), else one distributed hash groupby over gram_h
+         (vocabulary-sized, not corpus-sized);
+      3. the duplicated-gram key set flows back onto the gram↦doc table —
+         BROADCAST via ``ray.put`` when ≤2M keys (~16 MB of int64), else a
+         hash join keyed on gram_h, so only duplicated rows travel (the
+         same metadata-gated two-path shape as the minhash verify stage);
+      4. per-doc totals and dup counts union into ONE doc-keyed combine
+         (tag-and-union: no second join), driver-merged under the same
+         gate, distributed groupby above it.
+    Docs with fewer than ``n`` tokens emit no grams and are absent from the
+    output — the oracle's inner join has identical semantics.
+    """
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_id, out_h = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((t or "").lower())
+            seen: set = set()
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j : j + n])
+                h = int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big", signed=True
+                )
+                if h not in seen:
+                    seen.add(h)
+                    out_id.append(doc_id)
+                    out_h.append(h)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "gram_h": pa.array(out_h, pa.int64())}
+        )
+
+    gram_rows = ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (counts + dup filter) — one gram pass
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("gram_h").combine_chunks())
+        return pa.table(
+            {"gram_h": vc.field("values"),
+             "nd": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    n_gram_rows = D._metadata_row_count(gram_rows)
+    small = n_gram_rows is not None and n_gram_rows <= driver_limit
+    dup_np: np.ndarray | None = None
+    if small:
+        # driver merge of the per-block partials (partial rows ≤ gram rows,
+        # so the gate bounds the driver table); Ray's Aggregate fixed cost
+        # (~10 ms/block of sort/combine) dwarfs this merge at bench scale
+        ptbl = pa.concat_tables(
+            gram_rows.map_batches(
+                count_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+        vocab = ptbl.group_by(["gram_h"]).aggregate([("nd", "sum")])
+        dup_np = np.sort(
+            vocab.filter(pc.greater_equal(vocab.column("nd_sum"), 2))
+            .column("gram_h").to_numpy()
+        )
+    else:
+        dup_keys = (
+            gram_rows.map_batches(
+                count_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("gram_h").aggregate(Sum("nd"))
+            .rename_columns(["gram_h", "nd_total"])
+            .filter(expr="nd_total >= 2")
+            .select_columns(["gram_h"])
+            .materialize()
+        )
+        n_dup_keys = D._metadata_row_count(dup_keys)
+        if n_dup_keys is not None and n_dup_keys <= 2_000_000:
+            dup_np = np.sort(np.concatenate(
+                [b.column("gram_h").to_numpy()
+                 for b in dup_keys.iter_batches(batch_format="pyarrow")]
+                + [np.array([], np.int64)]
+            ))
+
+    if dup_np is not None:
+        keys_ref = ray.put(dup_np)
+
+        def keep_dup(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            h = batch.column("gram_h").to_numpy()
+            if keys.size == 0:
+                return batch.slice(0, 0)
+            idx = np.searchsorted(keys, h)
+            idx[idx == len(keys)] = 0
+            return batch.filter(pa.array(keys[idx] == h))
+
+        dup_rows = gram_rows.map_batches(
+            keep_dup, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        dup_rows = gram_rows.join(
+            dup_keys, join_type="inner",
+            num_partitions=D._default_join_partitions(gram_rows), on=("gram_h",),
+        )
+
+    def tag(n_col: int, dup_col: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["doc_id"]).aggregate([("doc_id", "count")])
+            cnt = g.column("doc_id_count")
+            zero = pa.array([0] * g.num_rows, pa.int64())
+            return pa.table(
+                {"doc_id": g.column("doc_id"),
+                 "n_inc": cnt if n_col else zero,
+                 "dup_inc": cnt if dup_col else zero}
+            )
+        return partial
+
+    tagged = gram_rows.map_batches(
+        tag(1, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(dup_rows.map_batches(tag(0, 1), batch_format="pyarrow", zero_copy_batch=True))
+    if small:
+        # same gate as above: tag partials are ≤ one row per (doc, block)
+        tbl = _merge_partials(
+            tagged, ["doc_id"], [("n_inc", "sum"), ("dup_inc", "sum")]
+        ).rename_columns(["doc_id", "n_grams", "dup_grams"])
+    else:
+        per_doc = tagged.groupby("doc_id").aggregate(Sum("n_inc"), Sum("dup_inc"))
+        tbl = pa.concat_tables(
+            [b for b in per_doc.iter_batches(batch_format="pyarrow")]
+        ).rename_columns(["doc_id", "n_grams", "dup_grams"])
+    ratio = np.floor(
+        tbl.column("dup_grams").to_numpy().astype(np.float64)
+        / tbl.column("n_grams").to_numpy() * 1e6 + 0.5
+    ) / 1e6
+    return tbl.append_column("dup_ratio", pa.array(ratio, pa.float64())).sort_by("doc_id")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-document top-``k`` TF-IDF terms (idf = ln(N/df), ranked on the
+    1e-6-half-up-rounded score with term tie-break — the rounding keeps the
+    cross-engine ranking stable, same discipline as quality_score).
+
+    The document-frequency table is vocabulary-sized: built by a per-block
+    distinct-doc partial + one hash groupby, then BROADCAST once via
+    ``ray.put`` into the scoring stage (valid to ~1e7 terms; a larger vocab
+    would swap the broadcast for a token-keyed hash join, as the dedup
+    family does for its shingle tables).  N comes from the parquet footer —
+    no counting pass.
+    """
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(token_re.findall((t or "").lower())))
+        return pa.table(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "df": pa.array(list(c.values()), pa.int64())}
+        )
+
+    df_tbl = pa.concat_tables(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").aggregate(Sum("df"))
+        .iter_batches(batch_format="pyarrow")
+    ).rename_columns(["term", "df"])
+    df_ref = ray.put(dict(zip(df_tbl.column("term").to_pylist(),
+                              df_tbl.column("df").to_pylist())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        out_id, out_rank, out_term, out_score = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(token_re.findall((t or "").lower()))
+            scored = sorted(
+                ((np.floor(c * np.log(n_docs / df[w]) * 1e6 + 0.5) / 1e6, w)
+                 for w, c in tf.items()),
+                key=lambda sw: (-sw[0], sw[1]),
+            )[:k]
+            for r, (s, w) in enumerate(scored, 1):
+                out_id.append(doc_id)
+                out_rank.append(r)
+                out_term.append(w)
+                out_score.append(s)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "rank": pa.array(out_rank, pa.int32()),
+             "term": pa.array(out_term, pa.string()),
+             "tfidf": pa.array(out_score, pa.float64())}
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("doc_id", "ascending"), ("rank", "ascending")])

@@ -90,3 +90,13 @@ def test_orders_by_segment_join_fallback(ray_session):
     broadcast = orders_by_segment(SF)
     joined = orders_by_segment(SF, broadcast_limit=0)  # force join path
     assert broadcast.to_pylist() == joined.to_pylist()
+
+
+def test_dup_ngram_stats_distributed_fallback(ray_session):
+    """Above the driver-merge gate the gram/doc combines run as distributed
+    groupbys (with the dup-key broadcast) and produce identical results."""
+    from swift_readability_ray.pipelines.training_data import dup_ngram_stats
+
+    merged = dup_ngram_stats(SF)
+    distributed = dup_ngram_stats(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
