@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus duplication + salience signals (Lee et al. 2022 / TF-IDF)
         "dup_ngram_stats": TD.dup_ngram_stats,
         "tfidf_top_terms": TD.tfidf_top_terms,
+        # 3-way join: customer ⋈ orders ⋈ lineitem, exact integer revenue
+        "q3_top_orders": TD.q3_top_orders,
     }
 
 
@@ -631,5 +633,24 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, rank, term, tfidf
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # TPC-H Q3-style top-10 orders by revenue for one segment; revenue
+        # in exact integer 1e-4-dollar units (cents x discount-percent) so
+        # the cross-engine sum is order-independent; orderkey tie-break
+        "q3_top_orders": """
+            SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+                   o.o_orderdate,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_c4 DESC, o_orderkey
+            LIMIT 10
         """,
     }

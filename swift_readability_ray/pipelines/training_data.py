@@ -1401,3 +1401,191 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+
+
+def q3_top_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    broadcast_limit: int = 5_000_000,
+) -> pa.Table:
+    """TPC-H Q3-style shipping-priority query: top-``k`` orders by revenue
+    for one market segment, over the 3-way customer ⋈ orders ⋈ lineitem
+    join.  Revenue is EXACT integer arithmetic — cents × discount-percent
+    (``revenue_c4``, units of 1e-4 dollars) — so the sum is
+    order-independent under any partial-combine schedule (the lineitem_agg
+    money discipline).
+
+    Scale shape (one fact-table pass, no fact shuffle in the common case):
+      - customer: column-pruned read, segment filter; the qualifying key
+        set broadcasts while the footer row count is ≤``broadcast_limit``,
+        else orders take a distributed hash join against it;
+      - orders: date + segment-membership filter inside map_batches
+        (vectorized searchsorted on the broadcast key set), then the
+        surviving (orderkey, orderdate) side — already the SMALL side, it
+        shrinks with both filters — broadcasts under the same gate, else
+        lineitem ⋈ orders runs as a distributed hash join on orderkey;
+      - lineitem: column-pruned read, shipdate filter, per-batch integer
+        revenue partials keyed by (orderkey, orderdate) — blocks shrink to
+        ≤ distinct-orders rows before any exchange;
+      - combine: driver merge while the filtered-orders row count (free
+        metadata after its materialize) is under the gate — group
+        cardinality is bounded by it — else a distributed groupby followed
+        by per-block top-k partials, so only k rows per block reach the
+        driver.
+    """
+    cutoff_us = np.datetime64(cutoff, "us")
+
+    customers = _read_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("c_mktsegment"), segment)
+        return batch.filter(m).select(["c_custkey"])
+
+    cust_small = customers.count() <= broadcast_limit
+    if cust_small:
+        keys = np.sort(np.concatenate(
+            [b.column("c_custkey").to_numpy()
+             for b in customers.map_batches(
+                 cust_keys, batch_format="pyarrow", zero_copy_batch=True
+             ).iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]
+        ))
+        ckeys_ref = ray.put(keys)
+
+    orders = _read_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("o_orderdate"), pa.scalar(cutoff_us)))
+        ck = b.column("o_custkey").to_numpy()
+        ks = ray.get(ckeys_ref)
+        if ks.size == 0:
+            return b.slice(0, 0).select(["o_orderkey", "o_orderdate"])
+        idx = np.searchsorted(ks, ck)
+        idx[idx == len(ks)] = 0
+        return b.filter(pa.array(ks[idx] == ck)).select(["o_orderkey", "o_orderdate"])
+
+    if cust_small:
+        ords = orders.map_batches(
+            filter_orders, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        cust_filtered = customers.map_batches(
+            cust_keys, batch_format="pyarrow", zero_copy_batch=True
+        )
+        def date_filter(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.less(batch.column("o_orderdate"), pa.scalar(cutoff_us))
+            )
+
+        ords = (
+            orders.map_batches(
+                date_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .join(
+                cust_filtered, join_type="inner",
+                num_partitions=D._default_join_partitions(orders),
+                on=("o_custkey",), right_on=("c_custkey",),
+            )
+            .select_columns(["o_orderkey", "o_orderdate"])
+            .materialize()
+        )
+
+    lineitem = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        rows_per_block=8192,
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        """Shipdate filter + exact integer revenue partial per orderkey."""
+        b = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff_us)))
+        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                          pa.int64())
+        disc_p = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)),
+                         pa.int64())
+        t = pa.table(
+            {"o_orderkey": b.column("l_orderkey"),
+             "rev_c4": pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_p))}
+        )
+        return t.group_by(["o_orderkey"]).aggregate([("rev_c4", "sum")])
+
+    n_ords = D._metadata_row_count(ords)
+    ords_small = n_ords is not None and n_ords <= broadcast_limit
+    if ords_small:
+        ok, od = [], []
+        for b in ords.iter_batches(batch_format="pyarrow"):
+            ok.append(b.column("o_orderkey").to_numpy())
+            od.append(pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy())
+        okeys = np.concatenate(ok + [np.array([], np.int64)])
+        odates = np.concatenate(od + [np.array([], np.int64)])
+        order_sort = np.argsort(okeys)
+        omap_ref = ray.put((okeys[order_sort], odates[order_sort]))
+
+        def join_and_partial(batch: pa.Table) -> pa.Table:
+            p = rev_partial(batch)
+            okeys_s, odates_s = ray.get(omap_ref)
+            h = p.column("o_orderkey").to_numpy()
+            if okeys_s.size == 0:
+                hit = np.zeros(len(h), bool)
+                idx = np.zeros(len(h), np.int64)
+            else:
+                idx = np.searchsorted(okeys_s, h)
+                idx[idx == len(okeys_s)] = 0
+                hit = okeys_s[idx] == h
+            p = p.append_column(
+                "o_orderdate_us", pa.array(odates_s[idx] if okeys_s.size else idx,
+                                           pa.int64())
+            ).filter(pa.array(hit))
+            return p.select(["o_orderkey", "o_orderdate_us", "rev_c4_sum"])
+
+        partials = lineitem.map_batches(
+            join_and_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        agg = _merge_partials(
+            partials, ["o_orderkey", "o_orderdate_us"], [("rev_c4_sum", "sum")]
+        )
+    else:
+        joined = lineitem.map_batches(
+            rev_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            ords, join_type="inner",
+            num_partitions=D._default_join_partitions(lineitem), on=("o_orderkey",),
+        ).map_batches(
+            lambda b: b.append_column(
+                "o_orderdate_us", pc.cast(b.column("o_orderdate"), pa.int64())
+            ).select(["o_orderkey", "o_orderdate_us", "rev_c4_sum"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        from ray.data.aggregate import Max, Sum
+
+        # one orderdate per orderkey (orders PK) — Max is "the" value
+        per_order = joined.groupby("o_orderkey").aggregate(
+            Sum("rev_c4_sum"), Max("o_orderdate_us")
+        )
+
+        def topk_partial(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(["o_orderkey", "rev_c4_sum", "o_orderdate_us"])
+            t = t.sort_by([("rev_c4_sum", "descending"), ("o_orderkey", "ascending")])
+            return t.slice(0, k)
+
+        agg = pa.concat_tables(
+            per_order.map_batches(
+                topk_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ).select(["o_orderkey", "o_orderdate_us", "rev_c4_sum"])
+
+    agg = agg.sort_by(
+        [("rev_c4_sum", "descending"), ("o_orderkey", "ascending")]
+    ).slice(0, k)
+    return pa.table(
+        {"o_orderkey": agg.column("o_orderkey"),
+         "o_orderdate": pc.cast(agg.column("o_orderdate_us"), pa.timestamp("us")),
+         "revenue_c4": agg.column("rev_c4_sum")}
+    )

@@ -100,3 +100,14 @@ def test_dup_ngram_stats_distributed_fallback(ray_session):
     merged = dup_ngram_stats(SF)
     distributed = dup_ngram_stats(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_q3_top_orders_distributed_fallback(ray_session):
+    """Above the broadcast budget q3 runs both joins distributed (hash join
+    on custkey, then orderkey) plus per-block top-k partials — identical to
+    the broadcast + driver-merge path."""
+    from swift_readability_ray.pipelines.training_data import q3_top_orders
+
+    broadcast = q3_top_orders(SF)
+    distributed = q3_top_orders(SF, broadcast_limit=0)
+    assert broadcast.to_pylist() == distributed.to_pylist()
