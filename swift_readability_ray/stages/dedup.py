@@ -134,6 +134,26 @@ class MinHashStage:
         )
 
 
+_CACHED_MINHASH: dict = {}
+
+
+def minhash_bands_batch(
+    batch: pa.Table, num_perm: int = 64, bands: int = 16, text_col: str = "text"
+) -> pa.Table:
+    """Task-pool form of :class:`MinHashStage`: one cached instance per
+    (num_perm, bands, text_col) per worker process.  The per-actor state
+    here (two 64-element numpy permutation vectors) costs microseconds to
+    build, so an actor pool buys nothing and its spin-up (measured ~0.8 s
+    at 32 slots on a warm cluster) is pure overhead — same reasoning as
+    ``multimodal.media_features_batch``."""
+    key = (num_perm, bands, text_col)
+    st = _CACHED_MINHASH.get(key)
+    if st is None:
+        st = MinHashStage(num_perm=num_perm, bands=bands, text_col=text_col)
+        _CACHED_MINHASH[key] = st
+    return st(batch)
+
+
 MAX_BUCKET_PAIRWISE = 256
 
 
@@ -184,26 +204,100 @@ def minhash_candidate_pairs(
     bands: int = 16,
     text_col: str = "text",
     distinct: bool = True,
+    driver_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """doc pairs sharing ≥1 LSH band bucket.
 
     ``distinct=False`` skips the pair-dedup shuffle and may emit a pair once
     per shared band — callers that collect the (small) candidate set anyway
     should dedup driver-side instead of paying a second all-to-all.
+
+    ``driver_limit``: when the parquet-metadata row count is known and at or
+    under this bound, bucket grouping + pair emission + distinct run on the
+    driver over the (tiny: rows × bands small ints) signature table instead
+    of paying two all-to-all shuffles whose fixed cost (~2.9 s measured at
+    32 CPUs) dwarfs the work.  Semantics are bit-identical: the same
+    ``_emit_pairs`` runs per bucket slice.  Transformed inputs have no
+    metadata count and always take the distributed path.
     """
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     sig = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_col": text_col},
+        minhash_bands_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        # autoscale to the cluster — a fixed cap strands cores on big clusters
-        concurrency=(1, max(2, n_cpus)),
     )
-    pairs = sig.groupby("bucket").map_groups(_emit_pairs, batch_format="pyarrow")
+
+    return _bucket_pairs(
+        sig,
+        _metadata_row_count(ds),
+        _emit_pairs,
+        driver_limit,
+        _id_type(ds, "doc_id"),
+        distinct=distinct,
+    )
+
+
+def _bucket_pairs(
+    sig: ray.data.Dataset,
+    n_rows: int | None,
+    emit_fn,
+    driver_limit: int,
+    idt: pa.DataType,
+    value_col: str | None = None,
+    value_type: pa.DataType | None = None,
+    distinct: bool = True,
+) -> ray.data.Dataset:
+    """Bucket groupby → per-bucket pair emission → (doc_a, doc_b) distinct,
+    shared by the minhash / simhash / embedding-LSH families.
+
+    When the SOURCE row count is known from parquet metadata and at or under
+    ``driver_limit``, the whole reduction runs on the driver over the
+    collected signature table (rows × bands small fixed-width rows): group
+    runs come from one sort + ``np.diff`` boundary scan and the SAME
+    ``emit_fn`` runs per bucket slice, so semantics are bit-identical to the
+    distributed path while skipping two all-to-all shuffles whose fixed cost
+    (~2.9 s at 32 CPUs) dwarfs the work at gated sizes.  Unknown (transformed
+    input) or large counts take the distributed groupby path unchanged —
+    the 100 TB shape is unaffected.
+    """
+    if n_rows is not None and n_rows <= driver_limit:
+        cols = {"doc_a": pa.array([], idt), "doc_b": pa.array([], idt)}
+        if value_col is not None:
+            cols[value_col] = pa.array([], value_type)
+        empty = pa.table(cols)
+        batches = list(sig.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return ray.data.from_arrow(empty)
+        tbl = pa.concat_tables(batches).sort_by([("bucket", "ascending")])
+        buckets = tbl.column("bucket").to_numpy()
+        if len(buckets) == 0:
+            return ray.data.from_arrow(empty)
+        cut = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(buckets)]))
+        outs = [
+            emit_fn(tbl.slice(s, e - s))
+            for s, e in zip(starts, ends)
+            if e - s >= 2
+        ]
+        pairs_tbl = pa.concat_tables(outs) if outs else empty
+        if distinct and pairs_tbl.num_rows:
+            if value_col is None:
+                pairs_tbl = pairs_tbl.group_by(["doc_a", "doc_b"]).aggregate([])
+            else:
+                # the value is identical across a pair's band emissions
+                # (computed from the same two signatures), so min is exact
+                pairs_tbl = (
+                    pairs_tbl.group_by(["doc_a", "doc_b"])
+                    .aggregate([(value_col, "min")])
+                    .rename_columns(["doc_a", "doc_b", value_col])
+                )
+        return ray.data.from_arrow(pairs_tbl)
+
+    pairs = sig.groupby("bucket").map_groups(emit_fn, batch_format="pyarrow")
     if not distinct:
         return pairs
-    return _distinct_pairs(pairs)
+    return _distinct_pairs(pairs, value_col=value_col)
 
 
 def _distinct_pairs(
@@ -276,7 +370,9 @@ def minhash_dedup_pairs(
             }
         )
 
-    pairs_lazy = minhash_candidate_pairs(ds, num_perm, bands, text_col, distinct=True)
+    pairs_lazy = minhash_candidate_pairs(
+        ds, num_perm, bands, text_col, distinct=True, driver_limit=broadcast_limit
+    )
     shingles_lazy = ds.map_batches(
         add_shingles, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -728,14 +824,20 @@ def near_dedup_keep_first(
 
 
 def simhash_dedup_pairs(
-    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    driver_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash banding + hamming verification.
 
     Fully distributed: hamming is verified inside the band-bucket groupby
     and the cross-band pair dedup is a second (doc_a, doc_b) groupby — a
     pair that matches in k bands collapses to one row without any driver
-    set.  Returns a Dataset of (doc_a, doc_b, hamming)."""
+    set.  Returns a Dataset of (doc_a, doc_b, hamming).  Corpora whose
+    metadata row count is at or under ``driver_limit`` run the bucket
+    reduction on the driver via ``_bucket_pairs`` (identical semantics,
+    no all-to-all fixed cost)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -802,10 +904,17 @@ def simhash_dedup_pairs(
              "hamming": pa.array(d_out, pa.int32())}
         )
 
-    pairs = banded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    # hamming is identical across a pair's band emissions, so the native
-    # Min dedup reproduces it exactly; keep the int32 dtype the oracle pins
-    deduped = _distinct_pairs(pairs, value_col="hamming")
+    # hamming is identical across a pair's band emissions, so the min dedup
+    # reproduces it exactly; keep the int32 dtype the oracle pins
+    deduped = _bucket_pairs(
+        banded,
+        _metadata_row_count(ds),
+        pairs_in_bucket,
+        driver_limit,
+        _id_type(ds, "doc_id"),
+        value_col="hamming",
+        value_type=pa.int32(),
+    )
     return deduped.map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("hamming"), "hamming",
@@ -835,6 +944,7 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     join_partitions: int | None = None,
     broadcast: bool = False,
+    driver_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """Approximate cosine near-dup pairs — the 100 TB path.
 
@@ -898,10 +1008,18 @@ def embedding_neardup_lsh(
         )
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = sk.groupby("bucket").map_groups(_emit_pairs, batch_format="pyarrow")
-    # materialize the deduped candidates (native aggregate): zero candidates
-    # would otherwise produce a schema-less dataset that crashes the hash join
-    pairs = _distinct_pairs(pairs).materialize()
+    # materialize the deduped candidates: zero candidates would otherwise
+    # produce a schema-less dataset that crashes the hash join; small
+    # corpora reduce on the driver via _bucket_pairs — gated by metadata
+    # row count, or by the caller's own small-corpus assertion (broadcast=
+    # True exists precisely because transformed inputs have no count)
+    pairs = _bucket_pairs(
+        sk,
+        0 if broadcast else _metadata_row_count(ds),
+        _emit_pairs,
+        driver_limit,
+        pa.int64(),
+    ).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
