@@ -568,7 +568,10 @@ def components_keep_first(
         drops = _union_find_drops(edges, id_col)
         if drops is None:
             return ds
-        return _anti_join_drops(ds, drops, id_col, join_partitions)
+        # the drop set is already driver-resident (the union-find built it),
+        # so the final filter is a ray.put broadcast + vectorized is_in per
+        # batch — no left-anti join actors, no nested-column pack/unpack
+        return _broadcast_anti_filter(ds, drops, id_col)
 
     from ray.data.aggregate import Min
 
@@ -699,6 +702,24 @@ def _union_find_drops(
     if not drop_ids:
         return None
     return ray.data.from_arrow(pa.table({id_col: pa.array(drop_ids, id_type)}))
+
+
+def _broadcast_anti_filter(
+    ds: ray.data.Dataset, drops: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Drop rows whose ``id_col`` is in ``drops`` via a broadcast value set
+    (``ray.put`` once, ``pc.is_in`` per batch) — the anti-join for drop sets
+    small enough to have been built driver-side."""
+    drop_ids = pa.concat_tables(
+        drops.iter_batches(batch_format="pyarrow")
+    ).column(id_col).combine_chunks()
+    drops_ref = ray.put(drop_ids)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=ray.get(drops_ref))
+        return batch.filter(pc.invert(mask))
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _anti_join_drops(
