@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": TD.tfidf_top_terms,
         # 3-way join: customer ⋈ orders ⋈ lineitem, exact integer revenue
         "q3_top_orders": TD.q3_top_orders,
+        # rolling windows (ROWS + RANGE frames) per user, exact cents
+        "events_rolling": TD.events_rolling,
     }
 
 
@@ -652,5 +654,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue_c4 DESC, o_orderkey
             LIMIT 10
+        """,
+        # rolling windows per user: ROWS frame (3 preceding + current,
+        # ts/event_id order) and RANGE frame (60 min preceding + current,
+        # ts order, peers included); sums in exact integer cents (values
+        # are non-negative so round() == the engine's half-up floor)
+        "events_rolling": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_sum_c,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
+                              AND CURRENT ROW
+                   ) AS BIGINT) AS range_sum_c
+            FROM events
+            ORDER BY event_id
         """,
     }

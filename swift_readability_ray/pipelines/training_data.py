@@ -1403,6 +1403,110 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
     ).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
 
 
+def events_rolling(
+    sf_dir: str,
+    preceding: int = 3,
+    range_minutes: int = 60,
+    driver_limit: int = 1_000_000,
+) -> pa.Table:
+    """Rolling-window aggregates per user: the windowed-aggregate operator
+    family as a first-class op, in both SQL window frame modes —
+
+      - ``roll_sum_c``: ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT
+        ROW (ordered by ts, event_id), and
+      - ``range_sum_c``: RANGE BETWEEN ``range_minutes`` PRECEDING AND
+        CURRENT ROW (ordered by ts; peers at the current timestamp are
+        included, exactly the SQL RANGE semantics),
+
+    plus ``rn`` (row_number).  Sums are integer cents (half-up; event
+    values are non-negative) so cross-engine equality is exact.
+
+    Scale shape: ONE shuffle, partitioned by user_id (the same key every
+    events query uses); each group's windows are numpy kernels — lexsort +
+    prefix-sum differences for ROWS, two searchsorteds against the same
+    prefix sums for RANGE — never a Python loop over events.  Per-user
+    group size is bounded by a user's event count; a pathological hot user
+    would need key salting, which windowed semantics forbid (frames cross
+    salt boundaries), so the hot-key mitigation is the rows-per-block cap
+    on the read.  Tables whose metadata row count is at or under
+    ``driver_limit`` run the same kernel over one driver-side lexsorted
+    pass (run-boundary slicing on user_id) instead of paying the shuffle's
+    fixed cost — identical output, shuffle path pinned by the fallback
+    test.
+    """
+    range_us = range_minutes * 60_000_000
+
+    def roll_kernel(ts: np.ndarray, eid: np.ndarray, cents: np.ndarray,
+                    uid_val) -> pa.Table:
+        """Windows for ONE user's events, pre-sorted by (ts, event_id)."""
+        n = len(eid)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        idx = np.arange(n)
+        roll = csum[idx + 1] - csum[np.maximum(0, idx - preceding)]
+        lo = np.searchsorted(ts, ts - range_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pa.table(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(np.full(n, uid_val, np.int64)),
+             "rn": pa.array(idx + 1, pa.int64()),
+             "roll_sum_c": pa.array(roll, pa.int64()),
+             "range_sum_c": pa.array(csum[hi] - csum[lo], pa.int64())}
+        )
+
+    def group_cols(group: pa.Table):
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        cents = np.floor(
+            group.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return ts, eid, cents
+
+    path = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "user_id", "ts", "value"]
+    import pyarrow.parquet as pq
+
+    try:
+        n_rows = pq.read_metadata(path).num_rows
+    except Exception:
+        n_rows = None
+
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(
+            _read_sized(path, columns=cols).iter_batches(batch_format="pyarrow")
+        )
+        ts, eid, cents = group_cols(tbl)
+        uid = tbl.column("user_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        ts, eid, cents, uid = ts[order], eid[order], cents[order], uid[order]
+        cut = np.flatnonzero(np.diff(uid)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(uid)]))
+        outs = [
+            roll_kernel(ts[s:e], eid[s:e], cents[s:e], uid[s])
+            for s, e in zip(starts, ends)
+        ]
+        out_tbl = (
+            pa.concat_tables(outs) if outs
+            else roll_kernel(np.array([], np.int64), np.array([], np.int64),
+                             np.array([], np.int64), 0).slice(0, 0)
+        )
+        return out_tbl.sort_by("event_id")
+
+    ds = _read_sized(path, columns=cols)
+
+    def roll_group(group: pa.Table) -> pa.Table:
+        ts, eid, cents = group_cols(group)
+        order = np.lexsort((eid, ts))
+        return roll_kernel(ts[order], eid[order], cents[order],
+                           group.column("user_id")[0].as_py())
+
+    out = ds.groupby("user_id").map_groups(roll_group, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("event_id")
+
+
 def q3_top_orders(
     sf_dir: str,
     segment: str = "BUILDING",

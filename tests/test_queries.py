@@ -111,3 +111,13 @@ def test_q3_top_orders_distributed_fallback(ray_session):
     broadcast = q3_top_orders(SF)
     distributed = q3_top_orders(SF, broadcast_limit=0)
     assert broadcast.to_pylist() == distributed.to_pylist()
+
+
+def test_events_rolling_distributed_fallback(ray_session):
+    """Above the driver gate the window runs as a user_id groupby with the
+    same per-group kernel — identical to the driver-side run-slicing path."""
+    from swift_readability_ray.pipelines.training_data import events_rolling
+
+    driver = events_rolling(SF)
+    shuffled = events_rolling(SF, driver_limit=0)
+    assert driver.to_pylist() == shuffled.to_pylist()
