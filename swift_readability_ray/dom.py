@@ -125,11 +125,24 @@ _TABLE_STRUCTURE = frozenset(
     "caption colgroup col thead tbody tfoot tr td th".split()
 )
 
-# Formatting elements subject to the (simplified) adoption-agency rule: an
-# end tag for one of these arriving while block elements are still open
-# above it must NOT close those blocks (browser keeps the <p> of
-# "<b>1<p>2</b>3</p>" open so "3" lands inside the paragraph).
+# Formatting elements subject to the adoption-agency rule (HTML5 §13.2.6.4.7
+# "in body", any other end tag): an end tag for one of these arriving while
+# elements are still open above it restructures the tree instead of closing
+# those elements — see _adoption_agency.
 _FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+
+# The spec's "special" element category (HTML5 §13.2.4.2), the candidates
+# for the adoption agency's furthest block (foreign-content tags omitted —
+# this parser never enters foreign content)
+_SPECIAL = frozenset(
+    "address applet area article aside base basefont bgsound blockquote body "
+    "br button caption center col colgroup dd details dir div dl dt embed "
+    "fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 "
+    "head header hgroup hr html iframe img input keygen li link listing main "
+    "marquee menu meta nav noembed noframes noscript object ol p param "
+    "plaintext pre script section select source style summary table tbody td "
+    "template textarea tfoot th thead title tr track ul wbr xmp".split()
+)
 
 _WS_RE = re.compile(r"\s+")
 
@@ -736,6 +749,90 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             self.stack.pop()
 
+    def _adoption_agency(self, i: int) -> None:
+        """HTML5 adoption agency (§13.2.6.4.7) for a formatting end tag at
+        stack index ``i`` with elements still open above it.
+
+        Produces the spec algorithm's NET tree and stack — the state after
+        its outer loop has run to completion — directly:
+
+        - no furthest block (no special element above the formatting
+          element): the spec pops everything above and relies on the active
+          formatting list to reconstruct it around later content; with no
+          active-formatting list, keeping the inner elements open in place
+          yields the same rendered text placement, so that's what we do;
+        - furthest block FB present: formatting intermediates between the
+          formatting element and FB become a clone chain wrapping FB
+          (spec inner loop), FB moves to the common ancestor (foster-
+          parented when that is a table context), FB's children are wrapped
+          in a clone of the formatting element, and the open-elements stack
+          becomes [...common ancestor, clone chain, FB] — the spec's
+          follow-up outer iterations immediately pop the formatting clone
+          and anything below FB, so neither is left open.
+
+        The spec's outer loop runs one furthest-block restructure per
+        iteration (capped at 8, like the spec): each round leaves the
+        formatting clone open in the stack immediately below FB, and the
+        next round re-runs with the clone as the formatting element —
+        which is how ``<a>1<div>2<div>3</a>4`` ends up re-wrapping every
+        nested block in its own ``<a>``.
+
+        Browser-checked shapes (html5lib test data):
+        ``<b>1<p>2</b>3</p>`` → ``<b>1</b><p><b>2</b>3</p>``;
+        ``<b><i>1<p>2</b>3`` → ``<b><i>1</i></b><i><p><b>2</b>3</p></i>``;
+        ``<a>1<div>2<div>3</a>4`` →
+        ``<a>1</a><div><a>2</a><div><a>3</a>4</div></div>``.
+        """
+        for _ in range(8):
+            fmt = self.stack[i]
+            j = next(
+                (k for k in range(i + 1, len(self.stack))
+                 if self.stack[k].tag in _SPECIAL),
+                None,
+            )
+            if j is None:
+                # no furthest block: the spec pops everything above the
+                # formatting element and reconstructs it from the active
+                # formatting list around later content; with no active
+                # list, keeping the inner elements open in place yields
+                # the same rendered text placement
+                del self.stack[i]
+                return
+            fb = self.stack[j]
+            ca = self.stack[i - 1]
+
+            # spec inner loop: walk from just above FB toward the
+            # formatting element; formatting intermediates are cloned
+            # around the growing chain, everything else is dropped from
+            # the stack (its subtree keeps its DOM position)
+            last: Element = fb
+            clones: list[Element] = []
+            for k in range(j - 1, i, -1):
+                el = self.stack[k]
+                if el.tag in _FORMATTING:
+                    clone = Element(el.tag, dict(el.attrs))
+                    clone.append_child(last)  # detaches last
+                    clones.append(clone)
+                    last = clone
+
+            # move the chain (or bare FB) to the common ancestor,
+            # foster-parented when the common ancestor is table context
+            if ca.tag in _TABLE_CONTEXT or ca.tag == "table":
+                self._foster_insert(last)
+            elif last.parent is not ca:
+                ca.append_child(last)
+
+            # wrap FB's children in a clone of the formatting element;
+            # the clone stays open immediately below FB (spec step 19)
+            fmt_clone = Element(fmt.tag, dict(fmt.attrs))
+            for child in list(fb.child_nodes):
+                fmt_clone.append_child(child)
+            fb.append_child(fmt_clone)
+
+            rest = self.stack[j + 1:]
+            self.stack[i:] = [*reversed(clones), fb, fmt_clone, *rest]
+            i += len(clones) + 1  # index of fmt_clone for the next round
+
     def _foster_insert(self, node: Node) -> None:
         """Insert before the deepest open table (HTML5 foster parenting);
         adjacent fostered text merges with a preceding fostered text node."""
@@ -776,14 +873,7 @@ class _TreeBuilder(HTMLParser):
             t = self.stack[i].tag
             if t == tag:
                 if tag in _FORMATTING and i < len(self.stack) - 1:
-                    # simplified adoption agency: the formatting element is
-                    # closed, but elements opened inside it stay open and
-                    # keep their DOM position, so following content lands in
-                    # the still-open block as a browser would place it
-                    # (full AAA would additionally clone the formatting
-                    # element around trailing content; text placement — what
-                    # extraction scoring sees — matches either way)
-                    del self.stack[i]
+                    self._adoption_agency(i)
                 else:
                     del self.stack[i:]
                 return

@@ -287,3 +287,29 @@ def test_stray_table_structure_tags_ignored():
 
     frag = parse_fragment("<td>x</td>")
     assert frag and frag[0].tag == "td"
+
+
+def test_adoption_agency_single_block():
+    """<b>1<p>2</b>3</p> — full AAA: p moves out of b, '2' re-wrapped in a
+    b clone inside p, '3' unbolded (html5lib canonical shape)."""
+    doc = _tree("<body><b>1<p>2</b>3</p></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert body.inner_html == "<b>1</b><p><b>2</b>3</p>"
+
+
+def test_adoption_agency_formatting_chain():
+    """Formatting intermediates are cloned around the furthest block."""
+    doc = _tree("<body><b><i>1<p>2</b>3</p></body>")
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert body.inner_html == "<b><i>1</i></b><i><p><b>2</b>3</p></i>"
+
+
+def test_adoption_agency_outer_loop_rewraps_nested_blocks():
+    """The spec's outer loop re-wraps every nested block in its own clone
+    of the formatting element (the classic misnested-<a> example)."""
+    doc = _tree('<body><a href="x">1<div>2<div>3</a>4</div></div></body>')
+    body = doc.get_elements_by_tag_name("body")[0]
+    assert body.inner_html == (
+        '<a href="x">1</a><div><a href="x">2</a>'
+        '<div><a href="x">3</a>4</div></div>'
+    )
