@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": TD.q3_top_orders,
         # rolling windows (ROWS + RANGE frames) per user, exact cents
         "events_rolling": TD.events_rolling,
+        # exact rank-semantics quantiles per event type (order statistics)
+        "events_quantiles": TD.events_quantiles,
+        # anti-join: customers with no orders, counted per segment
+        "customers_without_orders": TD.customers_without_orders,
     }
 
 
@@ -676,5 +680,41 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS range_sum_c
             FROM events
             ORDER BY event_id
+        """,
+        # exact rank-semantics quantiles: p_q = the ceil(q*n)-th smallest
+        # cents value per type (no interpolation, so integer-exact)
+        "events_quantiles": """
+            WITH ranked AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v_c,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value, event_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p25_c,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p50_c,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p75_c,
+                   CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p95_c,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM ranked GROUP BY event_type ORDER BY event_type
+        """,
+        # anti-join: customers with no orders since the cutoff (churn), per
+        # segment
+        "customers_without_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_no_orders
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
     }

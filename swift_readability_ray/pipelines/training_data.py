@@ -1507,6 +1507,174 @@ def events_rolling(
     ).sort_by("event_id")
 
 
+def events_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    driver_limit: int = 5_000_000,
+) -> pa.Table:
+    """Exact per-type order statistics: the q-quantile is pinned as "the
+    ceil(q·n)-th smallest value" (rank semantics, no interpolation), in
+    integer cents, so the SQL mirror (row_number over a window) matches
+    bit-for-bit.
+
+    Scale shape: the map side projects to (event_type, cents) — two small
+    columns — and the groupby shuffles those rows to sort per type.  Exact
+    quantiles NEED every value co-located (this is the distributed-sort
+    problem); at 100 TB the right tool is a mergeable sketch (t-digest /
+    KLL) with rank-error bounds, which this exact path would validate at
+    sample scale.  Under ``driver_limit`` (metadata row count) the sort
+    runs driver-side on the collected two-column table.
+    """
+    path = f"{sf_dir}/events.parquet"
+    import pyarrow.parquet as pq
+
+    def qtable(groups: dict[str, np.ndarray]) -> pa.Table:
+        cols: dict[str, list] = {"event_type": []}
+        for q in qs:
+            cols[f"p{int(q * 100)}_c"] = []
+        cols["n"] = []
+        for et in sorted(groups):
+            v = np.sort(groups[et])
+            n = len(v)
+            cols["event_type"].append(et)
+            for q in qs:
+                cols[f"p{int(q * 100)}_c"].append(int(v[int(np.ceil(q * n)) - 1]))
+            cols["n"].append(n)
+        return pa.table(
+            {k: pa.array(v, pa.int64()) if k != "event_type" else pa.array(v)
+             for k, v in cols.items()}
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "v_c": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                            pa.int64())}
+        )
+
+    ds = _read_sized(path, columns=["event_type", "value"]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    try:
+        n_rows = pq.read_metadata(path).num_rows
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        vals = tbl.column("v_c").to_numpy()
+        return qtable({et: vals[types == et] for et in np.unique(types)})
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        return qtable({et: group.column("v_c").to_numpy()})
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")
+    ).sort_by("event_type")
+
+
+def customers_without_orders(
+    sf_dir: str, since: str = "2000-01-01", broadcast_limit: int = 5_000_000
+) -> pa.Table:
+    """Anti-join as a first-class op: customers with no orders on or after
+    ``since`` (churned customers), counted per market segment.
+
+    The order-side key set (distinct custkeys of recent orders) broadcasts
+    while the orders footer row count is under ``broadcast_limit`` — each
+    customer batch then anti-filters with a sorted-array searchsorted miss
+    test and pre-counts per segment, so only (segment, partial-count) rows
+    reach the driver merge.  Above the gate, a distributed LEFT ANTI hash
+    join against the distinct recent-order keys does the same job
+    shuffle-side.
+    """
+    import pyarrow.parquet as pq
+
+    since_us = np.datetime64(since, "us")
+    customers = _read_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def recent(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("o_orderdate"), pa.scalar(since_us))
+        return batch.filter(m).select(["o_custkey"])
+
+    orders = _read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+
+    try:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    except Exception:
+        n_orders = None
+
+    if n_orders is not None and n_orders <= broadcast_limit:
+        keys = np.unique(np.concatenate(
+            [b.column("o_custkey").to_numpy()
+             for b in orders.iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]
+        ))
+        keys_ref = ray.put(keys)
+
+        def anti_count(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            ck = batch.column("c_custkey").to_numpy()
+            if ks.size == 0:
+                miss = np.ones(len(ck), bool)
+            else:
+                idx = np.searchsorted(ks, ck)
+                idx[idx == len(ks)] = 0
+                miss = ks[idx] != ck
+            b = batch.filter(pa.array(miss))
+            return pa.table({"c_mktsegment": b.column("c_mktsegment")}).group_by(
+                ["c_mktsegment"]
+            ).aggregate([([], "count_all")])
+
+        partials = customers.map_batches(
+            anti_count, batch_format="pyarrow", zero_copy_batch=True
+        )
+        batches = [
+            b for b in partials.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        if not batches:  # every customer has an order
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "n_no_orders": pa.array([], pa.int64())}
+            )
+        merged = (
+            pa.concat_tables(batches)
+            .group_by(["c_mktsegment"])
+            .aggregate([("count_all", "sum")])
+        )
+        return merged.rename_columns(
+            ["c_mktsegment", "n_no_orders"]
+        ).sort_by("c_mktsegment")
+
+    okeys = orders.map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b.column("o_custkey")}
+        ).group_by(["o_custkey"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Count
+
+    left = customers.join(
+        okeys.groupby("o_custkey").aggregate(Count()).select_columns(["o_custkey"]),
+        join_type="left_anti",
+        num_partitions=D._default_join_partitions(customers),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    agg = left.groupby("c_mktsegment").aggregate(Count())
+    tbl = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    tbl = tbl.rename_columns(["c_mktsegment", "n_no_orders"])
+    tbl = tbl.set_column(
+        1, "n_no_orders", pc.cast(tbl.column("n_no_orders"), pa.int64())
+    )
+    return tbl.sort_by("c_mktsegment")
+
+
 def q3_top_orders(
     sf_dir: str,
     segment: str = "BUILDING",

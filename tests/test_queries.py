@@ -121,3 +121,25 @@ def test_events_rolling_distributed_fallback(ray_session):
     driver = events_rolling(SF)
     shuffled = events_rolling(SF, driver_limit=0)
     assert driver.to_pylist() == shuffled.to_pylist()
+
+
+def test_events_quantiles_distributed_fallback(ray_session):
+    """Above the driver gate the per-type order statistics run as an
+    event_type groupby with the same rank kernel."""
+    from swift_readability_ray.pipelines.training_data import events_quantiles
+
+    driver = events_quantiles(SF)
+    shuffled = events_quantiles(SF, driver_limit=0)
+    assert driver.to_pylist() == shuffled.to_pylist()
+
+
+def test_customers_without_orders_join_fallback(ray_session):
+    """Above the broadcast gate the churn anti-join runs as a distributed
+    LEFT ANTI hash join with identical counts."""
+    from swift_readability_ray.pipelines.training_data import (
+        customers_without_orders,
+    )
+
+    broadcast = customers_without_orders(SF)
+    joined = customers_without_orders(SF, broadcast_limit=0)
+    assert broadcast.to_pylist() == joined.to_pylist()
