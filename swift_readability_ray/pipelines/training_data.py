@@ -693,25 +693,67 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
     ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
-def events_sessions(sf_dir: str, gap_seconds: int = 1800) -> pa.Table:
+def events_sessions(
+    sf_dir: str, gap_seconds: int = 1800, driver_limit: int = 1_000_000
+) -> pa.Table:
     """Sessionized windowed aggregate: per-user event and session counts.
 
     A session break is a gap > ``gap_seconds`` between consecutive events of
     the same user.  The groupby shuffles by user_id (the one partitioning
     key); the per-group window logic is a vectorized numpy diff over the
-    sorted timestamps — no Python loop over events.
+    sorted timestamps — no Python loop over events.  Tables whose metadata
+    row count is at or under ``driver_limit`` run ONE driver-side lexsorted
+    pass with run-boundary slicing instead of the shuffle (the
+    fixed-cost-vs-work trade documented in _bucket_pairs; fallback test
+    pins the shuffle path equal).
     """
-    ds = _read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    path = f"{sf_dir}/events.parquet"
+    gap_us = gap_seconds * 1_000_000
+
+    def counts(ts_us: np.ndarray) -> tuple[int, int]:
+        gaps = np.diff(ts_us)
+        return len(ts_us), 1 + int((gaps > gap_us).sum())
+
+    import pyarrow.parquet as pq
+
+    try:
+        n_rows = pq.read_metadata(path).num_rows
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(
+            _read_sized(path, columns=["user_id", "ts"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        cut = np.flatnonzero(np.diff(uid)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(uid)]))
+        rows = [(int(uid[s]), *counts(ts[s:e])) for s, e in zip(starts, ends)]
+        return pa.table(
+            {"user_id": pa.array([r[0] for r in rows], pa.int64()),
+             "n_events": pa.array([r[1] for r in rows], pa.int64()),
+             "n_sessions": pa.array([r[2] for r in rows], pa.int64())}
+        )
+
+    ds = _read_sized(path, columns=["user_id", "ts"])
 
     def sessionize(group: pa.Table) -> pa.Table:
         uid = group.column("user_id")[0].as_py()
-        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False))
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > gap_seconds * 1_000_000).sum())
+        ts = np.sort(
+            group.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        n_events, n_sessions = counts(ts)
         return pa.table(
             {
                 "user_id": pa.array([uid], pa.int64()),
-                "n_events": pa.array([group.num_rows], pa.int64()),
+                "n_events": pa.array([n_events], pa.int64()),
                 "n_sessions": pa.array([n_sessions], pa.int64()),
             }
         )

@@ -143,3 +143,13 @@ def test_customers_without_orders_join_fallback(ray_session):
     broadcast = customers_without_orders(SF)
     joined = customers_without_orders(SF, broadcast_limit=0)
     assert broadcast.to_pylist() == joined.to_pylist()
+
+
+def test_events_sessions_distributed_fallback(ray_session):
+    """Above the driver gate sessionization runs as the user_id groupby
+    with the same gap kernel."""
+    from swift_readability_ray.pipelines.training_data import events_sessions
+
+    driver = events_sessions(SF)
+    shuffled = events_sessions(SF, driver_limit=0)
+    assert driver.to_pylist() == shuffled.to_pylist()
