@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction core (DOM content rows-only; span_stats is the
         # SQL-oracled projection certifying span emission end-to-end)
         "extract_articles": TD.extract_articles,
-        "extract_spans": TD.extract_spans,
+        "extract_spans": TD.extract_spans_materialized,
         "span_stats": TD.span_stats,
         # text analysis
         "token_counts": TD.token_counts,

@@ -400,6 +400,13 @@ def extract_spans(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     )
 
 
+def extract_spans_materialized(sf_dir: str) -> ray.data.Dataset:
+    """Session-cached materialized span extraction: ONE span pass serves
+    both the ``extract_spans`` query and ``span_stats`` (the lazy
+    :func:`extract_spans` is for streaming consumers like ``entry()``)."""
+    return _extracted_spans(sf_dir)
+
+
 def span_stats(sf_dir: str) -> pa.Table:
     """Span-emission certificate (judge r2 item #4): per-doc span count,
     media-span count and total text length from the REAL ``extract_spans``
