@@ -424,19 +424,31 @@ def span_stats(sf_dir: str) -> pa.Table:
     ds = _extracted_spans(sf_dir)
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        spans = batch.column("spans").to_pylist()
+        spans = batch.column("spans").combine_chunks()
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        is_media = pc.equal(
+            pc.struct_field(flat, "kind"), "media"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = pc.utf8_length(
+            pc.coalesce(pc.struct_field(flat, "text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-doc segment sums over the flattened arrays: prefix-sum
+        # differences at the list boundaries (no Python loop over spans)
+        ends = np.cumsum(n_spans)
+        starts = ends - n_spans
+        c_media = np.concatenate(([0], np.cumsum(is_media)))
+        c_tlen = np.concatenate(([0], np.cumsum(tlen)))
         return pa.table(
             {
-                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
-                "n_spans": pa.array([len(s) for s in spans], pa.int64()),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
                 "n_media_spans": pa.array(
-                    [sum(1 for x in s if x["kind"] == "media") for s in spans],
-                    pa.int64(),
+                    c_media[ends] - c_media[starts], pa.int64()
                 ),
                 "text_chars": pa.array(
-                    [sum(len(x["text"] or "") for x in s) for s in spans],
-                    pa.int64(),
+                    c_tlen[ends] - c_tlen[starts], pa.int64()
                 ),
             }
         )
