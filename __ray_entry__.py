@@ -96,6 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": TD.events_quantiles,
         # anti-join: customers with no orders, counted per segment
         "customers_without_orders": TD.customers_without_orders,
+        # exact distinct users per event type (pair-distinct combiner)
+        "events_user_counts": TD.events_user_counts,
+        # mergeable HyperLogLog distinct sketch (approximate — rows-only;
+        # pytest bounds the relative error against the exact query)
+        "events_user_counts_hll": TD.events_user_counts_hll,
     }
 
 
@@ -716,5 +721,11 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01'
             )
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # exact distinct users per event type
+        "events_user_counts": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -153,3 +153,29 @@ def test_events_sessions_distributed_fallback(ray_session):
     driver = events_sessions(SF)
     shuffled = events_sessions(SF, driver_limit=0)
     assert driver.to_pylist() == shuffled.to_pylist()
+
+
+def test_events_user_counts_distributed_fallback(ray_session):
+    """Above the driver gate the distinct-count runs as a distributed
+    pair-distinct groupby + per-type count."""
+    from swift_readability_ray.pipelines.training_data import events_user_counts
+
+    driver = events_user_counts(SF)
+    shuffled = events_user_counts(SF, driver_limit=0)
+    assert driver.to_pylist() == shuffled.to_pylist()
+
+
+def test_hll_distinct_error_bound(ray_session):
+    """The HLL sketch (p=12, ~1.6% σ) estimates within 5% of the exact
+    per-type distinct count on the test corpus."""
+    from swift_readability_ray.pipelines.training_data import (
+        events_user_counts,
+        events_user_counts_hll,
+    )
+
+    exact = {r["event_type"]: r["n_users"] for r in events_user_counts(SF).to_pylist()}
+    est = {r["event_type"]: r["n_users_est"]
+           for r in events_user_counts_hll(SF).to_pylist()}
+    assert set(exact) == set(est)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
