@@ -101,6 +101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable HyperLogLog distinct sketch (approximate — rows-only;
         # pytest bounds the relative error against the exact query)
         "events_user_counts_hll": TD.events_user_counts_hll,
+        # REAL audio decode (pure-Python RIFF/WAVE PCM codec)
+        "audio_features": TD.audio_features,
+        # REAL resize: decode -> integer box pooling -> re-encode -> re-decode
+        "media_resize": TD.media_resize,
+        # REAL video frame sampling: seek FPK1 prefixes, decode sampled PNGs
+        "video_frames": TD.video_frames,
     }
 
 
@@ -395,6 +401,129 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(byte) AS BIGINT) AS pixel_sum,
                    true AS decode_ok
             FROM v GROUP BY doc_id, w, h, n ORDER BY media_ref
+        """,
+        # audio_features synthesizes a 16-bit PCM WAV per doc (rate/channels/
+        # length vary by id; sample bytes are the md5 chain over "id:a{block}")
+        # and decodes it with the pure-Python RIFF/WAVE codec — little-endian
+        # int16 reconstruction from the md5 hex mirrors exactly in SQL, so a
+        # hash match certifies the real encode→decode→stats path
+        "audio_features": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     1 + doc_id % 2 AS channels,
+                     8000 * (1 + doc_id % 3) AS rate,
+                     (50 + doc_id % 40) * (1 + doc_id % 2) AS n_samples
+              FROM documents WHERE doc_id < 64),
+            blocks AS (
+              SELECT doc_id, channels, rate, n_samples,
+                     unnest(range(0, (2 * n_samples + 15) // 16)) AS b
+              FROM d),
+            hx AS (
+              SELECT doc_id, channels, rate, n_samples, b,
+                     md5(doc_id || ':a' || b) AS hh
+              FROM blocks),
+            pairs AS (
+              SELECT doc_id, channels, rate, n_samples, b, hh,
+                     unnest(range(0, 8)) AS j
+              FROM hx),
+            s AS (
+              SELECT doc_id, channels, rate, n_samples,
+                     CAST(('0x' || substr(hh, j * 4 + 1, 2)) AS BIGINT)
+                     + 256 * CAST(('0x' || substr(hh, j * 4 + 3, 2)) AS BIGINT)
+                       AS u
+              FROM pairs WHERE b * 8 + j < n_samples),
+            v AS (
+              SELECT doc_id, channels, rate, n_samples,
+                     CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val
+              FROM s)
+            SELECT 'mem://audio/' || doc_id AS media_ref,
+                   'audio' AS media_type,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(channels AS INTEGER) AS channels,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST((n_samples // channels) * 1000 // rate AS BIGINT)
+                     AS duration_ms,
+                   CAST(sum(val) AS BIGINT) AS sample_sum,
+                   CAST(max(abs(val)) AS INTEGER) AS peak_abs,
+                   true AS decode_ok
+            FROM v GROUP BY doc_id, channels, rate, n_samples
+            ORDER BY media_ref
+        """,
+        # media_resize re-decodes the PNGs the resize stage re-encoded; the
+        # integer-mean box pooling (floor cell map src(y,x) → dst(y*4//h,
+        # x*4//w), per-cell sum//count) mirrors exactly in SQL
+        "media_resize": r"""
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+              FROM documents WHERE doc_id < 64),
+            e AS (SELECT doc_id, w, h, w * h AS n FROM d),
+            blocks AS (
+              SELECT doc_id, w, h, n, unnest(range(0, (n + 15) // 16)) AS b
+              FROM e),
+            hx AS (
+              SELECT doc_id, w, h, n, b, md5(doc_id || ':' || b) AS hh
+              FROM blocks),
+            bytes AS (
+              SELECT doc_id, w, h, n, b, hh, unnest(range(0, 16)) AS j
+              FROM hx),
+            v AS (
+              SELECT doc_id, w, h, b * 16 + j AS idx,
+                     CAST(('0x' || substr(hh, j * 2 + 1, 2)) AS BIGINT) AS byte
+              FROM bytes WHERE b * 16 + j < n),
+            cells AS (
+              SELECT doc_id,
+                     ((idx // w) * 4) // h AS cy,
+                     ((idx % w) * 4) // w AS cx,
+                     byte
+              FROM v),
+            cellvals AS (
+              SELECT doc_id, cy, cx, sum(byte) // count(*) AS cv
+              FROM cells GROUP BY doc_id, cy, cx)
+            SELECT 'mem://doc/' || doc_id AS media_ref,
+                   'image' AS media_type,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   CAST(16 AS BIGINT) AS n_pixels,
+                   CAST(sum(cv) AS BIGINT) AS pixel_sum,
+                   true AS decode_ok
+            FROM cellvals GROUP BY doc_id ORDER BY media_ref
+        """,
+        # video_frames samples frames 0,2,4 (every_n=2, max_frames=3) out of
+        # each doc's 2–6-frame FPK1 pack; per-frame pixels are the md5 chain
+        # over "id:f{frame}:{block}"
+        "video_frames": r"""
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 4 AS h, 2 + doc_id % 5 AS nf
+              FROM documents WHERE doc_id < 48),
+            fr AS (
+              SELECT doc_id, w, h, w * h AS npix, unnest(range(0, nf)) AS k
+              FROM d),
+            sampled AS (
+              SELECT * FROM fr WHERE k % 2 = 0 AND k // 2 < 3),
+            blocks AS (
+              SELECT doc_id, w, h, npix, k,
+                     unnest(range(0, (npix + 15) // 16)) AS b
+              FROM sampled),
+            hx AS (
+              SELECT doc_id, w, h, npix, k, b,
+                     md5(doc_id || ':f' || k || ':' || b) AS hh
+              FROM blocks),
+            bytes AS (
+              SELECT doc_id, w, h, npix, k, b, hh, unnest(range(0, 16)) AS j
+              FROM hx),
+            v AS (
+              SELECT doc_id, w, h, k,
+                     CAST(('0x' || substr(hh, j * 2 + 1, 2)) AS BIGINT) AS byte
+              FROM bytes WHERE b * 16 + j < npix)
+            SELECT 'mem://video/' || doc_id AS media_ref,
+                   'video' AS media_type,
+                   CAST(k AS INTEGER) AS frame_index,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(sum(byte) AS BIGINT) AS pixel_sum,
+                   true AS decode_ok
+            FROM v GROUP BY doc_id, w, h, k
+            ORDER BY media_ref, frame_index
         """,
         "pii_scrub": r"""
             WITH s AS (

@@ -1076,6 +1076,182 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     ).sort_by("media_ref")
 
 
+def audio_features(sf_dir: str, n: int = 64) -> pa.Table:
+    """Audio decode end-to-end with a REAL decoder: each doc gets a
+    synthesized 16-bit PCM WAV (rate/channels/length vary per doc; sample
+    bytes are a deterministic md5 chain), the task pool decodes it with the
+    pure-Python RIFF/WAVE codec (``functions/wav.py`` — chunk walking, PCM
+    framing), and the emitted rate / duration / amplitude statistics are
+    SQL-reconstructable (little-endian int16 from md5 hex mirrors exactly
+    in DuckDB), so the whole encode→decode→feature path is oracled."""
+    from ..functions.wav import encode_wav_pcm16
+    from ..stages.multimodal import audio_features_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        refs, payloads = [], []
+        for i in ids:
+            channels = 1 + int(i) % 2
+            rate = 8000 * (1 + int(i) % 3)
+            n_samples = (50 + int(i) % 40) * channels
+            chain = b"".join(
+                hashlib.md5(f"{i}:a{b}".encode()).digest()
+                for b in range((2 * n_samples + 15) // 16)
+            )
+            samples = np.frombuffer(chain[: 2 * n_samples], dtype="<i2")
+            payloads.append(encode_wav_pcm16(samples, rate, channels))
+            refs.append(f"mem://audio/{i}")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "media_type": pa.array(["audio"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_audio, batch_format="pyarrow", zero_copy_batch=True)
+    out = media.map_batches(
+        audio_features_batch,
+        fn_kwargs={"decoder": "wav", "feature_dim": 8},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    # scalar columns only (the float feature list stays out of the oracle)
+    return tbl.select(
+        ["media_ref", "media_type", "sample_rate", "channels", "n_samples",
+         "duration_ms", "sample_sum", "peak_abs", "decode_ok"]
+    ).sort_by("media_ref")
+
+
+def media_resize(sf_dir: str, n: int = 64, tw: int = 4, th: int = 4) -> pa.Table:
+    """REAL image-resize pass composed of two real codec stages: the same
+    synthesized PNGs as ``media_features`` go through
+    ``ImageResizeStage(decoder="png")`` (decode → integer-mean box pooling
+    → re-encode) and the resized payloads are decoded AGAIN by the feature
+    stage — so a hash match certifies decode, exact-arithmetic resize,
+    re-encode, and re-decode per document (the box pooling's floor cell map
+    + integer division mirror exactly in DuckDB)."""
+    from ..functions.png import encode_png_gray
+    from ..stages.multimodal import image_resize_batch, media_features_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        refs, payloads = [], []
+        for i in ids:
+            w = 8 + int(i) % 8
+            h = 8 + int(i) % 5
+            npix = w * h
+            chain = b"".join(
+                hashlib.md5(f"{i}:{b}".encode()).digest()
+                for b in range((npix + 15) // 16)
+            )
+            payloads.append(
+                encode_png_gray(w, h, chain[:npix], filter_type=int(i) % 5)
+            )
+            refs.append(f"mem://doc/{i}")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([0] * len(ids), pa.int32()),
+                "height": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    resized = ds.map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        image_resize_batch,
+        fn_kwargs={"target_width": tw, "target_height": th, "decoder": "png"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+    out = resized.map_batches(
+        media_features_batch,
+        fn_kwargs={"decoder": "png", "feature_dim": 8},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.select(
+        ["media_ref", "media_type", "width", "height", "n_pixels", "pixel_sum",
+         "decode_ok"]
+    ).sort_by("media_ref")
+
+
+def video_frames(sf_dir: str, n: int = 48, every_n: int = 2,
+                 max_frames: int = 3) -> pa.Table:
+    """Video frame sampling end-to-end with REAL per-frame decode: each doc
+    gets a synthesized FPK1 frame pack (2–6 PNG frames, geometry and pixels
+    deterministic per (doc, frame)), the sampler seeks the length prefixes
+    and decodes ONLY frames 0, 2, 4 with the pure-Python PNG codec — the
+    sampled indices and per-frame pixel sums mirror exactly in DuckDB."""
+    from ..functions.png import encode_png_gray
+    from ..functions.video import encode_framepack
+    from ..stages.multimodal import frame_sample_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        refs, payloads = [], []
+        for i in ids:
+            w = 4 + int(i) % 3
+            h = 4
+            npix = w * h
+            frames = []
+            for k in range(2 + int(i) % 5):
+                chain = b"".join(
+                    hashlib.md5(f"{i}:f{k}:{b}".encode()).digest()
+                    for b in range((npix + 15) // 16)
+                )
+                frames.append(
+                    encode_png_gray(w, h, chain[:npix], filter_type=k % 5)
+                )
+            payloads.append(encode_framepack(frames))
+            refs.append(f"mem://video/{i}")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "media_type": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = ds.map_batches(
+        to_video, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        frame_sample_batch,
+        fn_kwargs={
+            "every_n": every_n,
+            "max_frames": max_frames,
+            "decoder": "framepack",
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return tbl.sort_by(
+        [("media_ref", "ascending"), ("frame_index", "ascending")]
+    )
+
+
 def pii_scrub(sf_dir: str) -> pa.Table:
     """PII redaction pass: per-doc email/IPv4 counts + post-scrub length
     (training-data privacy op; pure map_batches, no shuffle)."""
