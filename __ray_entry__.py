@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": TD.media_resize,
         # REAL video frame sampling: seek FPK1 prefixes, decode sampled PNGs
         "video_frames": TD.video_frames,
+        # benchmark decontamination: eval-slice n-gram overlap flags
+        "decontaminate": TD.decontaminate,
     }
 
 
@@ -524,6 +526,35 @@ def oracle_sql() -> dict[str, str]:
                    true AS decode_ok
             FROM v GROUP BY doc_id, w, h, k
             ORDER BY media_ref, frame_index
+        """,
+        # decontaminate: eval slice is doc_id % 17 == 3; a non-eval doc is
+        # contaminated iff any of its distinct word 8-grams occurs in the
+        # eval slice (same tokenization as dup_ngram_stats)
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ts[i.g : i.g+7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(ts)-7)) AS i(g)),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 3),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+            hits AS (
+              SELECT d.doc_id, count(*) AS n_hits
+              FROM dg d JOIN ev USING (gram)
+              WHERE d.doc_id % 17 <> 3 GROUP BY d.doc_id)
+            SELECT CAST(doc.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents doc
+            LEFT JOIN tot t ON doc.doc_id = t.doc_id
+            LEFT JOIN hits h ON doc.doc_id = h.doc_id
+            WHERE doc.doc_id % 17 <> 3
+            ORDER BY doc_id
         """,
         "pii_scrub": r"""
             WITH s AS (

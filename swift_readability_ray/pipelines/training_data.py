@@ -1571,6 +1571,178 @@ def dup_ngram_stats(
     return tbl.append_column("dup_ratio", pa.array(ratio, pa.float64())).sort_by("doc_id")
 
 
+def decontaminate(
+    sf_dir: str,
+    n: int = 8,
+    eval_mod: int = 17,
+    eval_rem: int = 3,
+    broadcast_limit: int = 2_000_000,
+) -> pa.Table:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a held-out eval slice (the n-gram-overlap test used to
+    scrub eval sets out of LLM training corpora, e.g. GPT-3 appendix C /
+    Dolma).  The eval slice is ``doc_id % eval_mod == eval_rem``.
+
+    Distributed shape: grams travel as 64-bit md5 keys, never text.  The
+    eval n-gram table is BENCHMARK-sized, not corpus-sized, so the primary
+    path broadcasts it (``ray.put`` of a sorted int64 array, ≤16 MB at the
+    2M gate) and each corpus batch scores itself with one ``searchsorted``
+    — per-doc grams never leave the batch that tokenized them, so there is
+    NO shuffle at any scale.  Above the gate, the fallback joins corpus
+    gram rows to a distributed-distinct eval key table and combines
+    per-doc counts via the same tag-and-union groupby as dup_ngram_stats.
+
+    Output: non-eval documents only — (doc_id, n_grams, n_hits,
+    contaminated), where n_hits counts the doc's DISTINCT grams that occur
+    anywhere in the eval slice.
+    """
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Count, Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def gram_set(text: str) -> np.ndarray:
+        toks = token_re.findall((text or "").lower())
+        seen = {
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
+                "big",
+                signed=True,
+            )
+            for j in range(len(toks) - n + 1)
+        }
+        return np.fromiter(seen, np.int64, len(seen))
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out: set = set()
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == eval_rem:
+                out.update(gram_set(t).tolist())
+        return pa.table({"gram_h": pa.array(sorted(out), pa.int64())})
+
+    ev = ds.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_ev = D._metadata_row_count(ev)
+
+    if n_ev is not None and n_ev <= broadcast_limit:
+        keys = np.unique(
+            np.concatenate(
+                [b.column("gram_h").to_numpy()
+                 for b in ev.iter_batches(batch_format="pyarrow")]
+                + [np.array([], np.int64)]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def score(batch: pa.Table) -> pa.Table:
+            ev_keys = ray.get(keys_ref)
+            ids = batch.column("doc_id").to_numpy()
+            texts = batch.column("text").to_pylist()
+            out_id, out_n, out_h = [], [], []
+            for i, t in zip(ids, texts):
+                if int(i) % eval_mod == eval_rem:
+                    continue
+                g = gram_set(t)
+                hits = 0
+                if g.size and ev_keys.size:
+                    idx = np.searchsorted(ev_keys, g)
+                    idx[idx == len(ev_keys)] = 0
+                    hits = int((ev_keys[idx] == g).sum())
+                out_id.append(int(i))
+                out_n.append(int(g.size))
+                out_h.append(hits)
+            return pa.table(
+                {"doc_id": pa.array(out_id, pa.int64()),
+                 "n_grams": pa.array(out_n, pa.int64()),
+                 "n_hits": pa.array(out_h, pa.int64())}
+            )
+
+        tbl = pa.concat_tables(
+            ds.map_batches(
+                score, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+    else:
+        # corpus-scale eval set: distributed distinct + hash semi-join
+        def corpus_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            texts = batch.column("text").to_pylist()
+            out_id, out_h = [], []
+            tot_id, tot_n = [], []
+            for i, t in zip(ids, texts):
+                if int(i) % eval_mod == eval_rem:
+                    continue
+                g = gram_set(t)
+                tot_id.append(int(i))
+                tot_n.append(int(g.size))
+                out_id.extend([int(i)] * g.size)
+                out_h.extend(g.tolist())
+            return pa.table(
+                {"doc_id": pa.array(out_id + tot_id, pa.int64()),
+                 "gram_h": pa.array(
+                     out_h + [0] * len(tot_id), pa.int64()
+                 ),
+                 "n_inc": pa.array(
+                     [0] * len(out_id) + tot_n, pa.int64()
+                 ),
+                 "is_gram": pa.array(
+                     [1] * len(out_id) + [0] * len(tot_id), pa.int64()
+                 )}
+            )
+
+        rows = ds.map_batches(
+            corpus_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        ev_keys = (
+            ev.groupby("gram_h")
+            .aggregate(Count())
+            .select_columns(["gram_h"])
+        )
+        hit_rows = rows.filter(expr="is_gram == 1").join(
+            ev_keys,
+            join_type="inner",
+            num_partitions=D._default_join_partitions(rows),
+            on=("gram_h",),
+        )
+
+        def tag_hit(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["doc_id"]).aggregate([("doc_id", "count")])
+            return pa.table(
+                {"doc_id": g.column("doc_id"),
+                 "n_inc": pa.array([0] * g.num_rows, pa.int64()),
+                 "hit_inc": pc.cast(g.column("doc_id_count"), pa.int64())}
+            )
+
+        def tag_tot(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("is_gram"), 0))
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "n_inc": t.column("n_inc"),
+                 "hit_inc": pa.array([0] * t.num_rows, pa.int64())}
+            )
+
+        tagged = rows.map_batches(
+            tag_tot, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            hit_rows.map_batches(
+                tag_hit, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        per_doc = tagged.groupby("doc_id").aggregate(Sum("n_inc"), Sum("hit_inc"))
+        tbl = pa.concat_tables(
+            [b for b in per_doc.iter_batches(batch_format="pyarrow")]
+        ).rename_columns(["doc_id", "n_grams", "n_hits"])
+
+    flag = pc.greater(tbl.column("n_hits"), 0)
+    return tbl.append_column("contaminated", flag).sort_by("doc_id")
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
     """Per-document top-``k`` TF-IDF terms (idf = ln(N/df), ranked on the
     1e-6-half-up-rounded score with term tie-break — the rounding keeps the

@@ -102,6 +102,17 @@ def test_dup_ngram_stats_distributed_fallback(ray_session):
     assert merged.to_pylist() == distributed.to_pylist()
 
 
+def test_decontaminate_distributed_fallback(ray_session):
+    """Above the eval-gram broadcast gate, decontamination runs as a
+    distributed-distinct + hash semi-join + tag-union groupby — identical
+    to the shuffle-free broadcast path."""
+    from swift_readability_ray.pipelines.training_data import decontaminate
+
+    broadcast = decontaminate(SF)
+    distributed = decontaminate(SF, broadcast_limit=0)
+    assert broadcast.to_pylist() == distributed.to_pylist()
+
+
 def test_q3_top_orders_distributed_fallback(ray_session):
     """Above the broadcast budget q3 runs both joins distributed (hash join
     on custkey, then orderkey) plus per-block top-k partials — identical to
