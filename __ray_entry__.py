@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": TD.video_frames,
         # benchmark decontamination: eval-slice n-gram overlap flags
         "decontaminate": TD.decontaminate,
+        # interval join: events vs overlapping campaign windows (footer-
+        # stat bounds, broadcast windows, vectorized containment)
+        "events_range_join": TD.events_range_join,
     }
 
 
@@ -526,6 +529,35 @@ def oracle_sql() -> dict[str, str]:
                    true AS decode_ok
             FROM v GROUP BY doc_id, w, h, k
             ORDER BY media_ref, frame_index
+        """,
+        # events_range_join: 20 windows over [min ts, max ts), stride =
+        # span // 24, width = 3 * stride (overlapping) — integer-µs
+        # arithmetic both sides; one event can land in up to 3 windows
+        "events_range_join": """
+            WITH b AS (
+              SELECT epoch_us(min(ts)) AS e0, epoch_us(max(ts)) AS e1
+              FROM events),
+            p AS (
+              SELECT e0, greatest((e1 - e0) // 24, 1) AS stride FROM b),
+            w AS (
+              SELECT k.k AS campaign_id,
+                     e0 + k.k * stride AS lo_us,
+                     e0 + k.k * stride + 3 * stride AS hi_us
+              FROM p, unnest(generate_series(0, 19)) AS k(k)),
+            j AS (
+              SELECT w.campaign_id, w.lo_us, w.hi_us,
+                     count(e.ts) AS n_events,
+                     coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0)
+                       AS sum_value_c
+              FROM w LEFT JOIN events e
+                ON epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.hi_us
+              GROUP BY 1, 2, 3)
+            SELECT CAST(campaign_id AS INTEGER) AS campaign_id,
+                   CAST(lo_us AS BIGINT) AS lo_us,
+                   CAST(hi_us AS BIGINT) AS hi_us,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(sum_value_c AS BIGINT) AS sum_value_c
+            FROM j ORDER BY campaign_id
         """,
         # decontaminate: eval slice is doc_id % 17 == 3; a non-eval doc is
         # contaminated iff any of its distinct word 8-grams occurs in the

@@ -1743,6 +1743,99 @@ def decontaminate(
     return tbl.append_column("contaminated", flag).sort_by("doc_id")
 
 
+def _parquet_ts_bounds_us(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of a timestamp column in integer µs from parquet
+    row-group footer statistics — exact true bounds with ZERO data scan.
+    Returns None when any row group lacks stats (caller falls back to an
+    aggregate pass)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn = np.datetime64(st.min, "us").astype(np.int64)
+        mx = np.datetime64(st.max, "us").astype(np.int64)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return None if lo is None else (int(lo), int(hi))
+
+
+def events_range_join(sf_dir: str, n_windows: int = 20) -> pa.Table:
+    """Range (interval) join — an operator Ray Data has no native form of:
+    events join OVERLAPPING campaign windows on ``lo_us <= ts < hi_us``
+    (windows overlap 3×, so this is a genuine interval join, not a
+    bucketing; one event lands in up to three windows).
+
+    Shape: the interval side is definitionally small (campaign windows,
+    maintenance windows, eval periods), so it is built on the driver from
+    the events table's TIME BOUNDS — taken from parquet row-group footer
+    statistics, i.e. without scanning the data — broadcast into the map
+    stage, and each batch computes vectorized containment masks per
+    window; only (campaign_id, count, cents) partials leave the batch,
+    merged under the bounded-cardinality driver gate (_merge_partials).
+    No shuffle at any input scale.  A corpus-sized interval side would
+    instead hash-partition both sides by a coarse time bucket and join
+    within buckets (the events_sessions partitioning pattern).
+
+    All window arithmetic is integer µs since epoch, mirrored exactly by
+    ``epoch_us()`` in the oracle.
+    """
+    path = f"{sf_dir}/events.parquet"
+    bounds = _parquet_ts_bounds_us(path, "ts")
+    if bounds is None:  # no footer stats: one aggregate pass
+        from ray.data.aggregate import Max, Min
+
+        row = _read_sized(path, columns=["ts"]).aggregate(Min("ts"), Max("ts"))
+        bounds = (
+            np.datetime64(row["min(ts)"], "us").astype(np.int64),
+            np.datetime64(row["max(ts)"], "us").astype(np.int64),
+        )
+    e0, e1 = bounds
+    stride = max((e1 - e0) // (n_windows + 4), 1)
+    lo = e0 + stride * np.arange(n_windows, dtype=np.int64)
+    hi = lo + 3 * stride
+    win_ref = ray.put((lo, hi))
+
+    ds = _read_sized(path, columns=["ts", "value"])
+
+    def contain(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a = ray.get(win_ref)
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        ns, sums = [], []
+        for k in range(len(lo_a)):
+            mask = (us >= lo_a[k]) & (us < hi_a[k])
+            ns.append(int(mask.sum()))
+            sums.append(int(cents[mask].sum()))
+        return pa.table(
+            {"campaign_id": pa.array(range(len(lo_a)), pa.int32()),
+             "n_events": pa.array(ns, pa.int64()),
+             "sum_value_c": pa.array(sums, pa.int64())}
+        )
+
+    partials = ds.map_batches(
+        contain, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = _merge_partials(
+        partials, ["campaign_id"],
+        [("n_events", "sum"), ("sum_value_c", "sum")],
+    ).rename_columns(["campaign_id", "n_events", "sum_value_c"])
+    out = merged.append_column(
+        "lo_us", pa.array(lo[merged.column("campaign_id").to_numpy()], pa.int64())
+    ).append_column(
+        "hi_us", pa.array(hi[merged.column("campaign_id").to_numpy()], pa.int64())
+    )
+    return out.select(
+        ["campaign_id", "lo_us", "hi_us", "n_events", "sum_value_c"]
+    ).sort_by("campaign_id")
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
     """Per-document top-``k`` TF-IDF terms (idf = ln(N/df), ranked on the
     1e-6-half-up-rounded score with term tie-break — the rounding keeps the
