@@ -157,7 +157,10 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG has no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # CRC-valid chunk, non-DEFLATE payload
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
     if len(raw) != (width + 1) * height:
         raise ValueError(
             f"filtered stream is {len(raw)} bytes, expected {(width + 1) * height}"

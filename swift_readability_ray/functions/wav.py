@@ -86,6 +86,10 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, int, np.ndarray]:
             fmt_code, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload
             )
+            if channels < 1:
+                raise ValueError(f"invalid channel count {channels}")
+            if sample_rate < 1:
+                raise ValueError(f"invalid sample rate {sample_rate}")
             if fmt_code != _FMT_PCM:
                 raise ValueError(
                     f"unsupported WAV format code {fmt_code}; only PCM"

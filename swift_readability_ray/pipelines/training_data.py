@@ -33,6 +33,18 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _footer_rows(path: str) -> int | None:
+    """Parquet footer row count — a metadata-only read, no scan; None when
+    the footer is unreadable.  This is the input to every driver-merge /
+    broadcast size gate in this module."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def _read_sized(
     path: str, columns=None, rows_per_block: int = 4096
 ) -> ray.data.Dataset:
@@ -50,12 +62,9 @@ def _read_sized(
     aggregates, smaller for heavier per-row work so a small corpus still
     spreads across the pool.
     """
-    import pyarrow.parquet as pq
-
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    try:
-        n_rows = pq.read_metadata(path).num_rows
-    except Exception:
+    n_rows = _footer_rows(path)
+    if n_rows is None:
         return ray.data.read_parquet(path, columns=columns)
     sized = n_rows // rows_per_block + 1
     if sized >= 3 * n_cpus:
@@ -733,12 +742,7 @@ def events_sessions(
         gaps = np.diff(ts_us)
         return len(ts_us), 1 + int((gaps > gap_us).sum())
 
-    import pyarrow.parquet as pq
-
-    try:
-        n_rows = pq.read_metadata(path).num_rows
-    except Exception:
-        n_rows = None
+    n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= driver_limit:
         tbl = pa.concat_tables(
             _read_sized(path, columns=["user_id", "ts"]).iter_batches(
@@ -1013,6 +1017,41 @@ def ivf_topk_full_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Tabl
     )
 
 
+def _synth_png_media(batch: pa.Table) -> pa.Table:
+    """Deterministic per-doc PNG synthesis shared by media_features and
+    media_resize (and mirrored byte-for-byte by their SQL oracles):
+    w = 8 + id%8, h = 8 + id%5, pixels = md5 chain over "id:block", filter
+    type cycles id%5 so decode exercises Sub/Up/Average/Paeth, not just
+    the trivial None filter."""
+    import hashlib
+
+    from ..functions.png import encode_png_gray
+
+    ids = batch.column("doc_id").to_pylist()
+    refs, payloads = [], []
+    for i in ids:
+        w = 8 + int(i) % 8
+        h = 8 + int(i) % 5
+        npix = w * h
+        chain = b"".join(
+            hashlib.md5(f"{i}:{b}".encode()).digest()
+            for b in range((npix + 15) // 16)
+        )
+        payloads.append(
+            encode_png_gray(w, h, chain[:npix], filter_type=int(i) % 5)
+        )
+        refs.append(f"mem://doc/{i}")
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * len(ids), pa.int32()),
+            "height": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+
+
 def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     """Multimodal decode end-to-end with a REAL image decoder: each doc gets
     a synthesized 8-bit grayscale PNG (geometry varies per doc; pixels are a
@@ -1021,43 +1060,13 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     unfiltering, no PIL), and the emitted geometry + pixel sums are
     SQL-reconstructable (the md5 arithmetic mirrors exactly in DuckDB), so
     the whole encode→decode→feature path is oracled per document."""
-    from ..functions.png import encode_png_gray
     from ..stages.multimodal import media_features_batch
 
     # filter (not limit): doc_id < n is reproducible in SQL regardless of
     # file ordering
     ds = _docs(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids = batch.column("doc_id").to_pylist()
-        refs, payloads = [], []
-        for i in ids:
-            w = 8 + int(i) % 8
-            h = 8 + int(i) % 5
-            npix = w * h
-            chain = b"".join(
-                hashlib.md5(f"{i}:{b}".encode()).digest()
-                for b in range((npix + 15) // 16)
-            )
-            payloads.append(
-                # vary the filter type so decode exercises Sub/Up/Average/
-                # Paeth across the corpus, not just the trivial None filter
-                encode_png_gray(w, h, chain[:npix], filter_type=int(i) % 5)
-            )
-            refs.append(f"mem://doc/{i}")
-        return pa.table(
-            {
-                "media_ref": pa.array(refs, pa.string()),
-                "media_type": pa.array(["image"] * len(ids), pa.string()),
-                "payload": pa.array(payloads, pa.binary()),
-                "width": pa.array([0] * len(ids), pa.int32()),
-                "height": pa.array([0] * len(ids), pa.int32()),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    media = ds.map_batches(_synth_png_media, batch_format="pyarrow", zero_copy_batch=True)
     # task-pool form on warm workers (module-cached decoder instance) — no
     # actor-pool spin-up; binary payloads keep batch_size small
     out = media.map_batches(
@@ -1137,40 +1146,12 @@ def media_resize(sf_dir: str, n: int = 64, tw: int = 4, th: int = 4) -> pa.Table
     stage — so a hash match certifies decode, exact-arithmetic resize,
     re-encode, and re-decode per document (the box pooling's floor cell map
     + integer division mirror exactly in DuckDB)."""
-    from ..functions.png import encode_png_gray
     from ..stages.multimodal import image_resize_batch, media_features_batch
 
     ds = _docs(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids = batch.column("doc_id").to_pylist()
-        refs, payloads = [], []
-        for i in ids:
-            w = 8 + int(i) % 8
-            h = 8 + int(i) % 5
-            npix = w * h
-            chain = b"".join(
-                hashlib.md5(f"{i}:{b}".encode()).digest()
-                for b in range((npix + 15) // 16)
-            )
-            payloads.append(
-                encode_png_gray(w, h, chain[:npix], filter_type=int(i) % 5)
-            )
-            refs.append(f"mem://doc/{i}")
-        return pa.table(
-            {
-                "media_ref": pa.array(refs, pa.string()),
-                "media_type": pa.array(["image"] * len(ids), pa.string()),
-                "payload": pa.array(payloads, pa.binary()),
-                "width": pa.array([0] * len(ids), pa.int32()),
-                "height": pa.array([0] * len(ids), pa.int32()),
-            }
-        )
-
     resized = ds.map_batches(
-        to_media, batch_format="pyarrow", zero_copy_batch=True
+        _synth_png_media, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         image_resize_batch,
         fn_kwargs={"target_width": tw, "target_height": th, "decoder": "png"},
@@ -1966,12 +1947,7 @@ def events_rolling(
 
     path = f"{sf_dir}/events.parquet"
     cols = ["event_id", "user_id", "ts", "value"]
-    import pyarrow.parquet as pq
-
-    try:
-        n_rows = pq.read_metadata(path).num_rows
-    except Exception:
-        n_rows = None
+    n_rows = _footer_rows(path)
 
     if n_rows is not None and n_rows <= driver_limit:
         tbl = pa.concat_tables(
@@ -2058,10 +2034,7 @@ def events_quantiles(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    try:
-        n_rows = pq.read_metadata(path).num_rows
-    except Exception:
-        n_rows = None
+    n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= driver_limit:
         tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
         types = tbl.column("event_type").to_numpy(zero_copy_only=False)
@@ -2107,10 +2080,7 @@ def customers_without_orders(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
 
-    try:
-        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    except Exception:
-        n_orders = None
+    n_orders = _footer_rows(f"{sf_dir}/orders.parquet")
 
     if n_orders is not None and n_orders <= broadcast_limit:
         keys = np.unique(np.concatenate(
@@ -2204,10 +2174,7 @@ def events_user_counts(
         pair_distinct, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    try:
-        n_rows = pq.read_metadata(path).num_rows
-    except Exception:
-        n_rows = None
+    n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= driver_limit:
         tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
         types = tbl.column("event_type").to_numpy(zero_copy_only=False)

@@ -433,7 +433,14 @@ def minhash_dedup_pairs(
             finally:
                 pairs_f.cancel()
                 shingles_f.cancel()
+    except ray.exceptions.RayTaskError:
+        # a deterministic task/UDF failure would only fail again —
+        # surface the first traceback instead of paying a doomed retry
+        raise
     except Exception:
+        # anything else is plausibly the concurrent-driver-thread path
+        # itself (Ray Data's streaming executor is not documented
+        # thread-safe) — retry once, sequentially
         logger.warning(
             "dedup: concurrent candidate/shingle materialization failed — "
             "retrying sequentially", exc_info=True,

@@ -244,7 +244,6 @@ class ImageResizeStage:
             )
             if not all(resized):
                 # keep original geometry columns on pass-through rows
-                n = batch.num_rows
                 ws = batch.column("width").to_pylist()
                 hs = batch.column("height").to_pylist()
                 return batch.set_column(
@@ -331,12 +330,12 @@ class AudioFeatureExtractor:
         rates, chans, counts, durs, sums, peaks, feats, ok = (
             [], [], [], [], [], [], [], []
         )
+        from ..functions.wav import decode_wav_pcm16
+
         for payload in batch.column("payload").to_pylist():
             try:
                 if self.decoder == "fake":
                     raise ValueError("fake decoder")
-                from ..functions.wav import decode_wav_pcm16
-
                 rate, ch, pcm = decode_wav_pcm16(payload or b"")
                 wide = pcm.astype(np.int64)
                 rates.append(rate)

@@ -35,6 +35,39 @@ def test_round_trip_all_filters(w, h, ftype, seed):
     assert decode_png_gray(enc) == (w, h, pixels)
 
 
+def test_crc_valid_garbage_idat_raises_valueerror():
+    """A CRC-correct IDAT whose payload is not DEFLATE must raise
+    ValueError (stage contract: decode_ok=False), not leak zlib.error."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bogus = (
+        SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"garbage!")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad IDAT"):
+        decode_png_gray(bogus)
+    # the feature stage downgrades instead of crashing the batch
+    import pyarrow as pa
+
+    from swift_readability_ray.stages.multimodal import MediaFeatureExtractor
+
+    tbl = pa.table(
+        {
+            "media_ref": pa.array(["mem://x/0"]),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([bogus], pa.binary()),
+        }
+    )
+    out = MediaFeatureExtractor(decoder="png", feature_dim=4)(tbl)
+    assert out.column("decode_ok").to_pylist() == [False]
+
+
 def test_extreme_pixel_values_round_trip():
     # all-0 and all-255 rasters stress the filter arithmetic's wraparound
     for fill in (0, 255):

@@ -111,6 +111,33 @@ def test_wav_rejects_malformed(mutate, msg):
         decode_wav_pcm16(mutate(enc))
 
 
+def test_wav_rejects_zero_channels_and_rate():
+    """Corrupt fmt fields must raise ValueError (→ decode_ok=False), never
+    ZeroDivisionError out of the stage's exception contract."""
+    enc = bytearray(encode_wav_pcm16(np.array([5, 6], dtype=np.int16), 8000))
+    zero_ch = bytes(enc[:22]) + b"\x00\x00" + bytes(enc[24:])
+    with pytest.raises(ValueError, match="channel count"):
+        decode_wav_pcm16(zero_ch)
+    zero_rate = bytes(enc[:24]) + b"\x00\x00\x00\x00" + bytes(enc[28:])
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav_pcm16(zero_rate)
+    # and the stage downgrades instead of crashing the batch
+    out = AudioFeatureExtractor(decoder="wav")(
+        _media_corrupt([zero_ch, zero_rate])
+    )
+    assert out.column("decode_ok").to_pylist() == [False, False]
+
+
+def _media_corrupt(payloads):
+    return pa.table(
+        {
+            "media_ref": pa.array([f"mem://x/{i}" for i in range(len(payloads))]),
+            "media_type": pa.array(["audio"] * len(payloads)),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def test_wav_encode_validates():
     with pytest.raises(ValueError, match="sample rate"):
         encode_wav_pcm16(np.array([], dtype=np.int16), 0)
