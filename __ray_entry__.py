@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval join: events vs overlapping campaign windows (footer-
         # stat bounds, broadcast windows, vectorized containment)
         "events_range_join": TD.events_range_join,
+        # dataset mixing: equal-share stratified downsample by lang
+        "stratified_sample": TD.stratified_sample,
     }
 
 
@@ -529,6 +531,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS decode_ok
             FROM v GROUP BY doc_id, w, h, k
             ORDER BY media_ref, frame_index
+        """,
+        # stratified_sample: per-lang integer keep threshold (smallest
+        # stratum * 1e6 // stratum size) against md5(doc_id) % 1e6 — the
+        # same md5 bucket arithmetic as sample_docs
+        "stratified_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT min(n) AS mn FROM c),
+            thr AS (SELECT lang, (mn * 1000000) // n AS t FROM c, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000 < thr.t
+            ORDER BY d.doc_id
         """,
         # events_range_join: 20 windows over [min ts, max ts), stride =
         # span // 24, width = 3 * stride (overlapping) — integer-µs

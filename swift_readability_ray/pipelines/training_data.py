@@ -355,6 +355,60 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def stratified_sample(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
+    """Equal-share stratified downsampling (dataset mixing): rebalance the
+    language mix by hash-sampling each stratum down to the SMALLEST
+    stratum's expected size — keep doc iff
+    ``md5(doc_id) % scale < (min_count * scale) // count(lang)``.
+
+    This is the deterministic form of the mixing step a training-data
+    pipeline runs before tokenization (target shares per language/source);
+    arbitrary target weights drop into the same integer threshold.  Two
+    passes, both shuffle-free: a bounded-cardinality count rollup (per-block
+    ``value_counts`` partials, driver-merged — strata counts are a handful
+    of rows), then a broadcast-threshold Bernoulli filter.  Stable across
+    runs, engines and cluster sizes, unlike ``random_sample``.
+    """
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang").combine_chunks())
+        return pa.table(
+            {"lang": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = _merge_partials(
+        ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("n", "sum")],
+    )
+    ns = counts.column("n").to_pylist()
+    mn = min(ns)
+    thr = {
+        lang: (mn * scale) // n
+        for lang, n in zip(counts.column("lang").to_pylist(), ns)
+    }
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % scale
+            < t.get(lang, 0)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
 def _to_span_docs(batch: pa.Table) -> pa.Table:
     """documents rows → DOCUMENTS-schema interleaved span docs: the
     synthesized page split around an inline media span mid-article."""
@@ -1806,7 +1860,7 @@ def events_range_join(sf_dir: str, n_windows: int = 20) -> pa.Table:
     merged = _merge_partials(
         partials, ["campaign_id"],
         [("n_events", "sum"), ("sum_value_c", "sum")],
-    ).rename_columns(["campaign_id", "n_events", "sum_value_c"])
+    )
     out = merged.append_column(
         "lo_us", pa.array(lo[merged.column("campaign_id").to_numpy()], pa.int64())
     ).append_column(
