@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": TD.events_range_join,
         # dataset mixing: equal-share stratified downsample by lang
         "stratified_sample": TD.stratified_sample,
+        # mergeable histogram quantile sketch (approximate — rows-only;
+        # pytest pins every estimate within bin_width_c of the exact
+        # events_quantiles answer)
+        "events_quantiles_sketch": TD.events_quantiles_sketch,
     }
 
 

@@ -1778,6 +1778,24 @@ def decontaminate(
     return tbl.append_column("contaminated", flag).sort_by("doc_id")
 
 
+def _parquet_float_bounds(path: str, col: str) -> tuple[float, float] | None:
+    """(min, max) of a numeric column from parquet row-group footer
+    statistics — exact true bounds with zero data scan; None when any row
+    group lacks stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (float(lo), float(hi))
+
+
 def _parquet_ts_bounds_us(path: str, col: str) -> tuple[int, int] | None:
     """(min, max) of a timestamp column in integer µs from parquet
     row-group footer statistics — exact true bounds with ZERO data scan.
@@ -2103,6 +2121,103 @@ def events_quantiles(
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow")
     ).sort_by("event_type")
+
+
+def events_quantiles_sketch(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = 4096,
+    driver_limit: int = 5_000_000,
+) -> pa.Table:
+    """Mergeable histogram quantile sketch — the 100 TB sibling the exact
+    ``events_quantiles`` docstring promises: fixed global bin edges (from
+    parquet footer value bounds, zero scan), per-block (type, bin) count
+    partials, and a merge that is a plain vector add — no per-type value
+    co-location, no distributed sort.
+
+    Estimates are bin midpoints, so every p*_c carries a HARD error bound
+    of ``bin_width_c`` against the exact rank-semantics quantile (the true
+    value lies inside the selected bin; pytest pins the bound against
+    events_quantiles).  Rows-only by design — the sketch is approximate.
+
+    Partial cardinality is ≤ types × n_bins per block; under the footer
+    row gate the partials driver-merge (bounded rollup), above it one
+    distributed groupby on (event_type, bin) — vocabulary-sized, never
+    corpus-sized — before the ≤ types × n_bins read-out.
+    """
+    path = f"{sf_dir}/events.parquet"
+    bounds = _parquet_float_bounds(path, "value")
+    if bounds is None:  # no footer stats: one aggregate pass
+        from ray.data.aggregate import Max, Min
+
+        row = _read_sized(path, columns=["value"]).aggregate(
+            Min("value"), Max("value")
+        )
+        bounds = (row["min(value)"], row["max(value)"])
+    lo_c = int(np.floor(bounds[0] * 100))
+    hi_c = int(np.ceil(bounds[1] * 100)) + 1
+    width = max(-((lo_c - hi_c) // n_bins), 1)  # ceil div in int cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v_c = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        bins = np.clip((v_c - lo_c) // width, 0, n_bins - 1)
+        out_t, out_b, out_n = [], [], []
+        for et in np.unique(types):
+            counts = np.bincount(bins[types == et], minlength=n_bins)
+            nz = np.nonzero(counts)[0]
+            out_t.extend([et] * len(nz))
+            out_b.extend(nz.tolist())
+            out_n.extend(counts[nz].tolist())
+        return pa.table(
+            {"event_type": pa.array(out_t, pa.string()),
+             "bin": pa.array(out_b, pa.int32()),
+             "cnt": pa.array(out_n, pa.int64())}
+        )
+
+    ds = _read_sized(path, columns=["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        hist = _merge_partials(ds, ["event_type", "bin"], [("cnt", "sum")])
+    else:
+        from ray.data.aggregate import Sum
+
+        merged = ds.groupby(["event_type", "bin"]).aggregate(Sum("cnt"))
+        hist = pa.concat_tables(
+            merged.iter_batches(batch_format="pyarrow")
+        ).rename_columns(["event_type", "bin", "cnt"])
+
+    # quantile read-out from the ≤ types × n_bins histogram
+    cols: dict[str, list] = {"event_type": []}
+    for q in qs:
+        cols[f"p{int(q * 100)}_c"] = []
+    cols["n"] = []
+    t_np = hist.column("event_type").to_numpy(zero_copy_only=False)
+    b_np = hist.column("bin").to_numpy()
+    c_np = hist.column("cnt").to_numpy()
+    for et in sorted(set(t_np.tolist())):
+        m = t_np == et
+        order = np.argsort(b_np[m])
+        bins_s, cnts_s = b_np[m][order], c_np[m][order]
+        cum = np.cumsum(cnts_s)
+        n = int(cum[-1])
+        cols["event_type"].append(et)
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            b = int(bins_s[np.searchsorted(cum, rank)])
+            cols[f"p{int(q * 100)}_c"].append(lo_c + b * width + width // 2)
+        cols["n"].append(n)
+    out = pa.table(
+        {k: (pa.array(v) if k == "event_type" else pa.array(v, pa.int64()))
+         for k, v in cols.items()}
+    )
+    return out.append_column(
+        "bin_width_c", pa.array([width] * out.num_rows, pa.int64())
+    )
 
 
 def customers_without_orders(

@@ -176,6 +176,37 @@ def test_events_user_counts_distributed_fallback(ray_session):
     assert driver.to_pylist() == shuffled.to_pylist()
 
 
+def test_quantile_sketch_error_bound(ray_session):
+    """Every histogram-sketch quantile estimate lies within its
+    self-reported hard bound (bin_width_c) of the exact rank-semantics
+    quantile, per type, and the counts agree exactly."""
+    from swift_readability_ray.pipelines.training_data import (
+        events_quantiles,
+        events_quantiles_sketch,
+    )
+
+    exact = {r["event_type"]: r for r in events_quantiles(SF).to_pylist()}
+    sk = {r["event_type"]: r for r in events_quantiles_sketch(SF).to_pylist()}
+    assert set(exact) == set(sk)
+    for t, e in exact.items():
+        s = sk[t]
+        assert s["n"] == e["n"]
+        for p in ("p25_c", "p50_c", "p75_c", "p95_c"):
+            assert abs(s[p] - e[p]) <= s["bin_width_c"], (t, p, s[p], e[p])
+
+
+def test_quantile_sketch_distributed_fallback(ray_session):
+    """Above the footer gate the (type, bin) partials combine via a
+    distributed groupby — identical read-out to the driver merge."""
+    from swift_readability_ray.pipelines.training_data import (
+        events_quantiles_sketch,
+    )
+
+    merged = events_quantiles_sketch(SF)
+    distributed = events_quantiles_sketch(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
+
+
 def test_hll_distinct_error_bound(ray_session):
     """The HLL sketch (p=12, ~1.6% σ) estimates within 5% of the exact
     per-type distinct count on the test corpus."""
