@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest pins every estimate within bin_width_c of the exact
         # events_quantiles answer)
         "events_quantiles_sketch": TD.events_quantiles_sketch,
+        # text hygiene: lowercase/collapse-punct/trim canonical form
+        "normalize_text": TD.normalize_text,
+        # deterministic 80/10/10 hash split, counted per (split, lang)
+        "split_assign": TD.split_assign,
+        # seeded deterministic global shuffle order (first 50 by hash key)
+        "corpus_shuffle": TD.corpus_shuffle,
     }
 
 
@@ -938,5 +944,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # text hygiene canonical form: lower, collapse non-alnum runs to one
+        # space, trim — RE2 on both sides, md5 of the result
+        "normalize_text": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS nt
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(nt) AS BIGINT) AS norm_len,
+                   md5(nt) AS norm_md5
+            FROM n ORDER BY doc_id
+        """,
+        # deterministic 80/10/10 split by md5(doc_id) % 100, per language
+        "split_assign": """
+            WITH b AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS bk
+              FROM documents)
+            SELECT CASE WHEN bk < 80 THEN 'train'
+                        WHEN bk < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # seeded deterministic shuffle: first 50 docs by md5('shuffle42:'||id)
+        "corpus_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents)
+            SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                        AS BIGINT) AS shuffle_rank,
+                   doc_id, shuffle_key
+            FROM k ORDER BY shuffle_key, doc_id LIMIT 50
         """,
     }

@@ -2634,3 +2634,111 @@ def q3_top_orders(
          "o_orderdate": pc.cast(agg.column("o_orderdate_us"), pa.timestamp("us")),
          "revenue_c4": agg.column("rev_c4_sum")}
     )
+
+
+def normalize_text(sf_dir: str) -> pa.Table:
+    """Text-hygiene normalization pass: lowercase, collapse every non-
+    alphanumeric run to a single space, trim — the canonical form a
+    training pipeline fingerprints and dedupes on (so near-identical docs
+    differing only in case/punctuation/whitespace collide).
+
+    Shuffle-free map.  The regex runs in Arrow's RE2
+    (``pc.replace_substring_regex``) — the same engine DuckDB uses, so the
+    oracle is exact by construction.  Only the md5 leaves Python (hashlib
+    per row, like :func:`fingerprints`).
+    """
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"[^a-z0-9]+", " "
+            )
+        )
+        md5 = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in t.to_pylist()]
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "norm_len": pc.cast(pc.utf8_length(t), pa.int64()),
+             "norm_md5": md5}
+        )
+
+    out = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+
+def split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic train/valid/test split: ``md5(doc_id) % 100`` buckets
+    80/10/10, counted per (split, lang).
+
+    The assignment is a pure hash of the stable key — no shuffle, no
+    sampling state, identical on any cluster size and under any row order,
+    and a doc keeps its split when the corpus grows (the property that
+    matters for eval hygiene at 100 TB).  Counts combine per block and
+    merge on the driver (bounded cardinality: 3 splits × languages)."""
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bk = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids]
+        )
+        split = np.where(bk < 80, "train", np.where(bk < 90, "valid", "test"))
+        return pa.table(
+            {"split": pa.array(split.tolist()),
+             "lang": batch.column("lang")}
+        ).group_by(["split", "lang"]).aggregate(
+            [("lang", "count")]
+        ).rename_columns(["split", "lang", "n_docs"])
+
+    p = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_partials(p, ["split", "lang"], [("n_docs", "sum")]).sort_by(
+        [("split", "ascending"), ("lang", "ascending")]
+    )
+
+
+def corpus_shuffle(sf_dir: str, seed: str = "shuffle42", k: int = 50) -> pa.Table:
+    """Seeded deterministic global shuffle order: rank docs by
+    ``md5(seed || ':' || doc_id)`` and return the first ``k``.
+
+    This is how a training job shuffles 100 TB reproducibly: the sort key
+    is a pure hash, so the permutation is identical across runs, engines
+    and cluster sizes (``ds.random_shuffle`` is none of those), and any
+    shard of the permutation can be recomputed independently.  The top-k
+    head here is served by per-block partial top-k + driver merge — the
+    full permutation would be one ``ds.sort`` on the key column (a single
+    all-to-all, keys are 16-byte hashes so skew-free by construction)."""
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id"])
+
+    def keyed_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = pa.array(
+            [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        )
+        t = pa.table({"doc_id": batch.column("doc_id"), "shuffle_key": keys})
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")]
+        )[:k])
+
+    partials = ds.map_batches(
+        keyed_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")]
+    )[:k])
+    return pa.table(
+        {"shuffle_rank": pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()),
+         "doc_id": tbl.column("doc_id"),
+         "shuffle_key": tbl.column("shuffle_key")}
+    )
