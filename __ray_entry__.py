@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": TD.split_assign,
         # seeded deterministic global shuffle order (first 50 by hash key)
         "corpus_shuffle": TD.corpus_shuffle,
+        # Gopher-style within-doc bigram repetition profile
+        "repetition_stats": TD.repetition_stats,
+        # inverted-index posting stats: top-20 terms by document frequency
+        "inverted_index": TD.inverted_index,
     }
 
 
@@ -981,5 +985,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS shuffle_rank,
                    doc_id, shuffle_key
             FROM k ORDER BY shuffle_key, doc_id LIMIT 50
+        """,
+        # within-doc word-bigram repetition profile (docs with >=2 tokens);
+        # fraction is half-up at 1e-6 with the same op order as the engine
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, sum(c) AS n_bigrams, count(*) AS distinct_bigrams,
+                     max(c) AS top_bigram_n
+              FROM bc GROUP BY 1)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+                   CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+                   floor((n_bigrams - distinct_bigrams) * 1000000.0 / n_bigrams
+                         + 0.5) / 1000000.0 AS dup_bigram_frac
+            FROM agg a JOIN toks t ON a.doc_id = t.doc_id
+            ORDER BY doc_id
+        """,
+        # inverted-index posting stats: top 20 terms by (df desc, term asc)
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (SELECT doc_id, u.t AS term FROM toks, unnest(ts) AS u(t)),
+            tc AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2)
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(doc_id) AS BIGINT) AS last_doc
+            FROM tc GROUP BY term
+            ORDER BY df DESC, term LIMIT 20
         """,
     }

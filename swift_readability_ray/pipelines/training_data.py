@@ -2742,3 +2742,139 @@ def corpus_shuffle(sf_dir: str, seed: str = "shuffle42", k: int = 50) -> pa.Tabl
          "doc_id": tbl.column("doc_id"),
          "shuffle_key": tbl.column("shuffle_key")}
     )
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher-style within-document repetition signal (Rae et al. 2021,
+    §A1.1 quality filters): per doc, the word-bigram repetition profile —
+    total/distinct bigram counts, the most frequent bigram's count, and the
+    duplicated-bigram fraction a filter would threshold on.
+
+    Pure per-doc map, shuffle-free: all counting happens inside the batch
+    with one ``np.unique`` per doc, only 5 small columns leave the stage.
+    Docs with <2 tokens emit no row (no bigrams — the oracle's join has
+    the same semantics).  The fraction is half-up-rounded at 1e-6 with the
+    SAME operation order as the SQL mirror ((nb-db)*1e6/nb)."""
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ("doc_id", "n_tokens", "n_bigrams", "distinct_bigrams",
+                "top_bigram_n")}
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((t or "").lower())
+            if len(toks) < 2:
+                continue
+            grams = np.array(
+                [f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object
+            )
+            _, counts = np.unique(grams, return_counts=True)
+            out["doc_id"].append(doc_id)
+            out["n_tokens"].append(len(toks))
+            out["n_bigrams"].append(len(grams))
+            out["distinct_bigrams"].append(len(counts))
+            out["top_bigram_n"].append(int(counts.max()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    tbl = pa.concat_tables(
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    nb = tbl.column("n_bigrams").to_numpy().astype(np.float64)
+    db = tbl.column("distinct_bigrams").to_numpy().astype(np.float64)
+    frac = np.floor((nb - db) * 1e6 / nb + 0.5) / 1e6
+    return tbl.append_column(
+        "dup_bigram_frac", pa.array(frac, pa.float64())
+    ).sort_by("doc_id")
+
+
+def inverted_index(
+    sf_dir: str, k: int = 20, driver_limit: int = 2_000_000
+) -> pa.Table:
+    """Inverted-index posting statistics: per term, document frequency,
+    total term frequency, and the posting list's first/last doc_id; the
+    top ``k`` terms by (df desc, term asc).
+
+    The map side emits one (term, tf) row per DISTINCT term per doc
+    (vocabulary-sized exchange, never corpus-sized).  Docs are disjoint
+    across blocks, so per-block partials (df/tf/min/max per term) combine
+    associatively: under ``driver_limit`` source rows (parquet footer)
+    they merge on the driver, above it one distributed groupby over the
+    term key does the same (full posting LISTS would shard the same way —
+    the stats are the oracle-able projection)."""
+    import re
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def term_partials(batch: pa.Table) -> pa.Table:
+        terms, dfs, tfs, lo, hi = [], [], [], [], []
+        acc: dict = {}
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((t or "").lower())
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            for term, tf in zip(uniq, counts):
+                e = acc.get(term)
+                if e is None:
+                    acc[term] = [1, int(tf), doc_id, doc_id]
+                else:
+                    e[0] += 1
+                    e[1] += int(tf)
+                    e[2] = min(e[2], doc_id)
+                    e[3] = max(e[3], doc_id)
+        for term, (df, tf, mn, mx) in acc.items():
+            terms.append(term); dfs.append(df); tfs.append(tf)
+            lo.append(mn); hi.append(mx)
+        return pa.table(
+            {"term": pa.array(terms, pa.string()),
+             "df": pa.array(dfs, pa.int64()),
+             "tf_total": pa.array(tfs, pa.int64()),
+             "first_doc": pa.array(lo, pa.int64()),
+             "last_doc": pa.array(hi, pa.int64())}
+        )
+
+    partials = ds.map_batches(
+        term_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        ptbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+        agg = ptbl.group_by(["term"]).aggregate(
+            [("df", "sum"), ("tf_total", "sum"),
+             ("first_doc", "min"), ("last_doc", "max")]
+        ).rename_columns(["term", "df", "tf_total", "first_doc", "last_doc"])
+    else:
+        out = partials.groupby("term").aggregate(
+            Sum("df"), Sum("tf_total"), Min("first_doc"), Max("last_doc")
+        )
+
+        def block_topk(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(
+                ["term", "df", "tf_total", "first_doc", "last_doc"]
+            )
+            return t.take(pc.sort_indices(
+                t, sort_keys=[("df", "descending"), ("term", "ascending")]
+            )[:k])
+
+        # per-block top-k after the groupby: only blocks × k rows reach the
+        # driver, never the vocabulary
+        agg = pa.concat_tables(
+            out.map_batches(block_topk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+    order = pc.sort_indices(
+        agg, sort_keys=[("df", "descending"), ("term", "ascending")]
+    )[:k]
+    return agg.take(order)

@@ -221,3 +221,13 @@ def test_hll_distinct_error_bound(ray_session):
     assert set(exact) == set(est)
     for t, n in exact.items():
         assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+
+def test_inverted_index_distributed_fallback(ray_session):
+    """Above the driver-merge gate the per-term combine runs as a
+    distributed groupby + per-block top-k and produces identical results."""
+    from swift_readability_ray.pipelines.training_data import inverted_index
+
+    merged = inverted_index(SF)
+    distributed = inverted_index(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
