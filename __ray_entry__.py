@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": TD.repetition_stats,
         # inverted-index posting stats: top-20 terms by document frequency
         "inverted_index": TD.inverted_index,
+        # pivot: per-user event counts, one column per event type
+        "events_pivot": TD.events_pivot,
+        # percentile outlier filter: docs inside [p05, p95] length band
+        "length_filter": TD.length_filter,
     }
 
 
@@ -1028,5 +1032,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS last_doc
             FROM tc GROUP BY term
             ORDER BY df DESC, term LIMIT 20
+        """,
+        # pivot: per-user conditional counts, one column per event type
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # percentile length filter: keep docs inside the exact-rank
+        # [p05, p95] band (value at 1-indexed rank ceil(pct*N)), per lang
+        "length_filter": """
+            WITH o AS (
+              SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                     count(*) OVER () AS n
+              FROM documents),
+            lo AS (SELECT n_chars AS v FROM o
+                   WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)),
+            hi AS (SELECT n_chars AS v FROM o
+                   WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents, lo, hi
+            WHERE n_chars >= lo.v AND n_chars <= hi.v
+            GROUP BY lang ORDER BY lang
         """,
     }

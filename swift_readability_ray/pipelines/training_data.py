@@ -2878,3 +2878,107 @@ def inverted_index(
         agg, sort_keys=[("df", "descending"), ("term", "ascending")]
     )[:k]
     return agg.take(order)
+
+
+def events_pivot(sf_dir: str, driver_limit: int = 5_000_000) -> pa.Table:
+    """Pivot (one-hot aggregate): per user, event counts spread across one
+    column per event type plus a total — the wide feature table a training
+    join consumes.
+
+    Two bounded passes: the type vocabulary comes from per-block
+    ``value_counts`` partials driver-merged (event-type cardinality is
+    bounded); the pivot itself is a vectorized per-block conditional-count
+    partial (one ``pc.equal`` mask per type — no Python per row), combined
+    on the driver under ``driver_limit`` source rows, else by one
+    distributed groupby over user_id."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _read_sized(path, columns=["user_id", "event_type"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("event_type").combine_chunks())
+        return pa.table({"event_type": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    types = sorted(
+        _merge_partials(
+            ds.map_batches(type_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["event_type"], [("n", "sum")],
+        ).column("event_type").to_pylist()
+    )
+    cols = [f"n_{t}" for t in types]
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        data = {"user_id": batch.column("user_id")}
+        for t, c in zip(types, cols):
+            data[c] = pc.cast(pc.equal(et, t), pa.int64())
+        data["n_total"] = pa.array(np.ones(batch.num_rows, np.int64))
+        return pa.table(data).group_by(["user_id"]).aggregate(
+            [(c, "sum") for c in cols + ["n_total"]]
+        ).rename_columns(["user_id"] + cols + ["n_total"])
+
+    partials = ds.map_batches(
+        pivot_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = _merge_partials(
+            partials, ["user_id"], [(c, "sum") for c in cols + ["n_total"]]
+        )
+    else:
+        out = partials.groupby("user_id").aggregate(
+            *[Sum(c) for c in cols + ["n_total"]]
+        )
+        tbl = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow")
+        ).rename_columns(["user_id"] + cols + ["n_total"])
+    return tbl.sort_by("user_id")
+
+
+def length_filter(sf_dir: str, lo_pct: float = 0.05,
+                  hi_pct: float = 0.95) -> pa.Table:
+    """Percentile outlier filter: keep docs whose length sits inside the
+    corpus [p05, p95] band, counted per language — the standard
+    too-short/too-long quality cut.
+
+    The exact rank thresholds come from bounded-DOMAIN counting (per-block
+    ``value_counts`` over the integer n_chars column, driver-merged, then
+    one cumsum) — no sort, no sample: the partial table is one row per
+    distinct length per block regardless of corpus size.  Thresholds then
+    broadcast into a shuffle-free filter + per-lang count rollup."""
+    import math
+
+    ds = _docs_sized(sf_dir, columns=["lang", "n_chars"])
+
+    def len_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_chars").combine_chunks())
+        return pa.table({"n_chars": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = _merge_partials(
+        ds.map_batches(len_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars"], [("n", "sum")],
+    ).sort_by("n_chars")
+    vals = hist.column("n_chars").to_numpy()
+    cum = np.cumsum(hist.column("n").to_numpy())
+    total = int(cum[-1])
+    # rank semantics pinned to the SQL mirror: value at 1-indexed rank
+    # ceil(pct * N) in n_chars order (ceil over the same float product)
+    lo_v = int(vals[np.searchsorted(cum, math.ceil(lo_pct * total))])
+    hi_v = int(vals[np.searchsorted(cum, math.ceil(hi_pct * total))])
+
+    filtered = ds.filter(expr=f"n_chars >= {lo_v} and n_chars <= {hi_v}")
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang").combine_chunks())
+        return pa.table({"lang": vc.field("values"),
+                         "n_kept": pc.cast(vc.field("counts"), pa.int64())})
+
+    return _merge_partials(
+        filtered.map_batches(lang_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["lang"], [("n_kept", "sum")],
+    ).sort_by("lang")

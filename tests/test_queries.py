@@ -231,3 +231,13 @@ def test_inverted_index_distributed_fallback(ray_session):
     merged = inverted_index(SF)
     distributed = inverted_index(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_events_pivot_distributed_fallback(ray_session):
+    """Above the driver-merge gate the pivot combines via a distributed
+    groupby over user_id and produces identical results."""
+    from swift_readability_ray.pipelines.training_data import events_pivot
+
+    merged = events_pivot(SF)
+    distributed = events_pivot(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
