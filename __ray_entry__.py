@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": TD.events_pivot,
         # percentile outlier filter: docs inside [p05, p95] length band
         "length_filter": TD.length_filter,
+        # greedy sequence packing into 256-token context bins per source
+        "pack_sequences": TD.pack_sequences,
     }
 
 
@@ -1064,5 +1066,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, lo, hi
             WHERE n_chars >= lo.v AND n_chars <= hi.v
             GROUP BY lang ORDER BY lang
+        """,
+        # greedy 256-token sequence packing per source in doc_id order:
+        # the recursive CTE replays the same sequential fill/reset scan
+        "pack_sequences": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source,
+                     len(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS nt
+              FROM documents),
+            ord AS (
+              SELECT doc_id, source, nt,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+              FROM toks),
+            pack AS (
+              SELECT doc_id, source, nt, rn,
+                     CAST(0 AS BIGINT) AS bin_id, nt AS fill
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.source, o.nt, o.rn,
+                     CASE WHEN p.fill + o.nt <= 256 THEN p.bin_id
+                          ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.nt <= 256 THEN p.fill + o.nt
+                          ELSE o.nt END
+              FROM pack p JOIN ord o
+                ON o.source = p.source AND o.rn = p.rn + 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(bin_id AS BIGINT) AS bin_id
+            FROM pack ORDER BY doc_id
         """,
     }

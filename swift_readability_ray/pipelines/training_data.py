@@ -2982,3 +2982,57 @@ def length_filter(sf_dir: str, lo_pct: float = 0.05,
                              zero_copy_batch=True),
         ["lang"], [("n_kept", "sum")],
     ).sort_by("lang")
+
+
+def pack_sequences(sf_dir: str, capacity: int = 256) -> pa.Table:
+    """Greedy sequence packing: assign docs (in doc_id order, per source)
+    to context-window bins of ``capacity`` tokens — the packing step that
+    turns a deduped corpus into fixed-length LLM training sequences with
+    minimal padding.
+
+    Token counts are computed vectorized BEFORE the shuffle so only
+    (doc_id, source, nt) rows move; the greedy scan is inherently
+    sequential in corpus order, so the parallelism axis is the partition
+    key (``source`` here; shard ids at 100 TB) — one ``map_groups`` pass,
+    one O(group) scan per group, bin ids local to the source.  A doc
+    larger than ``capacity`` occupies its own bin (fill resets to it)."""
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "source", "text"],
+                     rows_per_block=1024)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        nt = [len(token_re.findall((t or "").lower()))
+              for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "source": batch.column("source"),
+             "nt": pa.array(nt, pa.int64())}
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        t = group.sort_by("doc_id")
+        nt = t.column("nt").to_numpy()
+        bins = np.empty(len(nt), np.int64)
+        fill, b = 0, 0
+        for i, x in enumerate(nt):
+            if i > 0 and fill + x > capacity:
+                b += 1
+                fill = 0
+            fill += x
+            bins[i] = b
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "source": t.column("source"),
+             "bin_id": pa.array(bins, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")

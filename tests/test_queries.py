@@ -241,3 +241,23 @@ def test_events_pivot_distributed_fallback(ray_session):
     merged = events_pivot(SF)
     distributed = events_pivot(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_pack_sequences_oversized_doc(ray_session, tmp_path):
+    """A doc larger than the capacity occupies its own bin and the fill
+    resets to it — the greedy scan edge the corpus never exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import pack_sequences
+
+    # token counts per doc: 3, 9 (oversized), 4, 4 with capacity 8
+    texts = ["a b c", " ".join("x" * 1 for _ in range(9)),
+             "p q r s", "k l m n"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "source": ["s0"] * 4, "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = pack_sequences(str(tmp_path), capacity=8).to_pylist()
+    assert [r["bin_id"] for r in out] == [0, 1, 2, 2]
