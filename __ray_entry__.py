@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_filter": TD.length_filter,
         # greedy sequence packing into 256-token context bins per source
         "pack_sequences": TD.pack_sequences,
+        # Bloom-sketch decontamination (approximate — rows-only; pytest
+        # pins zero false negatives + doc-level FP rate vs the exact sibling)
+        "decontaminate_bloom": TD.decontaminate_bloom,
     }
 
 

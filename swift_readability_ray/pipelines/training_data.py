@@ -1778,6 +1778,143 @@ def decontaminate(
     return tbl.append_column("contaminated", flag).sort_by("doc_id")
 
 
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_BLOOM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over uint64 arrays (public-domain mixing
+    constants); numpy uint64 arithmetic wraps, which is exactly mod 2^64."""
+    x = (x + _BLOOM_C1).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _BLOOM_C2
+    x ^= x >> np.uint64(27)
+    x *= _BLOOM_C3
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _bloom_build(keys: np.ndarray, bits_per_key: int, n_hashes: int
+                 ) -> tuple[np.ndarray, np.uint64]:
+    """Vectorized Bloom bitmap over int64 keys: double hashing
+    (h1 + i*h2) % m with both hashes derived from one SplitMix64 pass."""
+    m = np.uint64(max(64, ((bits_per_key * max(len(keys), 1) + 63) // 64) * 64))
+    bitmap = np.zeros(int(m) >> 6, np.uint64)
+    if len(keys):
+        g = keys.astype(np.int64).view(np.uint64)
+        h1 = _splitmix64(g)
+        h2 = _splitmix64(g ^ _BLOOM_C2) | np.uint64(1)
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % m
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return bitmap, m
+
+
+def _bloom_query(keys: np.ndarray, bitmap: np.ndarray, m: np.uint64,
+                 n_hashes: int) -> np.ndarray:
+    """Membership mask for int64 keys — all n_hashes bits set."""
+    if not len(keys):
+        return np.zeros(0, bool)
+    g = keys.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(g)
+    h2 = _splitmix64(g ^ _BLOOM_C2) | np.uint64(1)
+    member = np.ones(len(keys), bool)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % m
+        bit = (bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        member &= bit.astype(bool)
+    return member
+
+
+def decontaminate_bloom(
+    sf_dir: str,
+    n: int = 8,
+    eval_mod: int = 17,
+    eval_rem: int = 3,
+    bits_per_key: int = 20,
+    n_hashes: int = 10,
+) -> pa.Table:
+    """Bloom-sketch decontamination: same eval-slice n-gram overlap as
+    :func:`decontaminate`, but the broadcast eval-gram set is compressed
+    into a Bloom bitmap (~2.5 bytes/key at the defaults vs 8 for exact
+    int64 keys) — the membership sketch for eval sets too large to ship
+    exactly to every worker.
+
+    One-sided error by construction: zero false negatives (every truly
+    contaminated doc is flagged), false-positive rate
+    ~(1 - e^(-k·n/m))^k ≈ 9e-5 per gram at 20 bits/key × 10 hashes.
+    ``n_hits_bloom`` may therefore exceed the exact count; the pytest
+    bound pins superset containment and the doc-level FP rate against the
+    exact sibling.  Rows-only (approximate — no SQL oracle), completing
+    the sketch family: HyperLogLog (cardinality), mergeable histogram
+    (quantiles), Bloom (membership)."""
+    import hashlib
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def gram_set(text: str) -> np.ndarray:
+        toks = token_re.findall((text or "").lower())
+        seen = {
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
+                "big",
+                signed=True,
+            )
+            for j in range(len(toks) - n + 1)
+        }
+        return np.fromiter(seen, np.int64, len(seen))
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out: set = set()
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == eval_rem:
+                out.update(gram_set(t).tolist())
+        return pa.table({"gram_h": pa.array(sorted(out), pa.int64())})
+
+    ev = ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+    keys = np.unique(np.concatenate(
+        [b.column("gram_h").to_numpy()
+         for b in ev.iter_batches(batch_format="pyarrow")]
+        + [np.array([], np.int64)]
+    ))
+    bitmap, m = _bloom_build(keys, bits_per_key, n_hashes)
+    bloom_ref = ray.put((bitmap, m))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bmp, mm = ray.get(bloom_ref)
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_n, out_h = [], [], []
+        for i, t in zip(ids, texts):
+            if int(i) % eval_mod == eval_rem:
+                continue
+            g = gram_set(t)
+            out_id.append(int(i))
+            out_n.append(int(g.size))
+            out_h.append(int(_bloom_query(g, bmp, mm, n_hashes).sum()))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_grams": pa.array(out_n, pa.int64()),
+             "n_hits_bloom": pa.array(out_h, pa.int64())}
+        )
+
+    tbl = pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    flag = pc.greater(tbl.column("n_hits_bloom"), 0)
+    return tbl.append_column("contaminated", flag).sort_by("doc_id")
+
+
 def _parquet_float_bounds(path: str, col: str) -> tuple[float, float] | None:
     """(min, max) of a numeric column from parquet row-group footer
     statistics — exact true bounds with zero data scan; None when any row

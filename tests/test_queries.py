@@ -261,3 +261,25 @@ def test_pack_sequences_oversized_doc(ray_session, tmp_path):
     )
     out = pack_sequences(str(tmp_path), capacity=8).to_pylist()
     assert [r["bin_id"] for r in out] == [0, 1, 2, 2]
+
+
+def test_decontaminate_bloom_one_sided(ray_session):
+    """The Bloom sketch never misses a real hit (no false negatives) and
+    its doc-level false-positive rate stays within the design bound."""
+    from swift_readability_ray.pipelines.training_data import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    exact = {r["doc_id"]: r for r in decontaminate(SF).to_pylist()}
+    bloom = {r["doc_id"]: r for r in decontaminate_bloom(SF).to_pylist()}
+    assert set(exact) == set(bloom)
+    n_fp = 0
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_grams"] == e["n_grams"]
+        assert b["n_hits_bloom"] >= e["n_hits"], d  # one-sided
+        if b["contaminated"] and not e["contaminated"]:
+            n_fp += 1
+    # ~9e-5 per-gram FP at 20 bits/key x 10 hashes; ~90 grams/doc -> ~1%
+    assert n_fp <= max(3, len(exact) // 20), n_fp
