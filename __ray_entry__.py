@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-sketch decontamination (approximate — rows-only; pytest
         # pins zero false negatives + doc-level FP rate vs the exact sibling)
         "decontaminate_bloom": TD.decontaminate_bloom,
+        # exact-substring dedup removal mask: tokens covered by corpus-
+        # duplicated 8-grams (interval union per doc)
+        "dup_span_coverage": TD.dup_span_coverage,
     }
 
 
@@ -1099,5 +1102,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                    CAST(bin_id AS BIGINT) AS bin_id
             FROM pack ORDER BY doc_id
+        """,
+        # substring-dedup removal mask: a token position is covered iff a
+        # word 8-gram starting at d in [p-7, p] occurs >=2 times anywhere
+        # in the corpus (occurrences, not distinct docs — a within-doc
+        # repeat is a duplicate too)
+        "dup_span_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i.g AS pos,
+                     array_to_string(ts[i.g : i.g+7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(ts)-7)) AS i(g)),
+            gc AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+            dup_starts AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN gc USING (gram)),
+            positions AS (
+              SELECT t.doc_id, p.p AS pos
+              FROM toks t, unnest(generate_series(1, len(ts))) AS p(p)),
+            covered AS (
+              SELECT DISTINCT pr.doc_id, pr.pos
+              FROM positions pr JOIN dup_starts d
+                ON d.doc_id = pr.doc_id
+               AND pr.pos BETWEEN d.pos AND d.pos + 7),
+            cov AS (SELECT doc_id, count(*) AS n_covered
+                    FROM covered GROUP BY doc_id)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+                   CAST(len(t.ts) - coalesce(c.n_covered, 0) AS BIGINT)
+                     AS n_kept
+            FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+            ORDER BY doc_id
         """,
     }

@@ -1778,6 +1778,172 @@ def decontaminate(
     return tbl.append_column("contaminated", flag).sort_by("doc_id")
 
 
+def _interval_union_len(starts: np.ndarray, n: int, length: int) -> int:
+    """Total integer positions covered by the union of [s, s+n) intervals
+    clipped to [1, length] — vectorized merge via a running max of ends."""
+    if starts.size == 0:
+        return 0
+    s = np.sort(starts)
+    e = np.minimum(s + n, length + 1)
+    prev_end = np.empty_like(e)
+    prev_end[0] = s[0]  # no coverage before the first interval
+    if len(e) > 1:
+        np.maximum.accumulate(e[:-1], out=prev_end[1:])
+    contrib = e - np.maximum(s, prev_end)
+    return int(np.clip(contrib, 0, None).sum())
+
+
+def dup_span_coverage(
+    sf_dir: str, n: int = 8, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Exact-substring dedup REMOVAL mask (the other half of Lee et al.
+    2022, whose duplication *signal* is :func:`dup_ngram_stats`): per doc,
+    how many token positions are covered by at least one word ``n``-gram
+    that occurs ≥2 times anywhere in the corpus — the span set a
+    substring-dedup pass would cut, with the kept-token count.
+
+    Distributed shape:
+      1. one tokenize pass emits ALL gram occurrences as 64-bit keys
+         (occurrence counts, not distinct — a within-doc repeat is a
+         duplicate too, exactly like suffix-array dedup);
+      2. per-gram totals combine via value_counts partials (driver-merged
+         under the gate, distributed groupby above);
+      3. duplicated keys ≤``broadcast_limit`` broadcast as a sorted int64
+         array and each doc computes its own coverage in-batch
+         (searchsorted membership + vectorized interval union —
+         shuffle-free); above the gate the fallback joins gram rows to
+         the dup-key table and merges intervals per doc in one
+         tag-and-union groupby.
+    Output: (doc_id, n_tokens, n_covered, n_kept) for every doc (docs
+    shorter than ``n`` tokens have zero coverage)."""
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def doc_grams(text: str) -> np.ndarray:
+        toks = token_re.findall((text or "").lower())
+        return np.array(
+            [int.from_bytes(
+                hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
+                "big", signed=True)
+             for j in range(len(toks) - n + 1)],
+            np.int64,
+        ), len(toks)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_pos, out_h, tot_id, tot_n = [], [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            g, n_tok = doc_grams(t)
+            tot_id.append(doc_id)
+            tot_n.append(n_tok)
+            out_id.extend([doc_id] * g.size)
+            out_pos.extend(range(1, g.size + 1))
+            out_h.extend(g.tolist())
+        return pa.table(
+            {"doc_id": pa.array(out_id + tot_id, pa.int64()),
+             "pos": pa.array(out_pos + [0] * len(tot_id), pa.int64()),
+             "gram_h": pa.array(out_h + [0] * len(tot_id), pa.int64()),
+             "n_tokens": pa.array([0] * len(out_id) + tot_n, pa.int64()),
+             "is_gram": pa.array(
+                 [1] * len(out_id) + [0] * len(tot_id), pa.int64())}
+        )
+
+    rows = ds.map_batches(
+        gram_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.filter(pc.equal(batch.column("is_gram"), 1))
+        vc = pc.value_counts(g.column("gram_h").combine_chunks())
+        return pa.table({"gram_h": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    n_rows = D._metadata_row_count(rows)
+    if n_rows is not None and n_rows <= broadcast_limit:
+        ptbl = pa.concat_tables(
+            rows.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+        vocab = ptbl.group_by(["gram_h"]).aggregate([("cnt", "sum")])
+        dup_np = np.sort(
+            vocab.filter(pc.greater_equal(vocab.column("cnt_sum"), 2))
+            .column("gram_h").to_numpy()
+        )
+        dup_ref = ray.put(dup_np)
+
+        def cover(batch: pa.Table) -> pa.Table:
+            keys = ray.get(dup_ref)
+            out_id, out_n, out_c = [], [], []
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                g, n_tok = doc_grams(t)
+                covered = 0
+                if g.size and keys.size:
+                    idx = np.searchsorted(keys, g)
+                    idx[idx == len(keys)] = 0
+                    starts = np.nonzero(keys[idx] == g)[0] + 1
+                    covered = _interval_union_len(starts, n, n_tok)
+                out_id.append(doc_id)
+                out_n.append(n_tok)
+                out_c.append(covered)
+            return pa.table(
+                {"doc_id": pa.array(out_id, pa.int64()),
+                 "n_tokens": pa.array(out_n, pa.int64()),
+                 "n_covered": pa.array(out_c, pa.int64())}
+            )
+
+        tbl = pa.concat_tables(
+            ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+    else:
+        dup_keys = (
+            rows.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("gram_h").aggregate(Sum("cnt"))
+            .rename_columns(["gram_h", "cnt_total"])
+            .filter(expr="cnt_total >= 2")
+            .select_columns(["gram_h"])
+        )
+        dup_starts = rows.filter(expr="is_gram == 1").join(
+            dup_keys, join_type="inner",
+            num_partitions=D._default_join_partitions(rows), on=("gram_h",),
+        ).select_columns(["doc_id", "pos", "n_tokens", "is_gram"])
+        tagged = dup_starts.union(
+            rows.filter(expr="is_gram == 0")
+            .select_columns(["doc_id", "pos", "n_tokens", "is_gram"])
+        )
+
+        def cover_group(group: pa.Table) -> pa.Table:
+            is_gram = group.column("is_gram").to_numpy()
+            n_tok = int(group.column("n_tokens").to_numpy()[is_gram == 0][0])
+            starts = group.column("pos").to_numpy()[is_gram == 1]
+            return pa.table(
+                {"doc_id": group.column("doc_id").slice(0, 1),
+                 "n_tokens": pa.array([n_tok], pa.int64()),
+                 "n_covered": pa.array(
+                     [_interval_union_len(starts, n, n_tok)], pa.int64())}
+            )
+
+        tbl = pa.concat_tables(
+            tagged.groupby("doc_id").map_groups(
+                cover_group, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        )
+
+    kept = pc.subtract(tbl.column("n_tokens"), tbl.column("n_covered"))
+    return tbl.append_column("n_kept", kept).sort_by("doc_id")
+
+
 _BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
 _BLOOM_C2 = np.uint64(0xBF58476D1CE4E5B9)
 _BLOOM_C3 = np.uint64(0x94D049BB133111EB)

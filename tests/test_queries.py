@@ -283,3 +283,32 @@ def test_decontaminate_bloom_one_sided(ray_session):
             n_fp += 1
     # ~9e-5 per-gram FP at 20 bits/key x 10 hashes; ~90 grams/doc -> ~1%
     assert n_fp <= max(3, len(exact) // 20), n_fp
+
+
+def test_dup_span_coverage_distributed_fallback(ray_session):
+    """Above the broadcast gate, coverage runs via hash join + tag-and-union
+    groupby interval merge and produces identical results."""
+    from swift_readability_ray.pipelines.training_data import dup_span_coverage
+
+    broadcast = dup_span_coverage(SF)
+    distributed = dup_span_coverage(SF, broadcast_limit=0)
+    assert broadcast.to_pylist() == distributed.to_pylist()
+
+
+def test_interval_union_len_edges():
+    """Interval-union kernel: overlaps, containment, clipping, empty."""
+    import numpy as np
+
+    from swift_readability_ray.pipelines.training_data import _interval_union_len
+
+    assert _interval_union_len(np.array([], np.int64), 8, 100) == 0
+    # single interval [5, 12] within length
+    assert _interval_union_len(np.array([5]), 8, 100) == 8
+    # clipped by doc length
+    assert _interval_union_len(np.array([95]), 8, 100) == 6
+    # overlapping [1,8] + [5,12] -> [1,12]
+    assert _interval_union_len(np.array([1, 5]), 8, 100) == 12
+    # contained [1,20] + [5,12] -> 20  (n=20 first; use two calls)
+    assert _interval_union_len(np.array([1, 3, 3]), 4, 100) == 6
+    # disjoint
+    assert _interval_union_len(np.array([1, 50]), 8, 100) == 16
