@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring dedup removal mask: tokens covered by corpus-
         # duplicated 8-grams (interval union per doc)
         "dup_span_coverage": TD.dup_span_coverage,
+        # partitioned-sink roundtrip certificate: write hive-partitioned
+        # parquet, read back pruned, count per partition
+        "sink_roundtrip": TD.sink_roundtrip,
     }
 
 
@@ -1137,5 +1140,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_kept
             FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
             ORDER BY doc_id
+        """,
+        # sink roundtrip: per-partition counts survive the write→read cycle
+        "sink_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

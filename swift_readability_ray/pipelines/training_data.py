@@ -1944,6 +1944,49 @@ def dup_span_coverage(
     return tbl.append_column("n_kept", kept).sort_by("doc_id")
 
 
+def sink_roundtrip(sf_dir: str, out_root: str | None = None) -> pa.Table:
+    """Partitioned-sink roundtrip certificate: write the docs table as
+    hive-partitioned parquet (one directory per lang — the resumable
+    layout: a failed run skips finished partitions), read it BACK with a
+    fresh pruned read, and count rows + chars per partition.
+
+    Putting the write→read cycle inside the oracle matrix certifies the
+    sink path end-to-end (schema preservation through partition-column
+    encoding included), not just the compute stages.  Output dirs are
+    per-process temp and cleaned up."""
+    import os
+    import shutil
+    import tempfile
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    root = out_root or tempfile.mkdtemp(prefix="sink_roundtrip_")
+    try:
+        ds.write_parquet(root, partition_cols=["lang"])
+        back = ray.data.read_parquet(root, columns=["lang", "n_chars"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            # hive partition values read back dictionary-encoded — decode
+            lang = pc.cast(batch.column("lang"), pa.string())
+            return pa.table(
+                {"lang": lang, "n_chars": batch.column("n_chars")}
+            ).group_by(["lang"]).aggregate(
+                [("n_chars", "count"), ("n_chars", "sum")]
+            ).rename_columns(["lang", "n_docs", "total_chars"])
+
+        p = back.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        m = _merge_partials(p, ["lang"], [("n_docs", "sum"),
+                                          ("total_chars", "sum")])
+        return pa.table(
+            {"lang": m.column("lang"),
+             "n_docs": pc.cast(m.column("n_docs"), pa.int64()),
+             "total_chars": pc.cast(m.column("total_chars"), pa.int64())}
+        ).sort_by("lang")
+    finally:
+        if out_root is None and os.path.isdir(root):
+            shutil.rmtree(root, ignore_errors=True)
+
+
 _BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
 _BLOOM_C2 = np.uint64(0xBF58476D1CE4E5B9)
 _BLOOM_C3 = np.uint64(0x94D049BB133111EB)
