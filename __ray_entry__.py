@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitioned-sink roundtrip certificate: write hive-partitioned
         # parquet, read back pruned, count per partition
         "sink_roundtrip": TD.sink_roundtrip,
+        # exact vector aggregate: integer-quantized centroid numerators
+        "label_centroids": TD.label_centroids,
     }
 
 
@@ -1146,5 +1148,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # per-label centroid numerators in integer space: each component
+        # quantized per row (half-up at 1e6, computed in DOUBLE) then
+        # summed as BIGINT — order-independent, engine-exact
+        "label_centroids": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS sum_q0,
+                   CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS sum_q1,
+                   CAST(sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS sum_q2,
+                   CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS sum_q3
+            FROM embeddings GROUP BY label ORDER BY label
         """,
     }

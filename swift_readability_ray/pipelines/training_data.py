@@ -1944,6 +1944,44 @@ def dup_span_coverage(
     return tbl.append_column("n_kept", kept).sort_by("doc_id")
 
 
+def label_centroids(sf_dir: str, n_dims: int = 4) -> pa.Table:
+    """Vector aggregate: per-label embedding centroid components, exactly.
+
+    Floating sums are order-dependent across engines, so the centroid
+    numerator is computed in INTEGER space: each component is quantized to
+    round(x * 1e6) per row (half-up, matching DuckDB round()), summed as
+    int64 per label — associative, overflow-safe (1e6-scale × corpus), and
+    bit-identical on any block order or cluster size.  Per-block partial
+    sums via one numpy matmul-free reduction; driver merge (labels are
+    bounded).  The first ``n_dims`` components are exposed."""
+    ds = _read_sized(f"{sf_dir}/embeddings.parquet",
+                     columns=["label", "embedding"])
+    sum_cols = [f"sum_q{i}" for i in range(n_dims)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy()
+        emb = batch.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(len(labels), 1) if len(labels) else 0
+        mat = flat.reshape(len(labels), dim)[:, :n_dims] if len(labels) else \
+            np.zeros((0, n_dims))
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        uniq = np.unique(labels)
+        data = {"label": pa.array(uniq, pa.int32()),
+                "n": pa.array(
+                    [int((labels == u).sum()) for u in uniq], pa.int64())}
+        for i, c in enumerate(sum_cols):
+            data[c] = pa.array(
+                [int(q[labels == u, i].sum()) for u in uniq], pa.int64())
+        return pa.table(data)
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], [("n", "sum")] + [(c, "sum") for c in sum_cols],
+    )
+    return m.sort_by("label")
+
+
 def sink_roundtrip(sf_dir: str, out_root: str | None = None) -> pa.Table:
     """Partitioned-sink roundtrip certificate: write the docs table as
     hive-partitioned parquet (one directory per lang — the resumable
