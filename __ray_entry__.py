@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip": TD.sink_roundtrip,
         # exact vector aggregate: integer-quantized centroid numerators
         "label_centroids": TD.label_centroids,
+        # composite quality gate: first-failing-reason keep/drop decision
+        "quality_gate": TD.quality_gate,
     }
 
 
@@ -1163,5 +1165,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000
                         + 0.5) AS BIGINT)) AS BIGINT) AS sum_q3
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        # composite quality gate: first failing rule in fixed order, all
+        # comparisons in integer space ((nb-db)*5 > nb ≡ frac > 0.2)
+        "quality_gate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            bc AS (
+              SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db
+              FROM big GROUP BY doc_id),
+            feat AS (
+              SELECT t.doc_id, len(t.ts) AS n_tok,
+                     coalesce(b.nb, 0) AS nb, coalesce(b.db, 0) AS db,
+                     len(list_filter(t.ts,
+                         x -> x IN ('the', 'a', 'of'))) AS n_stop
+              FROM toks t LEFT JOIN bc b ON t.doc_id = b.doc_id),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_tok < 20 THEN 'too_short'
+                          WHEN (nb - db) * 5 > nb THEN 'repetitive'
+                          WHEN n_stop * 100 < n_tok THEN 'no_stopwords'
+                          ELSE 'keep' END AS reason
+              FROM feat)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, reason,
+                   reason = 'keep' AS keep
+            FROM r ORDER BY doc_id
         """,
     }

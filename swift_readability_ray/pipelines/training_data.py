@@ -1944,6 +1944,60 @@ def dup_span_coverage(
     return tbl.append_column("n_kept", kept).sort_by("doc_id")
 
 
+def quality_gate(sf_dir: str) -> pa.Table:
+    """Composite quality gate with reasons (the Dolma/RefinedWeb-style
+    keep/drop decision): per doc, the FIRST failing rule in a fixed order
+    — too_short (<20 tokens), repetitive (duplicated-bigram fraction
+    > 0.2), no_stopwords (the/a/of density < 1%), else keep.
+
+    Every rule compares in INTEGER space ((nb-db)*5 > nb instead of a
+    float ratio), so the gate is bit-exact across engines.  Shuffle-free
+    per-doc map; recording the reason (not just the bool) is what makes a
+    100 TB filter sweep diagnosable afterwards."""
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+    stop = {"the", "a", "of"}
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        out_id, out_r = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((t or "").lower())
+            n_tok = len(toks)
+            if n_tok < 20:
+                reason = "too_short"
+            else:
+                grams = np.array(
+                    [f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object
+                )
+                nb = len(grams)
+                db = len(np.unique(grams))
+                n_stop = sum(1 for x in toks if x in stop)
+                if (nb - db) * 5 > nb:
+                    reason = "repetitive"
+                elif n_stop * 100 < n_tok:
+                    reason = "no_stopwords"
+                else:
+                    reason = "keep"
+            out_id.append(doc_id)
+            out_r.append(reason)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "reason": pa.array(out_r, pa.string())}
+        )
+
+    tbl = pa.concat_tables(
+        ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    return tbl.append_column(
+        "keep", pc.equal(tbl.column("reason"), "keep")
+    ).sort_by("doc_id")
+
+
 def label_centroids(sf_dir: str, n_dims: int = 4) -> pa.Table:
     """Vector aggregate: per-label embedding centroid components, exactly.
 

@@ -312,3 +312,25 @@ def test_interval_union_len_edges():
     assert _interval_union_len(np.array([1, 3, 3]), 4, 100) == 6
     # disjoint
     assert _interval_union_len(np.array([1, 50]), 8, 100) == 16
+
+
+def test_quality_gate_repetitive_branch(ray_session, tmp_path):
+    """The corpus never trips the repetition rule — pin it (and rule
+    precedence) with crafted docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import quality_gate
+
+    texts = [
+        "spam ham " * 20,                  # 40 tokens, 1 distinct bigram pair
+        "tiny doc",                        # too_short wins
+        ("the quick brown fox jumps over lazy dogs while a bird sings of "
+         "rivers and stones under bright morning skies near distant hills"),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["doc_id"]: r["reason"] for r in quality_gate(str(tmp_path)).to_pylist()}
+    assert out == {0: "repetitive", 1: "too_short", 2: "keep"}
