@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": TD.label_centroids,
         # composite quality gate: first-failing-reason keep/drop decision
         "quality_gate": TD.quality_gate,
+        # unigram-LM typicality: summed corpus token frequency per doc
+        "doc_typicality": TD.doc_typicality,
     }
 
 
@@ -1196,5 +1198,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, reason,
                    reason = 'keep' AS keep
             FROM r ORDER BY doc_id
+        """,
+        # unigram typicality: per doc, sum over its tokens of the GLOBAL
+        # corpus frequency of that token (occurrences, not distinct)
+        "doc_typicality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (SELECT doc_id, u.t AS term FROM toks, unnest(ts) AS u(t)),
+            vocab AS (SELECT term, count(*) AS freq FROM terms GROUP BY term),
+            s AS (
+              SELECT t.doc_id, count(*) AS n_tokens, sum(v.freq) AS sum_freq
+              FROM terms t JOIN vocab v USING (term)
+              GROUP BY t.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.sum_freq, 0) AS BIGINT) AS sum_freq
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY doc_id
         """,
     }

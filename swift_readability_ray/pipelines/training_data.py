@@ -1944,6 +1944,86 @@ def dup_span_coverage(
     return tbl.append_column("n_kept", kept).sort_by("doc_id")
 
 
+def doc_typicality(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Unigram-LM typicality signal: per doc, the summed CORPUS frequency
+    of its tokens (the integer-exact core of a language-model likelihood
+    score — higher = more typical text, the classifier-lite quality signal
+    RefinedWeb-style pipelines threshold on).
+
+    Two passes: (1) the global vocabulary count table from per-block
+    ``value_counts`` partials (driver-merged under the gate, distributed
+    groupby above); (2) the vocabulary BROADCAST once via ``ray.put`` as
+    parallel sorted-key/count arrays, each doc scoring itself in-batch
+    with one searchsorted — the canonical broadcast-model-scoring shape,
+    no shuffle.  All integer: sum_freq is exact on any engine."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(token_re.findall((t or "").lower()))
+        return pa.table(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    partials = ds.map_batches(tok_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= broadcast_limit:
+        vocab = pa.concat_tables(
+            partials.iter_batches(batch_format="pyarrow")
+        ).group_by(["term"]).aggregate([("n", "sum")])
+        terms = np.array(vocab.column("term").to_pylist())
+        counts = vocab.column("n_sum").to_numpy()
+    else:
+        vt = partials.groupby("term").aggregate(Sum("n"))
+        tbl = pa.concat_tables(vt.iter_batches(batch_format="pyarrow"))
+        terms = np.array(tbl.column("term").to_pylist())
+        counts = tbl.column(1).to_numpy()
+    order = np.argsort(terms)
+    vocab_ref = ray.put((terms[order], counts[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, freq = ray.get(vocab_ref)
+        out_id, out_n, out_s = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = np.array(token_re.findall((t or "").lower()))
+            s = 0
+            if toks.size:
+                idx = np.searchsorted(keys, toks)
+                idx[idx == len(keys)] = 0
+                # every token is in the vocabulary by construction, but
+                # guard anyway so a probe corpus can't crash the stage
+                hit = keys[idx] == toks
+                s = int(freq[idx[hit]].sum())
+            out_id.append(doc_id)
+            out_n.append(int(toks.size))
+            out_s.append(s)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_tokens": pa.array(out_n, pa.int64()),
+             "sum_freq": pa.array(out_s, pa.int64())}
+        )
+
+    return pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+
 def quality_gate(sf_dir: str) -> pa.Table:
     """Composite quality gate with reasons (the Dolma/RefinedWeb-style
     keep/drop decision): per doc, the FIRST failing rule in a fixed order

@@ -334,3 +334,13 @@ def test_quality_gate_repetitive_branch(ray_session, tmp_path):
     )
     out = {r["doc_id"]: r["reason"] for r in quality_gate(str(tmp_path)).to_pylist()}
     assert out == {0: "repetitive", 1: "too_short", 2: "keep"}
+
+
+def test_doc_typicality_distributed_fallback(ray_session):
+    """Above the gate the vocabulary combines via a distributed groupby
+    before the broadcast and produces identical scores."""
+    from swift_readability_ray.pipelines.training_data import doc_typicality
+
+    merged = doc_typicality(SF)
+    distributed = doc_typicality(SF, broadcast_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
