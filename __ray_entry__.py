@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": TD.quality_gate,
         # unigram-LM typicality: summed corpus token frequency per doc
         "doc_typicality": TD.doc_typicality,
+        # first BPE training step: top adjacent char pairs by frequency
+        "bpe_first_merges": TD.bpe_first_merges,
     }
 
 
@@ -1218,5 +1220,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.sum_freq, 0) AS BIGINT) AS sum_freq
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
             ORDER BY doc_id
+        """,
+        # first BPE merge candidates: adjacent char pairs weighted by word
+        # corpus frequency, top 10 by (count desc, pair asc)
+        "bpe_first_merges": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (SELECT u.t AS term FROM toks, unnest(ts) AS u(t)),
+            vocab AS (SELECT term, count(*) AS freq FROM terms GROUP BY term),
+            pairs AS (
+              SELECT substr(term, i.i, 2) AS pair, sum(freq) AS n
+              FROM vocab, unnest(generate_series(1, len(term)-1)) AS i(i)
+              GROUP BY 1)
+            SELECT pair, CAST(n AS BIGINT) AS n
+            FROM pairs ORDER BY n DESC, pair LIMIT 10
         """,
     }

@@ -2024,6 +2024,89 @@ def doc_typicality(
     ).sort_by("doc_id")
 
 
+def bpe_first_merges(
+    sf_dir: str, k: int = 10, driver_limit: int = 2_000_000
+) -> pa.Table:
+    """First BPE training step (Sennrich et al. 2016): the top-``k``
+    adjacent character pairs by corpus frequency — the pairs the first
+    merge rounds of a byte-pair-encoding tokenizer would learn.
+
+    Pair counts factor through the word VOCABULARY: the corpus pass
+    combines per-block word Counters (corpus-sized → vocabulary-sized),
+    then pairs are counted over vocab entries weighted by word frequency
+    — at 100 TB the second stage touches only the vocabulary, never the
+    corpus.  Driver merge under the gate, distributed groupby + per-block
+    top-k above (iterating merges = re-running this with the learned pair
+    collapsed; each round is the same vocabulary-sized job)."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["text"], rows_per_block=1024)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(token_re.findall((t or "").lower()))
+        return pa.table(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    def pair_counts(terms, freqs) -> pa.Table:
+        c: Counter = Counter()
+        for term, f in zip(terms, freqs):
+            for a, b in zip(term, term[1:]):
+                c[a + b] += int(f)
+        return pa.table(
+            {"pair": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    partials = ds.map_batches(tok_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        vocab = pa.concat_tables(
+            partials.iter_batches(batch_format="pyarrow")
+        ).group_by(["term"]).aggregate([("n", "sum")])
+        agg = pair_counts(
+            vocab.column("term").to_pylist(), vocab.column("n_sum").to_numpy()
+        ).group_by(["pair"]).aggregate([("n", "sum")]).rename_columns(
+            ["pair", "n"]
+        )
+    else:
+        vocab_ds = partials.groupby("term").aggregate(Sum("n"))
+
+        def vocab_pairs(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(["term", "freq"])
+            return pair_counts(
+                t.column("term").to_pylist(), t.column("freq").to_numpy()
+            )
+
+        pair_ds = vocab_ds.map_batches(
+            vocab_pairs, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("pair").aggregate(Sum("n"))
+
+        def block_topk(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(["pair", "n"])
+            return t.take(pc.sort_indices(
+                t, sort_keys=[("n", "descending"), ("pair", "ascending")]
+            )[:k])
+
+        agg = pa.concat_tables(
+            pair_ds.map_batches(block_topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+    return agg.take(pc.sort_indices(
+        agg, sort_keys=[("n", "descending"), ("pair", "ascending")]
+    )[:k])
+
+
 def quality_gate(sf_dir: str) -> pa.Table:
     """Composite quality gate with reasons (the Dolma/RefinedWeb-style
     keep/drop decision): per doc, the FIRST failing rule in a fixed order

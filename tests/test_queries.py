@@ -344,3 +344,13 @@ def test_doc_typicality_distributed_fallback(ray_session):
     merged = doc_typicality(SF)
     distributed = doc_typicality(SF, broadcast_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_bpe_first_merges_distributed_fallback(ray_session):
+    """Above the gate, pair counting maps over the distributed vocabulary
+    and combines via groupby + per-block top-k, identically."""
+    from swift_readability_ray.pipelines.training_data import bpe_first_merges
+
+    merged = bpe_first_merges(SF)
+    distributed = bpe_first_merges(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
