@@ -14,7 +14,9 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import hashlib
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -148,6 +150,66 @@ def _merge_partials(
     tbl = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
     merged = tbl.group_by(keys).aggregate(aggs)
     return merged.rename_columns(keys + [c for c, _ in aggs])
+
+
+_GRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _doc_gram_keys(text: str, n: int) -> np.ndarray:
+    """DISTINCT word ``n``-gram 64-bit md5 keys of one doc (signed int64).
+
+    This is THE tokenization+hashing both decontamination queries share —
+    ``decontaminate_bloom``'s zero-false-negative guarantee holds only
+    while the exact and sketch paths hash identically, so it lives in one
+    place."""
+    toks = _GRAM_TOKEN_RE.findall((text or "").lower())
+    seen = {
+        int.from_bytes(
+            hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
+            "big",
+            signed=True,
+        )
+        for j in range(len(toks) - n + 1)
+    }
+    return np.fromiter(seen, np.int64, len(seen))
+
+
+def _eval_gram_batch(
+    batch: pa.Table, n: int, eval_mod: int, eval_rem: int
+) -> pa.Table:
+    """Per-block distinct gram keys of the eval slice (doc_id % mod == rem)."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    out: set = set()
+    for i, t in zip(ids, texts):
+        if int(i) % eval_mod == eval_rem:
+            out.update(_doc_gram_keys(t, n).tolist())
+    return pa.table({"gram_h": pa.array(sorted(out), pa.int64())})
+
+
+def _word_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-block word-frequency partial: (term, n) rows — corpus-sized in,
+    vocabulary-sized out.  The shared first stage of every vocabulary
+    consumer (doc_typicality, bpe_first_merges)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        c.update(_GRAM_TOKEN_RE.findall((t or "").lower()))
+    return pa.table(
+        {"term": pa.array(list(c.keys()), pa.string()),
+         "n": pa.array(list(c.values()), pa.int64())}
+    )
+
+
+def _md5_bucket(key, mod: int) -> int:
+    """First-8-hex-digit md5 bucket of ``str(key)`` — the ONE integer every
+    deterministic-sampling/split oracle computes as
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % mod``;
+    shared so the engine and the SQL can never drift apart."""
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
 
 
 # ------------------------------------------------------------ SQL-oracled
@@ -337,16 +399,11 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
     ds.random_sample), embarrassingly parallel (pure filter, no shuffle) —
     the right way to cut a reproducible training subset at 100 TB.
     """
-    import hashlib
-
     ds = _docs_sized(sf_dir, columns=["doc_id"])
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        mask = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < rate_pct
-            for i in ids
-        ]
+        mask = [_md5_bucket(i, 100) < rate_pct for i in ids]
         return batch.filter(pa.array(mask))
 
     out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -369,8 +426,6 @@ def stratified_sample(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
     of rows), then a broadcast-threshold Bernoulli filter.  Stable across
     runs, engines and cluster sizes, unlike ``random_sample``.
     """
-    import hashlib
-
     ds = _docs_sized(sf_dir, columns=["doc_id", "lang"])
 
     def cnt(batch: pa.Table) -> pa.Table:
@@ -397,8 +452,7 @@ def stratified_sample(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         langs = batch.column("lang").to_pylist()
         mask = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % scale
-            < t.get(lang, 0)
+            _md5_bucket(i, scale) < t.get(lang, 0)
             for i, lang in zip(ids, langs)
         ]
         return batch.filter(pa.array(mask))
@@ -1631,37 +1685,17 @@ def decontaminate(
     contaminated), where n_hits counts the doc's DISTINCT grams that occur
     anywhere in the eval slice.
     """
-    import hashlib
-    import re
-
     from ray.data.aggregate import Count, Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def gram_set(text: str) -> np.ndarray:
-        toks = token_re.findall((text or "").lower())
-        seen = {
-            int.from_bytes(
-                hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
-                "big",
-                signed=True,
-            )
-            for j in range(len(toks) - n + 1)
-        }
-        return np.fromiter(seen, np.int64, len(seen))
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
-        out: set = set()
-        for i, t in zip(ids, texts):
-            if int(i) % eval_mod == eval_rem:
-                out.update(gram_set(t).tolist())
-        return pa.table({"gram_h": pa.array(sorted(out), pa.int64())})
+        return _doc_gram_keys(text, n)
 
     ev = ds.map_batches(
-        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+        _eval_gram_batch, fn_kwargs={"n": n, "eval_mod": eval_mod,
+                                     "eval_rem": eval_rem},
+        batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     n_ev = D._metadata_row_count(ev)
 
@@ -1813,7 +1847,11 @@ def dup_span_coverage(
          (searchsorted membership + vectorized interval union —
          shuffle-free); above the gate the fallback joins gram rows to
          the dup-key table and merges intervals per doc in one
-         tag-and-union groupby.
+         tag-and-union groupby.  The broadcast path deliberately
+         re-tokenizes instead of re-reading the gram rows: scoring the
+         materialized rows would need all of a doc's grams co-located,
+         i.e. a doc_id shuffle — exactly what the fallback pays; hashing
+         twice is the price of staying shuffle-free.
     Output: (doc_id, n_tokens, n_covered, n_kept) for every doc (docs
     shorter than ``n`` tokens have zero coverage)."""
     import hashlib
@@ -1824,7 +1862,7 @@ def dup_span_coverage(
     token_re = re.compile(r"[a-z0-9]+")
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
-    def doc_grams(text: str) -> np.ndarray:
+    def doc_grams(text: str) -> tuple[np.ndarray, int]:
         toks = token_re.findall((text or "").lower())
         return np.array(
             [int.from_bytes(
@@ -1958,26 +1996,13 @@ def doc_typicality(
     parallel sorted-key/count arrays, each doc scoring itself in-batch
     with one searchsorted — the canonical broadcast-model-scoring shape,
     no shuffle.  All integer: sum_freq is exact on any engine."""
-    import re
-
     from ray.data.aggregate import Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["doc_id", "text"], rows_per_block=1024)
 
-    def tok_partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(token_re.findall((t or "").lower()))
-        return pa.table(
-            {"term": pa.array(list(c.keys()), pa.string()),
-             "n": pa.array(list(c.values()), pa.int64())}
-        )
-
-    partials = ds.map_batches(tok_partial, batch_format="pyarrow",
+    partials = ds.map_batches(_word_count_partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= broadcast_limit:
@@ -2038,23 +2063,12 @@ def bpe_first_merges(
     corpus.  Driver merge under the gate, distributed groupby + per-block
     top-k above (iterating merges = re-running this with the learned pair
     collapsed; each round is the same vocabulary-sized job)."""
-    import re
     from collections import Counter
 
     from ray.data.aggregate import Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["text"], rows_per_block=1024)
-
-    def tok_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(token_re.findall((t or "").lower()))
-        return pa.table(
-            {"term": pa.array(list(c.keys()), pa.string()),
-             "n": pa.array(list(c.values()), pa.int64())}
-        )
 
     def pair_counts(terms, freqs) -> pa.Table:
         c: Counter = Counter()
@@ -2066,7 +2080,7 @@ def bpe_first_merges(
              "n": pa.array(list(c.values()), pa.int64())}
         )
 
-    partials = ds.map_batches(tok_partial, batch_format="pyarrow",
+    partials = ds.map_batches(_word_count_partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= driver_limit:
@@ -2207,8 +2221,11 @@ def sink_roundtrip(sf_dir: str, out_root: str | None = None) -> pa.Table:
 
     Putting the write→read cycle inside the oracle matrix certifies the
     sink path end-to-end (schema preservation through partition-column
-    encoding included), not just the compute stages.  Output dirs are
-    per-process temp and cleaned up."""
+    encoding included), not just the compute stages.  The default
+    ``out_root`` is a driver-local temp dir — correct in this sandbox's
+    single-node mode; on a real multi-node cluster callers MUST pass
+    shared storage (S3/NFS) as ``out_root``, since write tasks land on
+    each worker's local filesystem otherwise."""
     import os
     import shutil
     import tempfile
@@ -2316,35 +2333,16 @@ def decontaminate_bloom(
     bound pins superset containment and the doc-level FP rate against the
     exact sibling.  Rows-only (approximate — no SQL oracle), completing
     the sketch family: HyperLogLog (cardinality), mergeable histogram
-    (quantiles), Bloom (membership)."""
-    import hashlib
-    import re
-
-    token_re = re.compile(r"[a-z0-9]+")
+    (quantiles), Bloom (membership).  Tokenization/hashing is the SAME
+    ``_doc_gram_keys`` the exact sibling uses — the one-sided guarantee
+    depends on it."""
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
-    def gram_set(text: str) -> np.ndarray:
-        toks = token_re.findall((text or "").lower())
-        seen = {
-            int.from_bytes(
-                hashlib.md5(" ".join(toks[j : j + n]).encode()).digest()[:8],
-                "big",
-                signed=True,
-            )
-            for j in range(len(toks) - n + 1)
-        }
-        return np.fromiter(seen, np.int64, len(seen))
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
-        out: set = set()
-        for i, t in zip(ids, texts):
-            if int(i) % eval_mod == eval_rem:
-                out.update(gram_set(t).tolist())
-        return pa.table({"gram_h": pa.array(sorted(out), pa.int64())})
-
-    ev = ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+    ev = ds.map_batches(
+        _eval_gram_batch, fn_kwargs={"n": n, "eval_mod": eval_mod,
+                                     "eval_rem": eval_rem},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     keys = np.unique(np.concatenate(
         [b.column("gram_h").to_numpy()
          for b in ev.iter_batches(batch_format="pyarrow")]
@@ -2361,7 +2359,7 @@ def decontaminate_bloom(
         for i, t in zip(ids, texts):
             if int(i) % eval_mod == eval_rem:
                 continue
-            g = gram_set(t)
+            g = _doc_gram_keys(t, n)
             out_id.append(int(i))
             out_n.append(int(g.size))
             out_h.append(int(_bloom_query(g, bmp, mm, n_hashes).sum()))
@@ -3258,8 +3256,12 @@ def normalize_text(sf_dir: str) -> pa.Table:
                 pc.utf8_lower(batch.column("text")), r"[^a-z0-9]+", " "
             )
         )
+        # NULL text stays NULL in every output column (oracle semantics:
+        # DuckDB propagates NULL through lower/replace/trim/len/md5)
         md5 = pa.array(
-            [hashlib.md5(s.encode()).hexdigest() for s in t.to_pylist()]
+            [None if s is None else hashlib.md5(s.encode()).hexdigest()
+             for s in t.to_pylist()],
+            pa.string(),
         )
         return pa.table(
             {"doc_id": batch.column("doc_id"),
@@ -3282,16 +3284,11 @@ def split_assign(sf_dir: str) -> pa.Table:
     and a doc keeps its split when the corpus grows (the property that
     matters for eval hygiene at 100 TB).  Counts combine per block and
     merge on the driver (bounded cardinality: 3 splits × languages)."""
-    import hashlib
-
     ds = _docs_sized(sf_dir, columns=["doc_id", "lang"])
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        bk = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-             for i in ids]
-        )
+        bk = np.array([_md5_bucket(i, 100) for i in ids])
         split = np.where(bk < 80, "train", np.where(bk < 90, "valid", "test"))
         return pa.table(
             {"split": pa.array(split.tolist()),
@@ -3509,6 +3506,13 @@ def events_pivot(sf_dir: str, driver_limit: int = 5_000_000) -> pa.Table:
             ["event_type"], [("n", "sum")],
         ).column("event_type").to_pylist()
     )
+    if "total" in types:
+        # a type literally named 'total' would collide with the n_total
+        # rollup column — refuse loudly rather than silently overwrite
+        raise ValueError(
+            "events_pivot: event type 'total' collides with the n_total "
+            "column; rename the rollup via a wrapper if this corpus is real"
+        )
     cols = [f"n_{t}" for t in types]
 
     def pivot_partial(batch: pa.Table) -> pa.Table:

@@ -308,7 +308,9 @@ def test_interval_union_len_edges():
     assert _interval_union_len(np.array([95]), 8, 100) == 6
     # overlapping [1,8] + [5,12] -> [1,12]
     assert _interval_union_len(np.array([1, 5]), 8, 100) == 12
-    # contained [1,20] + [5,12] -> 20  (n=20 first; use two calls)
+    # duplicate starts: the second [3,6] contributes 0 (the clip path —
+    # with equal n and sorted starts, containment can only arise from
+    # duplicates, so this IS the negative-contrib regime)
     assert _interval_union_len(np.array([1, 3, 3]), 4, 100) == 6
     # disjoint
     assert _interval_union_len(np.array([1, 50]), 8, 100) == 16
