@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_typicality": TD.doc_typicality,
         # first BPE training step: top adjacent char pairs by frequency
         "bpe_first_merges": TD.bpe_first_merges,
+        # two-step event funnel: signup -> later purchase, order-free mins
+        "conversion_funnel": TD.conversion_funnel,
+        # feature hashing: fixed-width signed integer vectors per doc
+        "hashed_features": TD.hashed_features,
     }
 
 
@@ -1236,5 +1240,54 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT pair, CAST(n AS BIGINT) AS n
             FROM pairs ORDER BY n DESC, pair LIMIT 10
+        """,
+        # two-step funnel: users whose first purchase follows their first
+        # signup strictly; gap summed in integer microseconds
+        "conversion_funnel": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup'
+                              THEN epoch_us(ts) END) AS first_signup,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS first_purchase
+              FROM events
+              WHERE event_type IN ('signup', 'purchase')
+              GROUP BY user_id)
+            SELECT CAST(count(first_signup) AS BIGINT) AS n_started,
+                   CAST(sum(CASE WHEN first_purchase > first_signup
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(coalesce(sum(CASE WHEN first_purchase > first_signup
+                                 THEN first_purchase - first_signup END), 0)
+                        AS BIGINT) AS sum_gap_us
+            FROM m
+        """,
+        # feature hashing: token adds sign(md5%2) to bucket md5%8; signed
+        # integer sums are exact on any engine
+        "hashed_features": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (SELECT doc_id, u.t AS term FROM toks, unnest(ts) AS u(t)),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv
+              FROM terms),
+            s AS (
+              SELECT doc_id, hv % 8 AS bucket,
+                     CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sign
+              FROM h)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(sum(CASE WHEN bucket = 0 THEN sign END), 0) AS BIGINT) AS f0,
+                   CAST(coalesce(sum(CASE WHEN bucket = 1 THEN sign END), 0) AS BIGINT) AS f1,
+                   CAST(coalesce(sum(CASE WHEN bucket = 2 THEN sign END), 0) AS BIGINT) AS f2,
+                   CAST(coalesce(sum(CASE WHEN bucket = 3 THEN sign END), 0) AS BIGINT) AS f3,
+                   CAST(coalesce(sum(CASE WHEN bucket = 4 THEN sign END), 0) AS BIGINT) AS f4,
+                   CAST(coalesce(sum(CASE WHEN bucket = 5 THEN sign END), 0) AS BIGINT) AS f5,
+                   CAST(coalesce(sum(CASE WHEN bucket = 6 THEN sign END), 0) AS BIGINT) AS f6,
+                   CAST(coalesce(sum(CASE WHEN bucket = 7 THEN sign END), 0) AS BIGINT) AS f7
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
     }

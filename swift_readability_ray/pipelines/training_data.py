@@ -2121,6 +2121,106 @@ def bpe_first_merges(
     )[:k])
 
 
+def conversion_funnel(
+    sf_dir: str,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    driver_limit: int = 5_000_000,
+) -> pa.Table:
+    """Event-sequence funnel: of the users who ever emitted ``first_type``,
+    how many later emitted ``then_type`` (strictly after their first
+    ``first_type``), plus the summed conversion gap — the classic
+    two-step funnel over an event log.
+
+    Order-free formulation so no per-user sort is ever needed: the only
+    state per user is min(ts) of each step (associative!), and conversion
+    is ``first_then > first_first``.  Per-block (user, step) min-ts
+    partials → gated combine → one vectorized driver comparison over the
+    user-level table (user-bounded, not event-bounded); above the gate the
+    combine is a distributed groupby over user_id."""
+    from ray.data.aggregate import Min
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _read_sized(path, columns=["user_id", "event_type", "ts"])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([first_type, then_type]))
+        t = batch.filter(mask)
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "event_type": t.column("event_type"),
+             "ts_us": pc.cast(t.column("ts"), pa.int64())}
+        ).group_by(["user_id", "event_type"]).aggregate(
+            [("ts_us", "min")]
+        ).rename_columns(["user_id", "event_type", "ts_us"])
+
+    partials = ds.map_batches(min_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        per_user = _merge_partials(
+            partials, ["user_id", "event_type"], [("ts_us", "min")]
+        )
+    else:
+        agg = partials.groupby(["user_id", "event_type"]).aggregate(
+            Min("ts_us")
+        )
+        per_user = pa.concat_tables(
+            agg.iter_batches(batch_format="pyarrow")
+        ).rename_columns(["user_id", "event_type", "ts_us"])
+
+    et = per_user.column("event_type").to_numpy(zero_copy_only=False)
+    uid = per_user.column("user_id").to_numpy()
+    ts = per_user.column("ts_us").to_numpy()
+    f_ids = dict(zip(uid[et == first_type].tolist(),
+                     ts[et == first_type].tolist()))
+    t_ids = dict(zip(uid[et == then_type].tolist(),
+                     ts[et == then_type].tolist()))
+    n_started = len(f_ids)
+    gaps = [t_ids[u] - ft for u, ft in f_ids.items()
+            if u in t_ids and t_ids[u] > ft]
+    return pa.table(
+        {"n_started": pa.array([n_started], pa.int64()),
+         "n_converted": pa.array([len(gaps)], pa.int64()),
+         "sum_gap_us": pa.array([int(sum(gaps))], pa.int64())}
+    )
+
+
+def hashed_features(sf_dir: str, n_buckets: int = 8) -> pa.Table:
+    """Feature hashing (Weinberger et al. 2009): per doc, a fixed-width
+    integer feature vector — each token adds ±1 to bucket
+    ``md5(token) % n_buckets`` with sign ``md5(token) % 2`` — the
+    vocabulary-free featurization a streaming classifier consumes.
+
+    Shuffle-free map; per-batch the token→(bucket, sign) mapping is memoized
+    in a dict (vocab-bounded), so the md5 cost is per distinct token per
+    batch, not per occurrence.  All-integer output: exact on any engine."""
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+    cols = [f"f{i}" for i in range(n_buckets)]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        ids = batch.column("doc_id").to_pylist()
+        vecs = np.zeros((len(ids), n_buckets), np.int64)
+        for r, t in enumerate(batch.column("text").to_pylist()):
+            for tok in _GRAM_TOKEN_RE.findall((t or "").lower()):
+                e = memo.get(tok)
+                if e is None:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                    e = memo[tok] = (h % n_buckets, 1 if h % 2 == 0 else -1)
+                vecs[r, e[0]] += e[1]
+        data = {"doc_id": pa.array(ids, pa.int64())}
+        for i, c in enumerate(cols):
+            data[c] = pa.array(vecs[:, i], pa.int64())
+        return pa.table(data)
+
+    return pa.concat_tables(
+        ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+
 def quality_gate(sf_dir: str) -> pa.Table:
     """Composite quality gate with reasons (the Dolma/RefinedWeb-style
     keep/drop decision): per doc, the FIRST failing rule in a fixed order

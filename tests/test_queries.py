@@ -356,3 +356,13 @@ def test_bpe_first_merges_distributed_fallback(ray_session):
     merged = bpe_first_merges(SF)
     distributed = bpe_first_merges(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_conversion_funnel_distributed_fallback(ray_session):
+    """Above the gate the per-(user, step) min combines via a distributed
+    groupby, identically."""
+    from swift_readability_ray.pipelines.training_data import conversion_funnel
+
+    merged = conversion_funnel(SF)
+    distributed = conversion_funnel(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
