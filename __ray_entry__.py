@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": TD.conversion_funnel,
         # feature hashing: fixed-width signed integer vectors per doc
         "hashed_features": TD.hashed_features,
+        # log compaction / CDC upsert: keep each user's latest event
+        "latest_event_per_user": TD.latest_event_per_user,
     }
 
 
@@ -1289,5 +1291,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN bucket = 7 THEN sign END), 0) AS BIGINT) AS f7
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # log compaction: latest event per user by (ts, event_id)
+        "latest_event_per_user": """
+            WITH r AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, ts AS last_ts,
+                   CAST(event_id AS BIGINT) AS last_event_id,
+                   value_c AS last_value_c
+            FROM r WHERE rn = 1 ORDER BY user_id
         """,
     }

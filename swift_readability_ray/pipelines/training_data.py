@@ -2187,6 +2187,90 @@ def conversion_funnel(
     )
 
 
+def latest_event_per_user(
+    sf_dir: str, driver_limit: int = 5_000_000
+) -> pa.Table:
+    """Log compaction (CDC upsert semantics): keep each user's LATEST event
+    by (ts, event_id) — the keep-last-write reduction every incremental
+    table maintenance job runs.
+
+    The reduction is an associative argmax on the lexicographic
+    (ts_us, event_id) key, so it needs no global sort at any scale: per
+    block, one vectorized lexsort-last per user; under the gate the
+    block winners combine with the same lexsort on the driver; above it
+    two max-rounds (max ts per user, then max event_id among that-ts
+    ties) with hash joins select the winner — no packed sort key, so no
+    int64 overflow for any (epoch-µs, id) range.  Value travels as
+    integer cents."""
+    from ray.data.aggregate import Max
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _read_sized(path, columns=["user_id", "event_id", "ts", "value"])
+
+    def last_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        # lexsort: last index per user in (user, ts, event_id) order is
+        # that user's latest row within the block
+        order = np.lexsort((eid, ts, uid))
+        u_s = uid[order]
+        last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
+        idx = order[last]
+        return pa.table(
+            {"user_id": pa.array(uid[idx], pa.int64()),
+             "ts_us": pa.array(ts[idx], pa.int64()),
+             "event_id": pa.array(eid[idx], pa.int64()),
+             "value_c": pa.array(cents[idx], pa.int64())}
+        )
+
+    partials = ds.map_batches(last_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+        uid = tbl.column("user_id").to_numpy()
+        order = np.lexsort((tbl.column("event_id").to_numpy(),
+                            tbl.column("ts_us").to_numpy(), uid))
+        u_s = uid[order]
+        last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
+        keep = tbl.take(pa.array(order[last]))
+    else:
+        # round 1: max ts per user; join back to drop stale block winners
+        mat = partials.materialize()  # consumed by three passes below
+        w1 = mat.groupby("user_id").aggregate(Max("ts_us")).rename_columns(
+            ["user_id", "ts_us"]
+        )
+        at_max_ts = mat.join(
+            w1, join_type="inner",
+            num_partitions=D._default_join_partitions(mat),
+            on=("user_id", "ts_us"),
+        )
+        # round 2: among same-max-ts ties, max event_id wins
+        w2 = at_max_ts.groupby("user_id").aggregate(
+            Max("event_id")
+        ).rename_columns(["user_id", "event_id"])
+        final = at_max_ts.join(
+            w2, join_type="inner",
+            num_partitions=D._default_join_partitions(mat),
+            on=("user_id", "event_id"),
+        )
+        keep = pa.concat_tables(
+            final.select_columns(["user_id", "ts_us", "event_id", "value_c"])
+            .iter_batches(batch_format="pyarrow")
+        )
+
+    return pa.table(
+        {"user_id": keep.column("user_id"),
+         "last_ts": pc.cast(keep.column("ts_us"), pa.timestamp("us")),
+         "last_event_id": keep.column("event_id"),
+         "last_value_c": keep.column("value_c")}
+    ).sort_by("user_id")
+
+
 def hashed_features(sf_dir: str, n_buckets: int = 8) -> pa.Table:
     """Feature hashing (Weinberger et al. 2009): per doc, a fixed-width
     integer feature vector — each token adds ±1 to bucket

@@ -366,3 +366,15 @@ def test_conversion_funnel_distributed_fallback(ray_session):
     merged = conversion_funnel(SF)
     distributed = conversion_funnel(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_latest_event_distributed_fallback(ray_session):
+    """Above the gate the winner selection runs as two max-rounds with
+    hash joins, identically to the driver lexsort."""
+    from swift_readability_ray.pipelines.training_data import (
+        latest_event_per_user,
+    )
+
+    merged = latest_event_per_user(SF)
+    distributed = latest_event_per_user(SF, driver_limit=0)
+    assert merged.to_pylist() == distributed.to_pylist()
