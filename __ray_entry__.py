@@ -1263,8 +1263,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_gap_us
             FROM m
         """,
-        # feature hashing: token adds sign(md5%2) to bucket md5%8; signed
-        # integer sums are exact on any engine
+        # feature hashing: token adds ±1 to bucket md5%8, sign from the
+        # independent bit (h>>16)&1 (h%2 would be a function of the bucket
+        # for power-of-two bucket counts); integer sums exact on any engine
         "hashed_features": """
             WITH toks AS (
               SELECT doc_id,
@@ -1278,7 +1279,8 @@ def oracle_sql() -> dict[str, str]:
               FROM terms),
             s AS (
               SELECT doc_id, hv % 8 AS bucket,
-                     CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sign
+                     CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END
+                       AS sign
               FROM h)
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    CAST(coalesce(sum(CASE WHEN bucket = 0 THEN sign END), 0) AS BIGINT) AS f0,

@@ -2187,6 +2187,17 @@ def conversion_funnel(
     )
 
 
+def _lex_last_per_user(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray
+                       ) -> np.ndarray:
+    """Indices of each user's last row in (user, ts, event_id) lexicographic
+    order — THE tie-break invariant of latest_event_per_user (must match
+    the oracle's ORDER BY ts DESC, event_id DESC), kept in one place."""
+    order = np.lexsort((eid, ts, uid))
+    u_s = uid[order]
+    last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
+    return order[last]
+
+
 def latest_event_per_user(
     sf_dir: str, driver_limit: int = 5_000_000
 ) -> pa.Table:
@@ -2214,12 +2225,7 @@ def latest_event_per_user(
         cents = np.floor(
             batch.column("value").to_numpy() * 100 + 0.5
         ).astype(np.int64)
-        # lexsort: last index per user in (user, ts, event_id) order is
-        # that user's latest row within the block
-        order = np.lexsort((eid, ts, uid))
-        u_s = uid[order]
-        last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
-        idx = order[last]
+        idx = _lex_last_per_user(uid, ts, eid)
         return pa.table(
             {"user_id": pa.array(uid[idx], pa.int64()),
              "ts_us": pa.array(ts[idx], pa.int64()),
@@ -2232,12 +2238,11 @@ def latest_event_per_user(
     n_rows = _footer_rows(path)
     if n_rows is not None and n_rows <= driver_limit:
         tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
-        uid = tbl.column("user_id").to_numpy()
-        order = np.lexsort((tbl.column("event_id").to_numpy(),
-                            tbl.column("ts_us").to_numpy(), uid))
-        u_s = uid[order]
-        last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
-        keep = tbl.take(pa.array(order[last]))
+        keep = tbl.take(pa.array(_lex_last_per_user(
+            tbl.column("user_id").to_numpy(),
+            tbl.column("ts_us").to_numpy(),
+            tbl.column("event_id").to_numpy(),
+        )))
     else:
         # round 1: max ts per user; join back to drop stale block winners
         mat = partials.materialize()  # consumed by three passes below
@@ -2248,7 +2253,7 @@ def latest_event_per_user(
             w1, join_type="inner",
             num_partitions=D._default_join_partitions(mat),
             on=("user_id", "ts_us"),
-        )
+        ).materialize()  # consumed twice (w2 groupby + final join)
         # round 2: among same-max-ts ties, max event_id wins
         w2 = at_max_ts.groupby("user_id").aggregate(
             Max("event_id")
@@ -2274,8 +2279,10 @@ def latest_event_per_user(
 def hashed_features(sf_dir: str, n_buckets: int = 8) -> pa.Table:
     """Feature hashing (Weinberger et al. 2009): per doc, a fixed-width
     integer feature vector — each token adds ±1 to bucket
-    ``md5(token) % n_buckets`` with sign ``md5(token) % 2`` — the
-    vocabulary-free featurization a streaming classifier consumes.
+    ``md5(token) % n_buckets`` with sign from an INDEPENDENT hash bit
+    (``(h >> 16) & 1`` — with a power-of-two bucket count, ``h % 2`` would
+    be a function of the bucket and the sign trick's collision-bias
+    cancellation would silently degenerate to fixed per-bucket signs).
 
     Shuffle-free map; per-batch the token→(bucket, sign) mapping is memoized
     in a dict (vocab-bounded), so the md5 cost is per distinct token per
@@ -2292,7 +2299,8 @@ def hashed_features(sf_dir: str, n_buckets: int = 8) -> pa.Table:
                 e = memo.get(tok)
                 if e is None:
                     h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-                    e = memo[tok] = (h % n_buckets, 1 if h % 2 == 0 else -1)
+                    e = memo[tok] = (h % n_buckets,
+                                     1 if (h >> 16) & 1 == 0 else -1)
                 vecs[r, e[0]] += e[1]
         data = {"doc_id": pa.array(ids, pa.int64())}
         for i, c in enumerate(cols):
