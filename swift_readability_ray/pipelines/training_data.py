@@ -373,21 +373,51 @@ def orders_by_segment(sf_dir: str, broadcast_limit: int = 5_000_000) -> pa.Table
             tag_segment, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def per_segment(group: pa.Table) -> pa.Table:
-        seg = group.column("c_mktsegment")[0].as_py()
-        n_orders = group.num_rows
-        n_customers = pc.count_distinct(group.column("o_custkey")).as_py()
+    # per-(segment, customer) pair-distinct combiner with order counts —
+    # replaces a skewed 5-key map_groups shuffle of EVERY order row (the
+    # shape this module bans elsewhere): the exchange now carries at most
+    # one row per (segment, customer) per block
+    def pair_partial(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "c_mktsegment": pa.array([seg], pa.string()),
-                "n_orders": pa.array([n_orders], pa.int64()),
-                "n_customers": pa.array([n_customers], pa.int64()),
-            }
-        )
+            {"c_mktsegment": batch.column("c_mktsegment"),
+             "o_custkey": batch.column("o_custkey")}
+        ).group_by(["c_mktsegment", "o_custkey"]).aggregate(
+            [("o_custkey", "count")]
+        ).rename_columns(["c_mktsegment", "o_custkey", "n"])
 
-    out = tagged.groupby("c_mktsegment").map_groups(per_segment, batch_format="pyarrow")
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
+    partials = tagged.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    def seg_rollup(pairs: pa.Table) -> pa.Table:
+        return pairs.group_by(["c_mktsegment"]).aggregate(
+            [("n", "sum"), ("o_custkey", "count")]
+        ).rename_columns(["c_mktsegment", "n_orders", "n_customers"])
+
+    n_orders_rows = _footer_rows(f"{sf_dir}/orders.parquet")
+    if n_orders_rows is not None and n_orders_rows <= broadcast_limit:
+        out = seg_rollup(_merge_partials(
+            partials, ["c_mktsegment", "o_custkey"], [("n", "sum")]
+        ))
+    else:
+        from ray.data.aggregate import Sum
+
+        agg = partials.groupby(["c_mktsegment", "o_custkey"]).aggregate(
+            Sum("n")
+        )
+        # the pair table is customers-sized — roll it up per block and
+        # driver-merge only segment-count rows, never the pairs
+        out = _merge_partials(
+            agg.map_batches(
+                lambda b: seg_rollup(b.rename_columns(
+                    ["c_mktsegment", "o_custkey", "n"])),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            ["c_mktsegment"], [("n_orders", "sum"), ("n_customers", "sum")],
+        )
+    return pa.table(
+        {"c_mktsegment": out.column("c_mktsegment"),
+         "n_orders": pc.cast(out.column("n_orders"), pa.int64()),
+         "n_customers": pc.cast(out.column("n_customers"), pa.int64())}
     ).sort_by("c_mktsegment")
 
 
