@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": TD.hashed_features,
         # log compaction / CDC upsert: keep each user's latest event
         "latest_event_per_user": TD.latest_event_per_user,
+        # incremental dedup: new crawl batch vs existing-corpus fingerprints
+        "delta_dedup": TD.delta_dedup,
     }
 
 
@@ -1307,5 +1309,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS last_event_id,
                    value_c AS last_value_c
             FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        # incremental dedup: new batch = doc_id % 10 == 0; a new doc is a
+        # dup if its NORMALIZED text exists in the old corpus or in an
+        # earlier new doc (md5-8-byte digests mirror text equality)
+        "delta_dedup": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            new AS (SELECT * FROM norm WHERE doc_id % 10 = 0),
+            old AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 10 <> 0),
+            firstn AS (SELECT nt, min(doc_id) AS first_doc
+                       FROM new GROUP BY nt)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   (o.nt IS NOT NULL) AS dup_of_corpus,
+                   (f.first_doc < n.doc_id) AS dup_of_batch,
+                   NOT ((o.nt IS NOT NULL) OR (f.first_doc < n.doc_id))
+                     AS keep
+            FROM new n
+            LEFT JOIN old o ON n.nt = o.nt
+            JOIN firstn f ON n.nt = f.nt
+            ORDER BY doc_id
         """,
     }

@@ -2217,6 +2217,169 @@ def conversion_funnel(
     )
 
 
+def delta_dedup(
+    sf_dir: str, new_mod: int = 10, new_rem: int = 0,
+    broadcast_limit: int = 50_000_000
+) -> pa.Table:
+    """Incremental (delta) dedup — the production shape: dedupe a NEW
+    crawl batch against the EXISTING corpus without ever re-shuffling the
+    corpus.  Here the new batch is ``doc_id % new_mod == new_rem``; a new
+    doc is dropped iff its normalized-text md5 already exists in the old
+    corpus OR in an earlier (lower doc_id) new doc.
+
+    The old corpus contributes only 8-byte fingerprints: per-block
+    distinct digest partials → one sorted int64 broadcast (``ray.put``)
+    under ``broadcast_limit`` old rows; new docs then self-score in-batch
+    with searchsorted (vs corpus) + a distributed first-per-digest
+    groupby among themselves (new-batch-sized, tiny).  At a 100 TB
+    corpus the broadcast becomes the persisted fingerprint index the
+    daily job reads — above the gate this falls back to a hash join on
+    the digest key.  Normalization = :func:`normalize_text`'s canonical
+    form, so case/punctuation variants collide."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def norm_digest(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"[^a-z0-9]+", " "
+            )
+        )
+        dig = [
+            int.from_bytes(hashlib.md5((s or "").encode()).digest()[:8],
+                           "big", signed=True)
+            for s in t.to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "digest": pa.array(dig, pa.int64())}
+        )
+
+    keyed = ds.map_batches(
+        norm_digest, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by both the corpus side and the new side
+
+    def old_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = (ids % new_mod) != new_rem
+        d = np.unique(batch.column("digest").to_numpy()[keep])
+        return pa.table({"digest": pa.array(d, pa.int64())})
+
+    n_rows = D._metadata_row_count(keyed)
+
+    def only_new(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array((ids % new_mod) == new_rem))
+
+    new_rows = keyed.map_batches(
+        only_new, batch_format="pyarrow", zero_copy_batch=True
+    )
+    first_new = new_rows.groupby("digest").aggregate(Min("doc_id"))
+
+    if n_rows is not None and n_rows <= broadcast_limit:
+        corpus_keys = np.unique(np.concatenate(
+            [b.column("digest").to_numpy()
+             for b in keyed.map_batches(
+                 old_partial, batch_format="pyarrow", zero_copy_batch=True
+             ).iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]
+        ))
+        keys_ref = ray.put(corpus_keys)
+        first_tbl = pa.concat_tables(
+            first_new.iter_batches(batch_format="pyarrow")
+        ).rename_columns(["digest", "first_doc"])
+        fmap_ref = ray.put(dict(zip(
+            first_tbl.column("digest").to_pylist(),
+            first_tbl.column("first_doc").to_pylist(),
+        )))
+
+        def score(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            fmap = ray.get(fmap_ref)
+            ids = batch.column("doc_id").to_numpy()
+            dig = batch.column("digest").to_numpy()
+            in_corpus = np.zeros(len(ids), bool)
+            if keys.size:
+                idx = np.searchsorted(keys, dig)
+                idx[idx == len(keys)] = 0
+                in_corpus = keys[idx] == dig
+            dup_of_new = np.array(
+                [fmap.get(d, i) < i for i, d in zip(ids.tolist(), dig.tolist())]
+            )
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "dup_of_corpus": pa.array(in_corpus),
+                 "dup_of_batch": pa.array(dup_of_new),
+                 "keep": pa.array(~(in_corpus | dup_of_new))}
+            )
+
+        tbl = pa.concat_tables(
+            new_rows.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+    else:
+        # pre-combine corpus membership and batch-first into ONE per-digest
+        # side table, so the row attachment is a single hash join (Ray
+        # 2.49's hash-shuffle join misfires when a dataset's plan chains
+        # two joins over sparsely-populated partitions — and one exchange
+        # is cheaper anyway)
+        SENTINEL = (1 << 62)
+
+        def corpus_marker(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"digest": pc.cast(batch.column("digest"), pa.int64()),
+                 "is_corpus": pa.array(np.ones(batch.num_rows, np.int64)),
+                 "first_doc": pa.array(
+                     np.full(batch.num_rows, SENTINEL, np.int64))}
+            )
+
+        def first_marker(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(["digest", "first_doc"])
+            return pa.table(
+                {"digest": t.column("digest"),
+                 "is_corpus": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "first_doc": t.column("first_doc")}
+            )
+
+        rhs = (
+            keyed.map_batches(old_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .map_batches(corpus_marker, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(first_new.map_batches(first_marker,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+            .groupby("digest")
+            .aggregate(Max("is_corpus"), Min("first_doc"))
+            .rename_columns(["digest", "is_corpus", "first_doc"])
+        )
+        joined = new_rows.join(
+            rhs, join_type="inner",
+            num_partitions=D._default_join_partitions(keyed),
+            on=("digest",),
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            in_corpus = batch.column("is_corpus").to_numpy() == 1
+            dup_of_new = batch.column("first_doc").to_numpy() < ids
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "dup_of_corpus": pa.array(in_corpus),
+                 "dup_of_batch": pa.array(dup_of_new),
+                 "keep": pa.array(~(in_corpus | dup_of_new))}
+            )
+
+        tbl = pa.concat_tables(
+            joined.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+    return tbl.sort_by("doc_id")
+
+
 def _lex_last_per_user(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray
                        ) -> np.ndarray:
     """Indices of each user's last row in (user, ts, event_id) lexicographic

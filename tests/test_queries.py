@@ -378,3 +378,56 @@ def test_latest_event_distributed_fallback(ray_session):
     merged = latest_event_per_user(SF)
     distributed = latest_event_per_user(SF, driver_limit=0)
     assert merged.to_pylist() == distributed.to_pylist()
+
+
+def test_delta_dedup_branches(ray_session, tmp_path):
+    """Crafted corpus exercising every delta-dedup branch: corpus dup,
+    within-batch dup (first keeps), and clean keep — on normalized text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import delta_dedup
+
+    rows = {
+        0: "Alpha beta!",      # new; normalized-equal to old doc 3
+        3: "alpha   BETA",     # old
+        10: "unique one",      # new; first of its digest -> keep
+        20: "Unique, ONE",     # new; same normalized as 10 -> dup_of_batch
+        7: "something else",   # old, unrelated
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": list(rows.values())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        out = {r["doc_id"]: r for r in delta_dedup(str(tmp_path), **kwargs).to_pylist()}
+        assert set(out) == {0, 10, 20}
+        assert out[0]["dup_of_corpus"] and not out[0]["keep"]
+        assert out[10]["keep"] and not out[10]["dup_of_batch"]
+        assert out[20]["dup_of_batch"] and not out[20]["dup_of_corpus"]
+        assert not out[20]["keep"]
+
+
+def test_latest_event_tie_break_tiny(ray_session, tmp_path):
+    """Tie-break on equal max ts goes to the higher event_id, in BOTH gate
+    paths, on a corpus small enough that shuffle partitions go sparse."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import (
+        latest_event_per_user,
+    )
+
+    ts = pa.array(np.array([1000, 2000, 2000, 3000], dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([5, 7, 6, 9], pa.int64()),
+        "ts": ts, "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }), str(tmp_path / "events.parquet"))
+    for kwargs in ({}, {"driver_limit": 0}):
+        out = {r["user_id"]: r
+               for r in latest_event_per_user(str(tmp_path), **kwargs).to_pylist()}
+        assert out[1]["last_event_id"] == 7 and out[1]["last_value_c"] == 200
+        assert out[2]["last_event_id"] == 9
