@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": TD.latest_event_per_user,
         # incremental dedup: new crawl batch vs existing-corpus fingerprints
         "delta_dedup": TD.delta_dedup,
+        # persisted IVF index, partition-pruned probe (approximate —
+        # rows-only; containment pytest-pinned; full-probe sibling exact)
+        "ann_persisted_topk": TD.ann_persisted_topk,
+        # persisted-index full probe == exact brute force served from the
+        # hive layout (build→write→read-back certificate)
+        "ann_persisted_topk_full": TD.ann_persisted_topk_full,
     }
 
 
@@ -1332,5 +1338,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN old o ON n.nt = o.nt
             JOIN firstn f ON n.nt = f.nt
             ORDER BY doc_id
+        """,
+        # persisted-index full probe: exact brute-force ranking, same
+        # mirror as knn_bruteforce — certifies the index write→read cycle
+        "ann_persisted_topk_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                    FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
         """,
     }

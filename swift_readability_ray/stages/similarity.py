@@ -108,6 +108,137 @@ def build_ivf_centroids(
     return centroids
 
 
+def build_persisted_index(
+    ds: ray.data.Dataset,
+    out_root: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Build and PERSIST an IVF index: vectors hive-partitioned by nearest
+    centroid (``assignments/centroid=N/*.parquet``) plus a centroid table.
+
+    This is the index *lifecycle* the inline :func:`ivf_topk` skips — at
+    100 TB the index is built once and probed by many later jobs, and the
+    one-directory-per-centroid layout gives those jobs partition-pruned
+    reads (an ``nprobe``-bucket query lists only nprobe directories;
+    unprobed buckets never leave storage) and resumable builds (a failed
+    build re-runs missing partitions).  The centroid id is ALSO carried as
+    a data column (``cent_id``) so a leaf-directory read needs no hive
+    inference."""
+    import pyarrow.parquet as pq
+
+    centroids = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch, vec_col))
+        a = (mat @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             vec_col: batch.column(vec_col),
+             "cent_id": pa.array(a),
+             "centroid": pa.array(a)}
+        )
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(f"{out_root}/assignments", partition_cols=["centroid"])
+    pq.write_table(
+        pa.table(
+            {"centroid": pa.array(range(len(centroids)), pa.int64()),
+             vec_col: pa.array([c.tolist() for c in centroids])}
+        ),
+        f"{out_root}/centroids.parquet",
+    )
+    return centroids
+
+
+def persisted_ivf_topk(
+    index_root: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Query a persisted IVF index with a PARTITION-PRUNED read: only the
+    union of the queries' ``nprobe`` nearest buckets is listed/scanned —
+    the scale property the hive layout exists for.  ``nprobe`` = number of
+    centroids degenerates to exact brute force over the whole index."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(f"{index_root}/centroids.parquet")
+    order = np.argsort(ct.column("centroid").to_numpy())
+    centroids = np.asarray(ct.column(vec_col).to_pylist(), np.float32)[order]
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    nprobe = min(nprobe, len(centroids))
+    probe_sets = [
+        set(np.argsort(-(qn[i] @ centroids.T))[:nprobe].tolist())
+        for i in range(len(qn))
+    ]
+    probed = sorted(set().union(*probe_sets)) if probe_sets else []
+    # read_parquet takes files, not directories, when given a list — expand
+    # each probed bucket directory (this listing IS the partition pruning:
+    # unprobed bucket dirs are never listed or scanned)
+    import os
+
+    files = [
+        os.path.join(d, f)
+        for c in probed
+        for d in [f"{index_root}/assignments/centroid={c}"]
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    sub = ray.data.read_parquet(files, columns=[id_col, vec_col, "cent_id"])
+    q_ref = ray.put((qn, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, probes = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        cent = batch.column("cent_id").to_numpy()
+        mat = _normalize(_to_matrix(batch, vec_col))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(cent, list(probes[qi]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = q[qi] @ mat[mask].T
+            take = min(k, len(sub_ids))
+            idx = (np.argpartition(-sims, take - 1)[:take]
+                   if len(sub_ids) > take else np.arange(len(sub_ids)))
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_sim.extend(sims[idx].astype(np.float64).tolist())
+        return pa.table(
+            {"qi": pa.array(out_q, pa.int32()),
+             "neighbor_id": pa.array(out_id, pa.int64()),
+             "cosine": pa.array(out_sim, pa.float64())}
+        )
+
+    partials = sub.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials.take_all():
+        by_q.setdefault(r["qi"], []).append((r["cosine"], r["neighbor_id"]))
+    out_qid, out_nid, out_rank, out_sim = [], [], [], []
+    for qi, lst in sorted(by_q.items()):
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, nid) in enumerate(lst[:k], start=1):
+            out_qid.append(query_ids[qi])
+            out_nid.append(nid)
+            out_rank.append(rank)
+            out_sim.append(round(sim, 6))
+    return pa.table(
+        {"query_id": pa.array(out_qid, pa.int64()),
+         "neighbor_id": pa.array(out_nid, pa.int64()),
+         "rank": pa.array(out_rank, pa.int32()),
+         "cosine": pa.array(out_sim, pa.float64())}
+    )
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,

@@ -431,3 +431,26 @@ def test_latest_event_tie_break_tiny(ray_session, tmp_path):
                for r in latest_event_per_user(str(tmp_path), **kwargs).to_pylist()}
         assert out[1]["last_event_id"] == 7 and out[1]["last_value_c"] == 200
         assert out[2]["last_event_id"] == 9
+
+
+def test_ann_persisted_matches_inline_ivf(ray_session):
+    """The persisted-index pruned probe returns EXACTLY what the inline
+    ivf_topk returns (same centroids, same nprobe) — certifying that the
+    hive write → partition-pruned read-back loses nothing; the full-probe
+    sibling's exact oracle covers the brute-force end."""
+    import numpy as np
+    import ray.data as rd
+
+    from swift_readability_ray.pipelines.training_data import ann_persisted_topk
+    from swift_readability_ray.stages import similarity as S
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q_rows = sorted(ds.filter(expr="vec_id < 4").take_all(),
+                    key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids = [r["vec_id"] for r in q_rows]
+    inline = S.ivf_topk(ds, queries, qids, k=10).select(
+        ["query_id", "neighbor_id", "rank"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert inline.to_pylist() == ann_persisted_topk(SF).to_pylist()
