@@ -131,6 +131,19 @@ def _minhash_pairs_cached(sf_dir: str, threshold: float) -> ray.data.Dataset:
     return _MINHASH_PAIR_CACHE[key]
 
 
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Concat a (small) Dataset's batches into one pyarrow Table, returning
+    a correctly-typed EMPTY table when the result has no batches at all —
+    ``pa.concat_tables([])`` raises, and a filter that legitimately drops
+    every row (e.g. a selective Q3 cutoff on a small corpus) must yield an
+    empty result, not a crash."""
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    s = ds.schema()
+    return pa.table({n: pa.array([], t) for n, t in zip(s.names, s.types)})
+
+
 def _merge_partials(
     partials: ray.data.Dataset, keys: list[str], aggs: list[tuple[str, str]]
 ) -> pa.Table:
@@ -147,8 +160,7 @@ def _merge_partials(
     cardinalities (word_counts' vocabulary, per-user sessions) must keep
     the distributed groupby instead.
     """
-    tbl = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
-    merged = tbl.group_by(keys).aggregate(aggs)
+    merged = _collect(partials).group_by(keys).aggregate(aggs)
     return merged.rename_columns(keys + [c for c, _ in aggs])
 
 
@@ -3671,10 +3683,10 @@ def q3_top_orders(
             t = t.sort_by([("rev_c4_sum", "descending"), ("o_orderkey", "ascending")])
             return t.slice(0, k)
 
-        agg = pa.concat_tables(
+        agg = _collect(
             per_order.map_batches(
                 topk_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow")
+            )
         ).select(["o_orderkey", "o_orderdate_us", "rev_c4_sum"])
 
     agg = agg.sort_by(

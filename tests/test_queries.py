@@ -454,3 +454,46 @@ def test_ann_persisted_matches_inline_ivf(ray_session):
         ["query_id", "neighbor_id", "rank"]
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
     assert inline.to_pylist() == ann_persisted_topk(SF).to_pylist()
+
+
+def test_q3_empty_result_no_crash(ray_session, tmp_path):
+    """A cutoff that filters out EVERY lineitem must yield an empty typed
+    result, not a pa.concat_tables([]) crash (the _collect guard).  Only
+    the broadcast path is exercised: the distributed fallback's hash
+    joins require dense key partitions (Ray 2.49 sparse-partition join
+    quirk) and are gated to inputs where that holds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import q3_top_orders
+
+    ts = pa.array(np.array([100, 200, 300], dtype="datetime64[D]")
+                  .astype("datetime64[us]"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "c_acctbal": [1.0, 2.0, 3.0],
+        "c_mktsegment": ["BUILDING", "AUTO", "BUILDING"],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": ["O"] * 3, "o_totalprice": [5.0, 6.0, 7.0],
+        "o_orderdate": ts, "o_orderpriority": ["1", "2", "3"],
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 30], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_quantity": [1.0, 2.0, 3.0],
+        "l_extendedprice": [100.0, 200.0, 300.0],
+        "l_discount": [0.1, 0.0, 0.05], "l_tax": [0.0] * 3,
+        "l_returnflag": ["N"] * 3, "l_linestatus": ["O"] * 3,
+        "l_shipdate": ts,  # all before the cutoff -> empty result
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q3_top_orders(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["o_orderkey", "o_orderdate", "revenue_c4"]
