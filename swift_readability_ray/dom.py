@@ -11,10 +11,10 @@ The parser is a pragmatic HTML5 tree builder: void elements, implied end tags
 (``p``/``li``/``dt``/``dd``/``tr``/``td``/``th``/``option``…), implicit
 ``html``/``head``/``body`` synthesis, implicit ``tbody`` insertion, foster
 parenting of non-table content out of table contexts (``_foster_insert``)
-and a simplified adoption-agency step for mis-nested formatting elements
-(close-and-reopen, no full reconstruction list); the remaining divergence
-from the full WHATWG algorithm (complex reconstruction cases) is unexercised
-by any fixture and the extraction heuristics are robust to it.
+and the full WHATWG adoption-agency algorithm for mis-nested formatting
+elements (``_adoption_agency``: active-formatting-elements list with
+Noah's-Ark clamping, furthest-block search, the inner reconstruction loop
+and bookmark reinsertion).
 
 Designed for use inside Ray Data ``map_batches`` actor UDFs: a parser instance
 is cheap, holds no global state, and every document's tree is private to one

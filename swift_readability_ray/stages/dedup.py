@@ -1008,8 +1008,10 @@ def embedding_neardup_lsh(
     bits_per_band = n_planes // bands
 
     def sketch(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import _to_matrix
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch, vec_col)
         if mat.ndim != 2 or not len(ids):
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
@@ -1055,7 +1057,9 @@ def embedding_neardup_lsh(
         )
 
     def pack_vecs(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import _to_matrix
+
+        mat = _to_matrix(batch, vec_col)
         if mat.ndim == 2:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -1185,7 +1189,9 @@ def embedding_neardup_pairs(
         num_blocks = max(2, min(32, n_cpus, sized))
 
     def norm_block(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import _to_matrix
+
+        mat = _to_matrix(batch, vec_col)
         if batch.num_rows == 0 or mat.ndim != 2:
             return pa.table(
                 {"id": pa.array([], pa.int64()),

@@ -18,7 +18,51 @@ import ray.data
 
 
 def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+    """Embedding column → float32 matrix without per-element Python boxing.
+
+    FixedSizeList and uniform-width List columns reshape the flat Arrow
+    values buffer directly (one vectorized cast at most); only ragged
+    inputs fall back to ``to_pylist``.
+    """
+    arr = batch.column(vec_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        w = arr.type.list_size
+        flat = np.asarray(arr.values, dtype=np.float32)
+        start = arr.offset * w
+        return flat[start : start + len(arr) * w].reshape(len(arr), w)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offs = np.asarray(arr.offsets)
+        if len(offs) > 1:
+            widths = np.diff(offs)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                w = int(widths[0])
+                flat = np.asarray(arr.values, dtype=np.float32)
+                return flat[offs[0] : offs[0] + len(arr) * w].reshape(len(arr), w)
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+def _ids_array(batch: pa.Table, id_col: str) -> np.ndarray:
+    return batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+
+
+def _block_topk(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the block's top-k under the driver merge's exact ordering
+    ``(-sim, neighbor_id)``.  Includes boundary ties before sorting so a
+    similarity tie at the block-k cut can never drop the lower-id candidate
+    the global merge would rank (ADVICE r3)."""
+    n = len(ids)
+    if n > k:
+        part = np.argpartition(-sims, k - 1)[:k]
+        thresh = sims[part].min()
+        cand = np.flatnonzero(sims >= thresh)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], -sims[cand]))[:k]
+    return cand[order]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -46,16 +90,14 @@ def knn_bruteforce(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = _ids_array(batch, id_col)
         mat = _normalize(_to_matrix(batch, vec_col))
         sims = q @ mat.T  # (nq, nb)
-        nq, nb = sims.shape
-        take = min(k, nb)
+        nq = sims.shape[0]
         out_q, out_id, out_sim = [], [], []
-        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
         for qi in range(nq):
-            idx = part[qi]
-            out_q.extend([qi] * take)
+            idx = _block_topk(sims[qi], ids, k)
+            out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_sim.extend(sims[qi, idx].astype(np.float64).tolist())
         return pa.table(
@@ -184,19 +226,30 @@ def persisted_ivf_topk(
     # unprobed bucket dirs are never listed or scanned)
     import os
 
+    # k-means-lite can leave empty clusters, and write_parquet only creates
+    # directories for centroid values actually present — skip absent bucket
+    # dirs instead of raising (ADVICE r3)
     files = [
         os.path.join(d, f)
         for c in probed
         for d in [f"{index_root}/assignments/centroid={c}"]
+        if os.path.isdir(d)
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not files:  # every probed bucket empty: typed empty result
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32()),
+             "cosine": pa.array([], pa.float64())}
+        )
     sub = ray.data.read_parquet(files, columns=[id_col, vec_col, "cent_id"])
     q_ref = ray.put((qn, probe_sets))
 
     def partial(batch: pa.Table) -> pa.Table:
         q, probes = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = _ids_array(batch, id_col)
         cent = batch.column("cent_id").to_numpy()
         mat = _normalize(_to_matrix(batch, vec_col))
         out_q, out_id, out_sim = [], [], []
@@ -206,9 +259,7 @@ def persisted_ivf_topk(
                 continue
             sub_ids = ids[mask]
             sims = q[qi] @ mat[mask].T
-            take = min(k, len(sub_ids))
-            idx = (np.argpartition(-sims, take - 1)[:take]
-                   if len(sub_ids) > take else np.arange(len(sub_ids)))
+            idx = _block_topk(sims, sub_ids, k)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
             out_sim.extend(sims[idx].astype(np.float64).tolist())
@@ -261,7 +312,7 @@ def ivf_topk(
     def partial(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         q, probes = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = _ids_array(batch, id_col)
         mat = _normalize(_to_matrix(batch, vec_col))
         assign = (mat @ cents.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
@@ -271,8 +322,7 @@ def ivf_topk(
                 continue
             sub_ids = ids[mask]
             sims = q[qi] @ mat[mask].T
-            take = min(k, len(sub_ids))
-            idx = np.argpartition(-sims, take - 1)[:take] if len(sub_ids) > take else np.arange(len(sub_ids))
+            idx = _block_topk(sims, sub_ids, k)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
             out_sim.extend(sims[idx].astype(np.float64).tolist())
