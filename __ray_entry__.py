@@ -6,10 +6,13 @@ here calls ``ray.init``/``ray.shutdown``.
 ``queries()`` maps operator names (SURVEY.md §2 + the training-data ops) to
 callables over ``sf_dir``; SQL-expressible ones have a matching DuckDB
 oracle in ``oracle_sql()`` with identical column names.  Rows-only (no
-oracle): extract_articles / extract_spans (DOM content — but ``span_stats``
-SQL-certifies their span emission) and ivf_topk (pruned-approximate — but
-``ivf_topk_full`` SQL-certifies the IVF machinery at full probe, and a
-pytest asserts pruned results are contained in brute-force top-k').
+oracle): extract_articles / extract_spans (full DOM/HTML columns — but
+``extract_certificate`` SQL-certifies their text content byte-exactly via
+md5 plus span counts, media refs and metadata through a parquet sink
+roundtrip, and ``span_stats`` certifies span emission) and ivf_topk /
+ann_persisted_topk (pruned-approximate — but their ``*_full`` siblings
+SQL-certify the same machinery at full probe, and a pytest asserts pruned
+results are contained in brute-force top-k').
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_articles": TD.extract_articles,
         "extract_spans": TD.extract_spans_materialized,
         "span_stats": TD.span_stats,
+        "extract_certificate": TD.extract_certificate,
         # text analysis
         "token_counts": TD.token_counts,
         "fingerprints": TD.fingerprints,
@@ -712,6 +716,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_media_spans,
                    CAST(CASE WHEN n_paras = 1 THEN chars + 10 ELSE chars END AS BIGINT) AS text_chars
             FROM f ORDER BY doc_id
+        """,
+        # DOM-content certificate: md5 of the FULL extracted text_content
+        # plus span/media counts, the media ref and all metadata fields,
+        # computed from the real pipeline output written to a parquet sink
+        # and read back — the oracle reconstructs the extracted text from
+        # the deterministic synthesis (multi-para pages extract to the
+        # concatenation of "para."; single-para pages take the body
+        # fallback: "home" + "para." + "footer")
+        "extract_certificate": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS idx FROM toks),
+            paras AS (
+              SELECT doc_id, (idx - 1) // 40 AS para,
+                     string_agg(tok, ' ' ORDER BY idx) AS ptext
+              FROM w GROUP BY doc_id, para),
+            agg AS (
+              SELECT doc_id, count(*) AS n_paras,
+                     string_agg(ptext || '.', '' ORDER BY para) AS body,
+                     sum(CASE WHEN length(ptext) + 1 >= 140
+                              THEN sqrt(length(ptext) + 1 - 140) ELSE 0 END) AS score
+              FROM paras GROUP BY doc_id),
+            f AS (
+              SELECT t.doc_id, t.source,
+                     coalesce(a.n_paras, 1) AS n_paras,
+                     coalesce(a.body, '.') AS body,
+                     coalesce(a.score, 0) AS score
+              FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id),
+            c AS (
+              SELECT doc_id, source, n_paras, score,
+                     CASE WHEN n_paras = 1 THEN 'home' || body || 'footer'
+                          ELSE body END AS tc
+              FROM f)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(tc) AS content_md5,
+                   CAST(length(tc) AS BIGINT) AS length,
+                   CAST(CASE WHEN n_paras = 1 THEN 4 ELSE n_paras + 1 END
+                        AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_media_spans,
+                   'mem://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' | ' || source AS title,
+                   'Generator ' || source AS byline,
+                   'Synthetic page for ' || CAST(doc_id AS VARCHAR) || '.' AS excerpt,
+                   score > 20 AS readerable
+            FROM c ORDER BY doc_id
         """,
         # the synthesized page is deterministic (40-word <p> chunks), so the
         # isProbablyReaderable sqrt scoring is reconstructable in SQL — an
