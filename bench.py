@@ -84,6 +84,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     spec.loader.exec_module(m)
 
     timings: dict[str, float] = {}
+    # ANN index lifecycle: time the one-time IVF build on its own row so
+    # the probe queries measure probes, not an amortized build (VERDICT r3
+    # #3 — the build is a separate job at scale; probes reuse it via the
+    # session cache)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    t0 = time.perf_counter()
+    TD._ann_index(sf_dir)
+    timings["ann_index_build"] = round(time.perf_counter() - t0, 3)
     for name, fn in m.queries().items():
         if name == "extract_articles":
             continue
@@ -236,12 +245,17 @@ def scaling_run() -> dict:
     return out
 
 
-def dedup_stress() -> dict:
+def dedup_stress(force_distributed: bool = False) -> dict:
     """Web-corpus dedup regime: a corpus where EVERY document belongs to a
     near-duplicate group (the 30-50%-dup world the distributed verification
     path exists for).  The verified-pair set is consumed distributed
     (count), never collected; driver peak RSS is reported as evidence that
     no candidate pairs or texts ever materialize on the driver.
+
+    ``force_distributed`` disables the small-corpus broadcast gate so the
+    100 TB path — distributed pair-distinct groupby + hash-join shingle
+    attachment + map_groups verification — gets a measured wall and RSS at
+    bench scale, not just a forced-equal pytest (VERDICT r3 #5).
     """
     import resource
 
@@ -275,6 +289,7 @@ def dedup_stress() -> dict:
     pairs = minhash_dedup_pairs(
         corpus, threshold=0.5,
         join_partitions=max(2, n_docs // 500_000 + 1),
+        broadcast_limit=0 if force_distributed else 50_000,
     )
     n_pairs = pairs.count()
     secs = time.perf_counter() - t0
@@ -283,6 +298,7 @@ def dedup_stress() -> dict:
     return {
         "docs": n_docs,
         "dup_fraction": round(1 - 1 / variants, 3),
+        "path": "distributed (forced)" if force_distributed else "gated",
         "verified_pairs": n_pairs,
         "secs": round(secs, 2),
         "docs_per_sec": round(n_docs / secs, 1),
@@ -381,6 +397,10 @@ def main() -> None:
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--fixtures", action="store_true")
     parser.add_argument("--dedup-stress", action="store_true")
+    parser.add_argument("--force-distributed", action="store_true",
+                        help="with --dedup-stress: disable the broadcast "
+                             "gate so the distributed verify path is "
+                             "measured at bench scale")
     parser.add_argument("--headline-stats", action="store_true",
                         help="print ds.stats() for the headline pipeline")
     args = parser.parse_args()
@@ -402,7 +422,8 @@ def main() -> None:
 
     if args.dedup_stress:
         print(json.dumps({"metric": "near-dup verification on an all-dup corpus",
-                          "unit": "docs/sec", **dedup_stress()}))
+                          "unit": "docs/sec",
+                          **dedup_stress(force_distributed=args.force_distributed)}))
         return
 
     if args.fixtures:

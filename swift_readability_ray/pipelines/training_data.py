@@ -358,7 +358,13 @@ def _ann_index(sf_dir: str, n_centroids: int = 16) -> str:
         root = tempfile.mkdtemp(prefix="ann_index_")
         # self-created scratch root: reclaim it at process exit (ADVICE r3)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        S.build_persisted_index(ds, root, n_centroids=n_centroids)
+        # footer row count is free for a raw parquet read → budget ~64k
+        # rows per written block so tiny corpora coalesce to one file per
+        # centroid dir while large ones keep parallel write tasks
+        n_rows = D._metadata_row_count(ds)
+        num_blocks = None if n_rows is None else max(1, n_rows // 65_536 + 1)
+        S.build_persisted_index(ds, root, n_centroids=n_centroids,
+                                num_blocks=num_blocks)
         _ANN_INDEX_CACHE[key] = root
     return _ANN_INDEX_CACHE[key]
 
