@@ -100,21 +100,18 @@ def _with_hash_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
 
 
 def _span_bytes(batch: pa.Table) -> pa.Table:
-    """Vectorized per-row payload size: total utf8 bytes of span texts."""
+    """Vectorized per-row payload size: total utf8 bytes of span texts.
+
+    Per-row sums come from prefix-sum differences at the list boundaries —
+    no Python loop over rows (the span_stats pattern)."""
     spans = batch.column("spans")
     flat = pc.list_flatten(spans)
-    text_len = pc.binary_length(pc.struct_field(flat, "text"))
-    # sum text lengths back per row
-    offsets_len = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
-    import numpy as np
-
-    lens = text_len.to_numpy(zero_copy_only=False)
-    row_totals = np.zeros(len(batch), dtype=np.int64)
-    idx = 0
-    for i, n in enumerate(offsets_len):
-        if n:
-            row_totals[i] = lens[idx : idx + n].sum()
-            idx += int(n)
+    text_len = pc.binary_length(pc.coalesce(pc.struct_field(flat, "text"), ""))
+    n_spans = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = text_len.to_numpy(zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(n_spans)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    row_totals = cum[ends] - cum[ends - n_spans]
     return batch.append_column("payload_bytes", pa.array(row_totals, pa.int64()))
 
 

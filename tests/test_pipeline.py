@@ -568,3 +568,127 @@ def test_ivf_topk_contained_in_bruteforce(ray_session):
         ranks = [exact_rank[(q, r["neighbor_id"])] for r in rows]
         # IVF's internal order must follow the exact ranking order
         assert ranks == sorted(ranks), f"q{q}: IVF rank order breaks"
+
+
+def test_persisted_index_empty_buckets_probe_ok(ray_session, tmp_path):
+    """k-means-lite can leave empty clusters; write_parquet only creates
+    dirs for present centroid values.  A probe whose nprobe set includes an
+    empty bucket — and the full probe, which lists all dirs — must skip
+    absent directories instead of raising (ADVICE r3)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swift_readability_ray.stages import similarity as S
+
+    rng = np.random.RandomState(7)
+    n, d = 8, 6  # fewer vectors than centroids -> guaranteed empty buckets
+    vecs = rng.randn(n, d).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    }))
+    root = str(tmp_path / "idx")
+    centroids = S.build_persisted_index(ds, root, n_centroids=16)
+    assert len(centroids) <= 16
+    q = vecs[:2]
+    # full probe: nprobe = n_centroids lists every centroid id incl. absent
+    full = S.persisted_ivf_topk(root, q, [0, 1], k=5, nprobe=len(centroids))
+    assert full.num_rows == 2 * 5
+    # exactness vs brute force on the same vectors
+    exact = S.knn_bruteforce(ds, q, [0, 1], k=5)
+    assert full.select(["query_id", "neighbor_id", "rank"]).to_pylist() == \
+        exact.select(["query_id", "neighbor_id", "rank"]).to_pylist()
+
+
+def test_block_topk_tie_break_matches_driver_order():
+    """Similarity ties at the block-k boundary must keep the lower
+    neighbor_id — the driver merge's (-cosine, neighbor_id) order
+    (ADVICE r3)."""
+    import numpy as np
+
+    from swift_readability_ray.stages.similarity import _block_topk
+
+    sims = np.array([0.5, 0.9, 0.5, 0.5, 0.1])
+    ids = np.array([10, 3, 2, 7, 1])
+    idx = _block_topk(sims, ids, 2)
+    assert list(ids[idx]) == [3, 2]  # 0.9 first, then the LOWEST id at 0.5
+    # k >= n: full set, ordered by (-sim, id)
+    idx_all = _block_topk(sims, ids, 10)
+    assert list(ids[idx_all]) == [3, 2, 7, 10, 1]
+
+
+def test_to_matrix_zero_copy_paths():
+    """FixedSizeList and uniform List columns (sliced or not) reshape the
+    flat buffer; ragged input falls back without crashing callers that
+    guard on ndim."""
+    import numpy as np
+    import pyarrow as pa
+
+    from swift_readability_ray.stages.similarity import _to_matrix
+
+    lst = pa.table({"e": pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                                  pa.list_(pa.float32()))})
+    m = _to_matrix(lst, "e")
+    assert m.dtype == np.float32 and m.shape == (3, 2)
+    assert (_to_matrix(lst.slice(1), "e") == m[1:]).all()
+    fsl = pa.table({"e": pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 2, 3, 4, 5, 6], pa.float32()), 2)})
+    assert (_to_matrix(fsl, "e") == m).all()
+    assert (_to_matrix(fsl.slice(2), "e") == m[2:]).all()
+    empty = pa.table({"e": pa.array([], pa.list_(pa.float64()))})
+    assert _to_matrix(empty, "e").ndim == 1  # callers guard on ndim != 2
+    import pytest as _pytest
+
+    ragged = pa.table({"e": pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float64()))})
+    with _pytest.raises(ValueError):  # same contract as the previous form
+        _to_matrix(ragged, "e")
+
+
+def test_hash_partition_vectorized_stable_and_balanced():
+    """The vectorized doc_id hash: deterministic across calls, slice-safe,
+    order-sensitive, reasonably balanced, and empty-string-safe."""
+    import numpy as np
+    import pyarrow as pa
+
+    from swift_readability_ray.pipelines.extract_pipeline import _with_hash_partition
+
+    ids = [f"doc-{i:05d}" for i in range(2000)] + ["", "x"]
+    t = pa.table({"doc_id": pa.array(ids)})
+    parts = _with_hash_partition(t, 16).column("part").to_numpy()
+    assert parts.min() >= 0 and parts.max() < 16
+    counts = np.bincount(parts, minlength=16)
+    assert counts.min() > len(ids) / 16 / 2  # no pathological skew
+    # deterministic + slice-consistent (resume correctness depends on this)
+    again = _with_hash_partition(t, 16).column("part").to_numpy()
+    assert (again == parts).all()
+    sliced = _with_hash_partition(t.slice(1000), 16).column("part").to_numpy()
+    assert (sliced == parts[1000:]).all()
+    # order sensitivity
+    a = _with_hash_partition(pa.table({"doc_id": pa.array(["ab"])}), 1 << 20)
+    b = _with_hash_partition(pa.table({"doc_id": pa.array(["ba"])}), 1 << 20)
+    assert a.column("part")[0].as_py() != b.column("part")[0].as_py()
+    # integer ids hash too
+    ti = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    pi = _with_hash_partition(ti, 8).column("part").to_numpy()
+    assert pi.min() >= 0 and pi.max() < 8
+
+
+def test_span_bytes_prefix_sum_matches_naive():
+    """Vectorized payload sizing equals the per-row sum, including empty
+    span lists and null texts."""
+    import pyarrow as pa
+
+    from swift_readability_ray.pipelines.extract_pipeline import _span_bytes
+    from swift_readability_ray.schema import SPAN
+
+    rows = [
+        [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+         {"kind": "media", "text": None, "media_ref": "m", "offset": 1}],
+        [],
+        [{"kind": "text", "text": "ab", "media_ref": "", "offset": 0}],
+    ]
+    t = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                  "spans": pa.array(rows, pa.list_(SPAN))})
+    got = _span_bytes(t).column("payload_bytes").to_pylist()
+    assert got == [5, 0, 2]
