@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted-index full probe == exact brute force served from the
         # hive layout (build→write→read-back certificate)
         "ann_persisted_topk_full": TD.ann_persisted_topk_full,
+        # DSIR importance weights: hashed-bigram target/corpus count models
+        "dsir_weights": TD.dsir_weights,
+        # per-label centroid-distance pruning: top-k farthest vectors
+        "centroid_outliers": TD.centroid_outliers,
     }
 
 
@@ -1408,5 +1412,75 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # DSIR importance weights: per doc, summed target-model (lang='en')
+        # and corpus-model hashed-bigram bucket counts — the integer-exact
+        # core of the DSIR log-ratio; bucket = md5-first-8-hex % 64
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, lang, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            hb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) % 64
+                       AS bucket
+              FROM big),
+            cnt AS (
+              SELECT bucket,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_target,
+                     count(*) AS n_corpus
+              FROM hb GROUP BY bucket),
+            s AS (
+              SELECT h.doc_id, count(*) AS n_bigrams,
+                     sum(c.n_target) AS sum_target,
+                     sum(c.n_corpus) AS sum_corpus
+              FROM hb h JOIN cnt c USING (bucket) GROUP BY h.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.sum_target, 0) AS BIGINT) AS sum_target,
+                   CAST(coalesce(s.sum_corpus, 0) AS BIGINT) AS sum_corpus
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY doc_id
+        """,
+        # centroid-distance pruning: top-5 farthest vectors per label,
+        # division-free integer ranking sum((n*q_i - S_i)^2), q = round(x*1e4)
+        "centroid_outliers": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) AS q0,
+                     CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) AS q1,
+                     CAST(floor(CAST(embedding[3] AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) AS q2,
+                     CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) AS q3
+              FROM embeddings),
+            c AS (
+              SELECT label, count(*) AS n,
+                     sum(q0) AS s0, sum(q1) AS s1,
+                     sum(q2) AS s2, sum(q3) AS s3
+              FROM q GROUP BY label),
+            d AS (
+              SELECT q.vec_id, q.label, c.n,
+                     (c.n*q.q0 - c.s0)*(c.n*q.q0 - c.s0)
+                   + (c.n*q.q1 - c.s1)*(c.n*q.q1 - c.s1)
+                   + (c.n*q.q2 - c.s2)*(c.n*q.q2 - c.s2)
+                   + (c.n*q.q3 - c.s3)*(c.n*q.q3 - c.s3) AS d2q
+              FROM q JOIN c USING (label)),
+            r AS (
+              SELECT label, vec_id, n, d2q,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY d2q DESC, vec_id) AS rank
+              FROM d)
+            SELECT label, CAST(rank AS BIGINT) AS rank,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(d2q AS BIGINT) AS d2q, CAST(n AS BIGINT) AS n
+            FROM r WHERE rank <= 5 ORDER BY label, rank
         """,
     }

@@ -2755,6 +2755,194 @@ def label_centroids(sf_dir: str, n_dims: int = 4) -> pa.Table:
     return m.sort_by("label")
 
 
+def dsir_weights(
+    sf_dir: str, n_buckets: int = 64, target_lang: str = "en"
+) -> pa.Table:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its hashed-bigram distribution is, using two
+    FIXED-SIZE hashed n-gram count models — one over the target slice
+    (``lang == target_lang``), one over the whole corpus.
+
+    The integer-exact core of the DSIR log-ratio: per doc we emit the
+    summed target-model and corpus-model bucket counts over its bigram
+    occurrences (``sum_target`` / ``sum_corpus``); the downstream
+    importance weight ``log p_t − log p_c`` is a monotone function of
+    these integers plus the two (broadcast) model totals, so ranking and
+    resampling decisions are reproducible bit-for-bit on any engine.
+
+    Scale shape: pass 1 reduces the corpus to per-block bucket-count
+    partials of FIXED width ``n_buckets`` (the point of DSIR's hashing —
+    the model never grows with the corpus), merged on the driver
+    (bounded cardinality, see ``_merge_partials``); pass 2 broadcasts the
+    two count vectors once via ``ray.put`` and each doc scores itself
+    in-batch with two ``np.take``-style gathers.  No shuffle anywhere.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["doc_id", "text", "lang"],
+                     rows_per_block=1024)
+
+    def _bigram_buckets(text: str, memo: dict) -> np.ndarray:
+        toks = _GRAM_TOKEN_RE.findall((text or "").lower())
+        out = np.empty(max(len(toks) - 1, 0), np.int64)
+        for j in range(len(toks) - 1):
+            bg = toks[j] + " " + toks[j + 1]
+            b = memo.get(bg)
+            if b is None:
+                b = memo[bg] = _md5_bucket(bg, n_buckets)
+            out[j] = b
+        return out
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        n_corpus = np.zeros(n_buckets, np.int64)
+        n_target = np.zeros(n_buckets, np.int64)
+        for t, lang in zip(batch.column("text").to_pylist(),
+                           batch.column("lang").to_pylist()):
+            bk = _bigram_buckets(t, memo)
+            if bk.size:
+                add = np.bincount(bk, minlength=n_buckets)
+                n_corpus += add
+                if lang == target_lang:
+                    n_target += add
+        return pa.table(
+            {"bucket": pa.array(np.arange(n_buckets), pa.int64()),
+             "n_target": pa.array(n_target, pa.int64()),
+             "n_corpus": pa.array(n_corpus, pa.int64())}
+        )
+
+    m = _merge_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bucket"], [("n_target", "sum"), ("n_corpus", "sum")],
+    ).sort_by("bucket")
+    model_ref = ray.put((m.column("n_target").to_numpy(),
+                         m.column("n_corpus").to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t_cnt, c_cnt = ray.get(model_ref)
+        memo: dict = {}
+        ids = batch.column("doc_id").to_pylist()
+        out_n = np.zeros(len(ids), np.int64)
+        out_t = np.zeros(len(ids), np.int64)
+        out_c = np.zeros(len(ids), np.int64)
+        for r, t in enumerate(batch.column("text").to_pylist()):
+            bk = _bigram_buckets(t, memo)
+            out_n[r] = bk.size
+            if bk.size:
+                out_t[r] = int(t_cnt[bk].sum())
+                out_c[r] = int(c_cnt[bk].sum())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_bigrams": pa.array(out_n, pa.int64()),
+             "sum_target": pa.array(out_t, pa.int64()),
+             "sum_corpus": pa.array(out_c, pa.int64())}
+        )
+
+    return pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+
+
+def centroid_outliers(sf_dir: str, n_dims: int = 4, k: int = 5) -> pa.Table:
+    """Per-label centroid-distance pruning (the SSL-prototypes /
+    SemDeDup-style "drop the farthest-from-prototype samples" signal,
+    Sorscher et al. 2022): the top-``k`` vectors FARTHEST from their
+    label's centroid, per label.
+
+    Integer-exact, division-free: components quantized to
+    ``round(x · 1e4)`` (int64); the squared distance to the centroid is
+    compared via ``Σ_i (n·q_i − S_i)²`` — multiplying through by ``n²``
+    removes the centroid division, so the ranking is exact integer
+    arithmetic on any engine.  With |component| ≤ ~1 the residual
+    ``n·q − S`` stays ≲ 2n·1e4, so int64 holds to n ≈ 1e6 rows/label at
+    ``n_dims=4``; beyond that raise the gate to a float ranking or i128.
+
+    Scale shape: pass 1 = bounded-cardinality quantized centroid sums
+    (per-block partials, driver merge); pass 2 broadcasts the centroid
+    table once and each block emits only its per-label top-``k``
+    candidates under the total order ``(d2q DESC, vec_id ASC)`` — a row
+    in the global top-k is in its block's top-k under the same total
+    order, so the driver merge sees ≤ blocks × labels × k rows.
+    """
+    Q = 10_000
+    ds = _read_sized(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "label", "embedding"])
+    s_cols = [f"s{i}" for i in range(n_dims)]
+
+    def _quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = batch.column("vec_id").to_numpy()
+        labels = batch.column("label").to_numpy()
+        emb = batch.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(len(labels), 1) if len(labels) else 0
+        mat = flat.reshape(len(labels), dim)[:, :n_dims] if len(labels) else \
+            np.zeros((0, n_dims))
+        return ids, labels, np.floor(mat * Q + 0.5).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, labels, q = _quant(batch)
+        uniq = np.unique(labels)
+        data = {"label": pa.array(uniq, pa.int32()),
+                "n": pa.array(
+                    [int((labels == u).sum()) for u in uniq], pa.int64())}
+        for i, c in enumerate(s_cols):
+            data[c] = pa.array(
+                [int(q[labels == u, i].sum()) for u in uniq], pa.int64())
+        return pa.table(data)
+
+    cent = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], [("n", "sum")] + [(c, "sum") for c in s_cols],
+    )
+    lab = cent.column("label").to_numpy()
+    order = np.argsort(lab)
+    cent_ref = ray.put((
+        lab[order],
+        cent.column("n").to_numpy()[order],
+        np.stack([cent.column(c).to_numpy() for c in s_cols], axis=1)[order],
+    ))
+
+    def cand(batch: pa.Table) -> pa.Table:
+        labs, ns, sums = ray.get(cent_ref)
+        ids, labels, q = _quant(batch)
+        idx = np.searchsorted(labs, labels)
+        r = ns[idx][:, None] * q - sums[idx]
+        d2 = (r * r).sum(axis=1)
+        o = np.lexsort((ids, -d2, labels))
+        ls, keep = labels[o], np.zeros(len(o), bool)
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        for s in starts:
+            e = starts[starts > s]
+            keep[s:min(s + k, e[0] if e.size else len(o))] = True
+        sel = o[keep]
+        return pa.table(
+            {"label": pa.array(labels[sel], pa.int32()),
+             "vec_id": pa.array(ids[sel], pa.int64()),
+             "d2q": pa.array(d2[sel], pa.int64()),
+             "n": pa.array(ns[idx][sel], pa.int64())}
+        )
+
+    tbl = _collect(ds.map_batches(cand, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    labels = tbl.column("label").to_numpy()
+    d2 = tbl.column("d2q").to_numpy()
+    ids = tbl.column("vec_id").to_numpy()
+    o = np.lexsort((ids, -d2, labels))
+    ls = labels[o]
+    starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    rank = np.arange(len(o)) - np.repeat(starts, np.diff(np.r_[starts, len(o)])) + 1
+    sel = rank <= k
+    return pa.table(
+        {"label": pa.array(ls[sel], pa.int32()),
+         "rank": pa.array(rank[sel], pa.int64()),
+         "vec_id": pa.array(ids[o][sel], pa.int64()),
+         "d2q": pa.array(d2[o][sel], pa.int64()),
+         "n": pa.array(tbl.column("n").to_numpy()[o][sel], pa.int64())}
+    )
+
+
 def sink_roundtrip(sf_dir: str, out_root: str | None = None) -> pa.Table:
     """Partitioned-sink roundtrip certificate: write the docs table as
     hive-partitioned parquet (one directory per lang — the resumable
