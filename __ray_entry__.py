@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": TD.dsir_weights,
         # per-label centroid-distance pruning: top-k farthest vectors
         "centroid_outliers": TD.centroid_outliers,
+        # MOSS winnowing: per-doc selected (pos, gram-hash) fingerprints
+        "winnow_fingerprints": TD.winnow_fingerprints,
     }
 
 
@@ -1482,5 +1484,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(d2q AS BIGINT) AS d2q, CAST(n AS BIGINT) AS n
             FROM r WHERE rank <= 5 ORDER BY label, rank
+        """,
+        # robust winnowing: every window of 4 consecutive word-3-gram
+        # hashes selects its minimum (rightmost position on ties);
+        # fingerprints = distinct selected (pos, hash) per doc
+        "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            h AS (
+              SELECT doc_id, i.g AS pos,
+                     CAST(('0x' || substr(md5(
+                         ts[i.g] || ' ' || ts[i.g+1] || ' ' || ts[i.g+2]
+                       ), 1, 8)) AS BIGINT) AS gram_h
+              FROM toks, unnest(generate_series(1, len(ts)-2)) AS i(g)),
+            n AS (SELECT doc_id, max(pos) AS np FROM h GROUP BY doc_id),
+            starts AS (
+              SELECT doc_id, u.s
+              FROM n, unnest(generate_series(1, np-3)) AS u(s)),
+            cand AS (
+              SELECT st.doc_id, st.s, h.pos, h.gram_h,
+                     row_number() OVER (
+                       PARTITION BY st.doc_id, st.s
+                       ORDER BY h.gram_h, h.pos DESC) AS rn
+              FROM starts st
+              JOIN h ON h.doc_id = st.doc_id
+                    AND h.pos BETWEEN st.s AND st.s + 3)
+            SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(pos AS BIGINT) AS pos, gram_h
+            FROM cand WHERE rn = 1 ORDER BY doc_id, pos
         """,
     }

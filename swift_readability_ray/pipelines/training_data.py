@@ -2845,6 +2845,78 @@ def dsir_weights(
     ).sort_by("doc_id")
 
 
+_WINNOW_POS_BITS = 2**31
+
+
+def _winnow_doc(
+    text: str, gram_n: int, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Robust-winnowing core for ONE document: (positions, gram hashes)
+    of the selected fingerprints, position-sorted.  Guarantee (Schleimer
+    et al. 2003 §3): two texts sharing a run of ≥ window+gram_n−1 tokens
+    share at least one selected gram HASH — the shared window's min hash
+    is selected in both, whatever the tie positions."""
+    toks = _GRAM_TOKEN_RE.findall((text or "").lower())
+    n_g = len(toks) - gram_n + 1
+    if n_g < window:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = np.empty(n_g, np.int64)
+    for j in range(n_g):
+        h = int(hashlib.md5(
+            " ".join(toks[j:j + gram_n]).encode()
+        ).hexdigest()[:8], 16)
+        keys[j] = h * _WINNOW_POS_BITS + (_WINNOW_POS_BITS - 1 - (j + 1))
+    sel = np.unique(
+        np.lib.stride_tricks.sliding_window_view(keys, window).min(axis=1)
+    )
+    pos = _WINNOW_POS_BITS - 1 - (sel % _WINNOW_POS_BITS)
+    order = np.argsort(pos)
+    return pos[order], (sel[order] // _WINNOW_POS_BITS)
+
+
+def winnow_fingerprints(
+    sf_dir: str, gram_n: int = 3, window: int = 4
+) -> pa.Table:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): per document, hash every word ``gram_n``-gram,
+    slide a ``window`` over consecutive gram hashes, and select each
+    window's minimum — rightmost position on hash ties (robust
+    winnowing).  The selected (position, hash) set is the document's
+    fingerprint: any shared substring of length ≥ window+gram_n−1 tokens
+    between two documents is GUARANTEED to share a selected fingerprint,
+    at ~2/(window+1) the density of the full gram set.
+
+    Engine shape: embarrassingly parallel per-doc map — the sliding
+    rightmost-argmin is one vectorized pass over a composite integer key
+    ``h·2³¹ + (2³¹−1−pos)`` (min by hash, then by LARGEST position; both
+    md5-derived ``h < 2³²`` and positions < 2³¹ keep the key in int64),
+    via ``sliding_window_view(...).min(axis=1)`` + ``np.unique``.  No
+    shuffle, no state; output is fingerprint rows (docs emit ~n_grams /
+    window rows each).  Docs with fewer than ``window`` grams emit none.
+    """
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_id, out_pos, out_h = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            pos, hs = _winnow_doc(t, gram_n, window)
+            out_id.extend([doc_id] * len(pos))
+            out_pos.extend(pos.tolist())
+            out_h.extend(hs.tolist())
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "pos": pa.array(out_pos, pa.int64()),
+             "gram_h": pa.array(out_h, pa.int64())}
+        )
+
+    return pa.concat_tables(
+        ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+
+
 def centroid_outliers(sf_dir: str, n_dims: int = 4, k: int = 5) -> pa.Table:
     """Per-label centroid-distance pruning (the SSL-prototypes /
     SemDeDup-style "drop the farthest-from-prototype samples" signal,

@@ -134,3 +134,32 @@ def test_extract_never_raises_and_invariants_hold(bits):
             assert s["media_ref"]
         else:
             assert s["text"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc defg hij klmno pq rstu vwx yz".split()),
+             min_size=0, max_size=30),
+    st.lists(st.sampled_from("abc defg hij klmno pq rstu vwx yz".split()),
+             min_size=0, max_size=30),
+    st.lists(st.sampled_from("one two three four five six seven eight".split()),
+             min_size=6, max_size=10),
+)
+def test_winnowing_shared_run_guarantee(prefix_a, prefix_b, shared):
+    # Schleimer et al. 2003 §3: documents sharing a run of
+    # >= window + gram_n - 1 tokens (6 with the defaults) share at least
+    # one selected fingerprint HASH; and winnowing density is bounded
+    from swift_readability_ray.pipelines.training_data import _winnow_doc
+
+    a = " ".join(prefix_a + shared)
+    b = " ".join(prefix_b + shared)
+    _, ha = _winnow_doc(a, 3, 4)
+    _, hb = _winnow_doc(b, 3, 4)
+    assert set(ha.tolist()) & set(hb.tolist())
+    # every window selects something: gaps between consecutive selected
+    # positions never exceed the window length
+    pa_, _ = _winnow_doc(a, 3, 4)
+    if len(pa_) > 1:
+        import numpy as np
+
+        assert int(np.diff(pa_).max()) <= 4
