@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_outliers": TD.centroid_outliers,
         # MOSS winnowing: per-doc selected (pos, gram-hash) fingerprints
         "winnow_fingerprints": TD.winnow_fingerprints,
+        # Misra-Gries heavy hitters: exact top bigrams via bounded-memory
+        # sketch + exact recount + self-verifying gate
+        "heavy_hitters": TD.heavy_hitters,
     }
 
 
@@ -1515,5 +1518,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(pos AS BIGINT) AS pos, gram_h
             FROM cand WHERE rn = 1 ORDER BY doc_id, pos
+        """,
+        # heavy hitters: exact top-20 word bigrams (the sketch+recount
+        # plan is exact by the self-verifying gate, so a plain GROUP BY
+        # is the oracle)
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT ts[i.g] || ' ' || ts[i.g+1] AS bigram
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g))
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
     }

@@ -2845,6 +2845,124 @@ def dsir_weights(
     ).sort_by("doc_id")
 
 
+def heavy_hitters(
+    sf_dir: str, k: int = 20, buckets: int = 1024
+) -> pa.Table:
+    """Exact top-``k`` word BIGRAMS via a Misra–Gries heavy-hitters sketch
+    (Misra & Gries 1982; the Space-Saving family) + exact recount — the
+    bounded-memory, shuffle-free alternative to the distributed-groupby
+    plan ``word_counts`` uses.  At 100 TB a bigram vocabulary can exceed
+    worker memory; the sketch pass holds ≤ ``buckets`` counters per block
+    REGARDLESS of vocabulary size.
+
+    Correctness is not probabilistic: (1) per-block MG guarantees any
+    bigram with block count > N_blk/buckets survives its block, so any
+    bigram with GLOBAL count > N/buckets survives somewhere (if it were
+    below threshold in every block, the block inequalities would sum to
+    c ≤ N/buckets); (2) the candidate union is broadcast and recounted
+    EXACTLY (searchsorted, integer adds); (3) a self-verifying gate
+    compares the k-th recounted candidate against N/buckets — only when
+    ``n_kth > N/buckets`` can no non-candidate outrank it, and the sketch
+    answer is provably the exact top-k; otherwise the query falls back to
+    the distributed groupby.  Either way the output is exact, so the SQL
+    oracle is a plain GROUP BY.
+    """
+    from collections import Counter
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["text"], rows_per_block=512)
+    SENTINEL = "__TOTAL__"  # tokens are [a-z0-9]+ — cannot collide
+
+    def _bigrams(text: str):
+        toks = _GRAM_TOKEN_RE.findall((text or "").lower())
+        for j in range(len(toks) - 1):
+            yield toks[j] + " " + toks[j + 1]
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counters: dict = {}
+        total = 0
+        for t in batch.column("text").to_pylist():
+            for bg in _bigrams(t):
+                total += 1
+                if bg in counters:
+                    counters[bg] += 1
+                elif len(counters) < buckets:
+                    counters[bg] = 1
+                else:
+                    dead = []
+                    for t2 in counters:
+                        counters[t2] -= 1
+                        if counters[t2] == 0:
+                            dead.append(t2)
+                    for t2 in dead:
+                        del counters[t2]
+        return pa.table(
+            {"bigram": pa.array(list(counters) + [SENTINEL], pa.string()),
+             "n": pa.array(list(counters.values()) + [total], pa.int64())}
+        )
+
+    sketch = _collect(
+        ds.map_batches(mg_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    ).group_by(["bigram"]).aggregate([("n", "sum")])
+    terms = np.array(sketch.column("bigram").to_pylist())
+    is_total = terms == SENTINEL
+    n_total = int(sketch.column("n_sum").to_numpy()[is_total].sum())
+    cand = np.sort(terms[~is_total])
+    cand_ref = ray.put(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cand_ref)
+        c = np.zeros(len(keys), np.int64)
+        for t in batch.column("text").to_pylist():
+            bgs = np.array(list(_bigrams(t)), dtype=object)
+            if not bgs.size:
+                continue
+            idx = np.searchsorted(keys, bgs)
+            idx[idx == len(keys)] = 0
+            hit = keys[idx] == bgs
+            np.add.at(c, idx[hit], 1)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"bigram": pa.array(keys[nz], pa.string()),
+             "n": pa.array(c[nz], pa.int64())}
+        )
+
+    exact = _merge_partials(
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True),
+        ["bigram"], [("n", "sum")],
+    )
+    bs = np.array(exact.column("bigram").to_pylist())
+    ns = exact.column("n").to_numpy()
+    order = np.lexsort((bs, -ns))
+    top_b, top_n = bs[order[:k]], ns[order[:k]]
+
+    if len(top_n) < k or int(top_n[-1]) * buckets <= n_total:
+        # gate failed: a non-candidate could in principle outrank the
+        # k-th candidate — take the always-correct distributed plan
+        vt = _collect(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"bigram": pa.array(
+                        list(c := Counter(
+                            bg for t in b.column("text").to_pylist()
+                            for bg in _bigrams(t))), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())}
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        ).group_by(["bigram"]).aggregate([("n", "sum")])
+        bs = np.array(vt.column("bigram").to_pylist())
+        ns = vt.column("n_sum").to_numpy()
+        order = np.lexsort((bs, -ns))
+        top_b, top_n = bs[order[:k]], ns[order[:k]]
+
+    return pa.table(
+        {"bigram": pa.array(top_b, pa.string()),
+         "n": pa.array(top_n, pa.int64())}
+    )
+
+
 _WINNOW_POS_BITS = 2**31
 
 

@@ -497,3 +497,31 @@ def test_q3_empty_result_no_crash(ray_session, tmp_path):
     out = q3_top_orders(str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["o_orderkey", "o_orderdate", "revenue_c4"]
+
+
+def test_heavy_hitters_forced_fallback_pins_sketch_path():
+    # buckets=2 makes the self-verifying gate fail (kth count * 2 <= N),
+    # forcing the distributed-groupby fallback; both plans must agree
+    from swift_readability_ray.pipelines.training_data import heavy_hitters
+
+    fast = heavy_hitters(SF)                 # sketch + recount path
+    slow = heavy_hitters(SF, buckets=2)      # forced fallback path
+    assert fast.equals(slow)
+    assert fast.num_rows == 20
+
+
+def test_heavy_hitters_gate_holds_on_testdata():
+    # the sketch path must be the one actually serving the default call:
+    # the 20th bigram's exact count clears the N/buckets bound
+    import duckdb
+
+    from swift_readability_ray.pipelines.training_data import heavy_hitters
+
+    top = heavy_hitters(SF)
+    con = duckdb.connect()
+    n_total, = con.execute(f"""
+        SELECT sum(greatest(len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), t -> t <> '')) - 1, 0))
+        FROM read_parquet('{SF}/documents.parquet')
+    """).fetchone()
+    assert int(top.column("n")[19].as_py()) * 1024 > int(n_total)
