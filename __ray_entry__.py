@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries heavy hitters: exact top bigrams via bounded-memory
         # sketch + exact recount + self-verifying gate
         "heavy_hitters": TD.heavy_hitters,
+        # Z-order layout: per-zbucket pruning certificate (both dims
+        # bounded per file)
+        "zorder_layout": TD.zorder_layout,
     }
 
 
@@ -1533,4 +1536,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(count(*) AS BIGINT) AS n
             FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
+        # z-order layout certificate: 32-bit Morton interleave of
+        # (user_id%65536, epoch-hour%65536), bucket = top 4 z-bits; the
+        # interleave expression is generated (32 bit terms)
+        "zorder_layout": """
+            WITH raw AS (
+              SELECT user_id AS ur,
+                     (epoch_us(ts) // 3600000000) AS hr
+              FROM events),
+            b AS (
+              SELECT min(ur) AS u_min,
+                     greatest(max(ur) - min(ur), 1) AS u_rng,
+                     min(hr) AS h_min,
+                     greatest(max(hr) - min(hr), 1) AS h_rng
+              FROM raw),
+            d AS (
+              SELECT ur, hr,
+                     ((ur - u_min) * 65535) // u_rng AS u,
+                     ((hr - h_min) * 65535) // h_rng AS t
+              FROM raw, b),
+            z AS (SELECT ur, hr, {Z_EXPR} AS zv FROM d)
+            SELECT (zv >> 28) AS zbucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(ur) AS BIGINT) AS min_user,
+                   CAST(max(ur) AS BIGINT) AS max_user,
+                   CAST(min(hr) AS BIGINT) AS min_hour,
+                   CAST(max(hr) AS BIGINT) AS max_hour
+            FROM z GROUP BY zbucket ORDER BY zbucket
+        """.format(Z_EXPR=" + ".join(
+            f"((( u >> {i}) & 1) << {2 * i + 1}) + "
+            f"((( t >> {i}) & 1) << {2 * i})" for i in range(16)
+        )),
     }

@@ -2845,6 +2845,94 @@ def dsir_weights(
     ).sort_by("doc_id")
 
 
+def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
+    """Z-order (Morton-curve) layout certificate for multi-dimensional
+    file pruning (the Delta/Iceberg OPTIMIZE ZORDER BY primitive): events
+    are mapped to a 32-bit z-value interleaving 16 bits of ``user_id``
+    with 16 bits of event hour, bucketed by the top ``log2(n_files)``
+    z-bits — the file assignment a z-ordered rewrite would produce.
+
+    The output is the PRUNING CERTIFICATE: per bucket, row count and the
+    min/max of BOTH dimensions.  Because the Morton curve localizes both
+    coordinates, every bucket's (user, hour) bounding box is a small
+    fraction of the domain — a point/range predicate on EITHER column
+    prunes most files via ordinary min/max file statistics, which a sort
+    on a single column cannot give for the second dimension.
+
+    Engine shape: pass 1 computes global min/max of both dimensions
+    (per-block partials, driver-merged — 4 scalars); pass 2 range-
+    normalizes each column to the full 16-bit domain (what production
+    z-order rewrites do — without normalization small-domain columns
+    collapse into one bucket) and the z/bucket map is pure vectorized
+    numpy bit arithmetic; the certificate is a bounded-cardinality
+    (``n_files``) per-block partial driver-merge.  The actual rewrite at
+    scale is ``ds.sort("z").write_parquet(partition_cols=["zbucket"])`` —
+    a single range shuffle, same cost class as any global sort.
+    """
+    shift = 32 - int(n_files).bit_length() + 1  # top log2(n_files) bits
+    ds = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["ts", "user_id"])
+
+    def _dims(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return (batch.column("user_id").to_numpy(),
+                us // 3_600_000_000)
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        u, h = _dims(batch)
+        if not len(u):
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["one", "min_u", "max_u", "min_h", "max_h"]})
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             "min_u": pa.array([int(u.min())], pa.int64()),
+             "max_u": pa.array([int(u.max())], pa.int64()),
+             "min_h": pa.array([int(h.min())], pa.int64()),
+             "max_h": pa.array([int(h.max())], pa.int64())}
+        )
+
+    b = _merge_partials(
+        ds.map_batches(bounds, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], [("min_u", "min"), ("max_u", "max"),
+                  ("min_h", "min"), ("max_h", "max")],
+    )
+    u_min, u_max = b.column("min_u")[0].as_py(), b.column("max_u")[0].as_py()
+    h_min, h_max = b.column("min_h")[0].as_py(), b.column("max_h")[0].as_py()
+    u_rng, h_rng = max(u_max - u_min, 1), max(h_max - h_min, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u_raw, h_raw = _dims(batch)
+        u = (u_raw - u_min) * 65535 // u_rng
+        t = (h_raw - h_min) * 65535 // h_rng
+        z = np.zeros(len(u), np.int64)
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i + 1)
+            z |= ((t >> i) & 1) << (2 * i)
+        b = z >> shift
+        uniq = np.unique(b)
+        return pa.table(
+            {"zbucket": pa.array(uniq, pa.int64()),
+             "n_events": pa.array(
+                 [int((b == x).sum()) for x in uniq], pa.int64()),
+             "min_user": pa.array(
+                 [int(u_raw[b == x].min()) for x in uniq], pa.int64()),
+             "max_user": pa.array(
+                 [int(u_raw[b == x].max()) for x in uniq], pa.int64()),
+             "min_hour": pa.array(
+                 [int(h_raw[b == x].min()) for x in uniq], pa.int64()),
+             "max_hour": pa.array(
+                 [int(h_raw[b == x].max()) for x in uniq], pa.int64())}
+        )
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["zbucket"],
+        [("n_events", "sum"), ("min_user", "min"), ("max_user", "max"),
+         ("min_hour", "min"), ("max_hour", "max")],
+    )
+    return m.sort_by("zbucket")
+
+
 def heavy_hitters(
     sf_dir: str, k: int = 20, buckets: int = 1024
 ) -> pa.Table:

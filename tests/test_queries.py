@@ -525,3 +525,17 @@ def test_heavy_hitters_gate_holds_on_testdata():
         FROM read_parquet('{SF}/documents.parquet')
     """).fetchone()
     assert int(top.column("n")[19].as_py()) * 1024 > int(n_total)
+
+
+def test_zorder_buckets_bound_both_dimensions():
+    # the point of the Morton layout: every bucket's bounding box spans
+    # at most half the user domain AND a bounded hour band — a predicate
+    # on either column prunes most buckets via min/max file stats
+    from swift_readability_ray.pipelines.training_data import zorder_layout
+
+    t = zorder_layout(SF).to_pandas()
+    assert len(t) >= 4
+    u_dom = t.max_user.max() - t.min_user.min()
+    h_dom = t.max_hour.max() - t.min_hour.min()
+    assert ((t.max_user - t.min_user) <= u_dom / 2 + 1).all()
+    assert ((t.max_hour - t.min_hour) <= h_dom / 2 + 1).all()
