@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Z-order layout: per-zbucket pruning certificate (both dims
         # bounded per file)
         "zorder_layout": TD.zorder_layout,
+        # SemDeDup: within-cluster keep-first semantic dedup
+        "semantic_dedup": TD.semantic_dedup,
     }
 
 
@@ -1567,4 +1569,20 @@ def oracle_sql() -> dict[str, str]:
             f"((( u >> {i}) & 1) << {2 * i + 1}) + "
             f"((( t >> {i}) & 1) << {2 * i})" for i in range(16)
         )),
+        # SemDeDup: drop a vector when an earlier (lower vec_id) member of
+        # the same cluster (label) is cosine-similar above 0.25
+        "semantic_dedup": """
+            WITH dom AS (
+              SELECT a.vec_id AS v,
+                     max(CASE WHEN list_cosine_similarity(
+                                    a.embedding, b.embedding) > 0.25
+                              THEN 1 ELSE 0 END) AS d
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND b.vec_id < a.vec_id
+              GROUP BY a.vec_id)
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id, e.label,
+                   coalesce(d, 0) = 0 AS keep
+            FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.v
+            ORDER BY vec_id
+        """,
     }

@@ -2845,6 +2845,50 @@ def dsir_weights(
     ).sort_by("doc_id")
 
 
+def semantic_dedup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within-cluster
+    semantic deduplication.  The cluster key is the ``label`` column (the
+    k-means assignment an upstream job produces — cf. the IVF build in
+    stages/similarity.py); inside each cluster a vector is DROPPED when an
+    earlier cluster-mate (lower ``vec_id``) has cosine similarity above
+    ``threshold`` — the keep-first reduction every dedup op in this engine
+    uses (exact_dedup, delta_dedup), so keep decisions are stable under
+    any block order.
+
+    Engine shape: ONE hash shuffle on the cluster key
+    (``groupby("label").map_groups``) co-locates each cluster — exactly
+    the partitioning SemDeDup's clustering exists to enable; within a
+    cluster the dominance test is the strict lower triangle of one
+    normalized matmul.  O(g²) per cluster is the SemDeDup cost model: the
+    CLUSTERING bounds g, never the corpus, so the quadratic term stays
+    fixed as the corpus grows (more clusters, not bigger ones).  The
+    corpus-wide all-pairs alternative lives in ``embedding_neardup``.
+    """
+    from ..stages.similarity import _to_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+
+    def dedup_cluster(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        order = np.argsort(ids)
+        mat = _to_matrix(batch, "embedding").astype(np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        dom = (np.tril(matn @ matn.T, -1) > threshold).any(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids[order], pa.int64()),
+             "label": batch.column("label").combine_chunks().take(
+                 pa.array(order)),
+             "keep": pa.array(~dom)}
+        )
+
+    out = ds.groupby("label").map_groups(dedup_cluster, batch_format="pyarrow")
+    return _collect(out).sort_by("vec_id")
+
+
 def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
     """Z-order (Morton-curve) layout certificate for multi-dimensional
     file pruning (the Delta/Iceberg OPTIMIZE ZORDER BY primitive): events
