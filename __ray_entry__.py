@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": TD.zorder_layout,
         # SemDeDup: within-cluster keep-first semantic dedup
         "semantic_dedup": TD.semantic_dedup,
+        # hard-negative mining: top-k nearest vectors of a DIFFERENT label
+        "hard_negatives": TD.hard_negatives,
     }
 
 
@@ -1584,5 +1586,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(d, 0) = 0 AS keep
             FROM embeddings e LEFT JOIN dom ON e.vec_id = dom.v
             ORDER BY vec_id
+        """,
+        # hard-negative mining: exact top-5 cosine neighbors with a label
+        # different from the query's
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q JOIN embeddings e ON e.label <> q.ql),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER)
+                             AS rank
+                    FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
     }

@@ -2845,6 +2845,37 @@ def dsir_weights(
     ).sort_by("doc_id")
 
 
+def hard_negatives(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the exact top-``k`` most-similar vectors of a DIFFERENT
+    label — the "closest wrong-class" examples metric-learning batches
+    are built from (e.g. DPR / Contriever negative selection).
+
+    Same scale shape as ``knn_bruteforce`` (broadcast query matrix,
+    per-block partial top-k combiners, driver merge of blocks × nq × k
+    rows) plus a vectorized per-block label mask; the query labels ride
+    the same pruned parquet point read as the query vectors."""
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    tbl = S.knn_bruteforce(
+        ds, queries, qt.column("vec_id").to_pylist(), k=k,
+        exclude_labels=qt.column("label").to_pylist(),
+    )
+    return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def semantic_dedup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within-cluster
     semantic deduplication.  The cluster key is the ``label`` column (the

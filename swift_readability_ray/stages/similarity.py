@@ -78,28 +78,42 @@ def knn_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_labels: list | None = None,
+    label_col: str = "label",
 ) -> pa.Table:
     """Exact cosine top-k: per-batch partial top-k, merged on the driver.
 
     Each batch computes sims against the broadcast query matrix and emits its
     local top-k per query (combiner), so the driver merge handles only
     ``num_batches × k`` rows per query — the wide step never shuffles.
+
+    ``exclude_labels`` (one per query) masks candidates sharing the
+    query's label — the hard-negative mining filter (contrastive training
+    wants the closest vectors NOT of the query's class).  The mask is a
+    per-block vectorized compare; excluded rows never enter the combiner.
     """
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(qn)
+    excl = list(exclude_labels) if exclude_labels is not None else None
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         ids = _ids_array(batch, id_col)
         mat = _normalize(_to_matrix(batch, vec_col))
         sims = q @ mat.T  # (nq, nb)
+        labs = (batch.column(label_col).to_numpy(zero_copy_only=False)
+                if excl is not None else None)
         nq = sims.shape[0]
         out_q, out_id, out_sim = [], [], []
         for qi in range(nq):
-            idx = _block_topk(sims[qi], ids, k)
+            s = sims[qi]
+            if labs is not None:
+                s = np.where(labs == excl[qi], -np.inf, s)
+            idx = _block_topk(s, ids, k)
+            idx = idx[np.isfinite(s[idx])]
             out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
-            out_sim.extend(sims[qi, idx].astype(np.float64).tolist())
+            out_sim.extend(s[idx].astype(np.float64).tolist())
         return pa.table(
             {
                 "qi": pa.array(out_q, pa.int32()),
