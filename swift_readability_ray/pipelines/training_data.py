@@ -3078,6 +3078,8 @@ def heavy_hitters(
         keys = ray.get(cand_ref)
         c = np.zeros(len(keys), np.int64)
         for t in batch.column("text").to_pylist():
+            if not len(keys):
+                break  # no candidates anywhere (e.g. no doc has 2 tokens)
             bgs = np.array(list(_bigrams(t)), dtype=object)
             if not bgs.size:
                 continue
@@ -3121,8 +3123,8 @@ def heavy_hitters(
         top_b, top_n = bs[order[:k]], ns[order[:k]]
 
     return pa.table(
-        {"bigram": pa.array(top_b, pa.string()),
-         "n": pa.array(top_n, pa.int64())}
+        {"bigram": pa.array([str(x) for x in top_b], pa.string()),
+         "n": pa.array([int(x) for x in top_n], pa.int64())}
     )
 
 

@@ -92,15 +92,23 @@ def knn_bruteforce(
     wants the closest vectors NOT of the query's class).  The mask is a
     per-block vectorized compare; excluded rows never enter the combiner.
     """
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
-    q_ref = ray.put(qn)
+    q_raw = np.asarray(queries, dtype=np.float32)
+    q_zero = np.linalg.norm(q_raw, axis=1) == 0
+    qn = _normalize(q_raw)
+    q_ref = ray.put((qn, q_zero))
     excl = list(exclude_labels) if exclude_labels is not None else None
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        q = ray.get(q_ref)
+        q, qz = ray.get(q_ref)
         ids = _ids_array(batch, id_col)
-        mat = _normalize(_to_matrix(batch, vec_col))
-        sims = q @ mat.T  # (nq, nb)
+        mat = _to_matrix(batch, vec_col)
+        row_norms = np.linalg.norm(mat, axis=1)
+        sims = q @ _normalize(mat).T  # (nq, nb)
+        # zero-norm convention pinned to DuckDB list_cosine_similarity:
+        # cosine involving a zero vector is -1.0 (not 0/undefined), so the
+        # oracle and the engine rank degenerate rows identically
+        sims[:, row_norms == 0] = -1.0
+        sims[qz, :] = -1.0
         labs = (batch.column(label_col).to_numpy(zero_copy_only=False)
                 if excl is not None else None)
         nq = sims.shape[0]

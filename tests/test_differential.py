@@ -1,0 +1,119 @@
+"""Seeded-random differential fuzz: run the round-4 operators AND their
+DuckDB oracles over small RANDOMIZED synthetic tables (not the fixed
+testdata) and require exact equality.  Catches edge cases the fixed corpus
+can't exhibit: empty/1-token docs, duplicate embeddings (distance and
+similarity TIES), degenerate single-label clusters, bigram-free corpora.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+VOCAB = "the a of to and spark row scan hash merge table value fast".split()
+
+
+def _entry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _rand_documents(rng: np.random.RandomState, n: int) -> pa.Table:
+    texts = []
+    for i in range(n):
+        ln = int(rng.choice([0, 1, 2, 5, 30, 60]))
+        texts.append(" ".join(rng.choice(VOCAB, size=ln)))
+    langs = rng.choice(["en", "de", "zh"], size=n).tolist()
+    return pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(langs, pa.string()),
+         "source": pa.array(["s%d" % (i % 3) for i in range(n)], pa.string()),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}
+    )
+
+
+def _rand_embeddings(rng: np.random.RandomState, n: int, dim: int = 8) -> pa.Table:
+    mat = rng.randn(n, dim).astype(np.float32)
+    # force exact duplicates (ties) and a zero vector
+    if n >= 4:
+        mat[1] = mat[0]
+        mat[3] = 0.0
+    return pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([row.tolist() for row in mat],
+                               pa.list_(pa.float32())),
+         "label": pa.array((np.arange(n) % 3).astype(np.int32), pa.int32())}
+    )
+
+
+def _rand_events(rng: np.random.RandomState, n: int) -> pa.Table:
+    base = 1_700_000_000_000_000
+    ts = base + rng.randint(0, 90 * 24 * 3600, size=n).astype(np.int64) * 1_000_000
+    return pa.table(
+        {"event_id": pa.array(range(n), pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "user_id": pa.array(rng.randint(0, 7, size=n), pa.int64()),
+         "event_type": pa.array(["view"] * n, pa.string()),
+         "value": pa.array(rng.rand(n), pa.float64()),
+         "props": pa.array(["{}"] * n, pa.string())}
+    )
+
+
+def _compare(entry_mod, name: str, sf_dir: str):
+    import duckdb
+
+    import pandas as pd
+
+    res = entry_mod.queries()[name](sf_dir)
+    mine = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ref = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    mine = mine[sorted(mine.columns)].reset_index(drop=True)
+    ref = ref[sorted(ref.columns)].reset_index(drop=True)
+    assert mine.shape == ref.shape, (name, mine.shape, ref.shape)
+    assert mine.equals(ref), (
+        f"{name} differs\nmine:\n{mine.head(20)}\nref:\n{ref.head(20)}"
+    )
+
+
+NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
+           "heavy_hitters", "zorder_layout", "semantic_dedup",
+           "hard_negatives"]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_differential_random_tables(tmp_path, ray_session, seed, name):
+    rng = np.random.RandomState(seed)
+    pq.write_table(_rand_documents(rng, 12), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(_rand_events(rng, 40), str(tmp_path / "events.parquet"))
+    _compare(_entry(), name, str(tmp_path))
+
+
+def test_heavy_hitters_bigram_free_corpus(tmp_path, ray_session):
+    # every doc has < 2 tokens: candidate set is EMPTY end to end
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["", "spark", ""], pa.string()),
+         "lang": pa.array(["en"] * 3, pa.string()),
+         "source": pa.array(["s0"] * 3, pa.string()),
+         "n_chars": pa.array([0, 5, 0], pa.int64())}
+    ), str(tmp_path / "documents.parquet"))
+    from swift_readability_ray.pipelines.training_data import heavy_hitters
+
+    out = heavy_hitters(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["bigram", "n"]
