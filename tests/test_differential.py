@@ -56,13 +56,16 @@ def _rand_embeddings(rng: np.random.RandomState, n: int, dim: int = 8) -> pa.Tab
 def _rand_events(rng: np.random.RandomState, n: int) -> pa.Table:
     base = 1_700_000_000_000_000
     ts = base + rng.randint(0, 90 * 24 * 3600, size=n).astype(np.int64) * 1_000_000
+    types = rng.choice(["view", "click", "signup", "purchase", "error"],
+                       size=n).tolist()
+    props = ['{"k": %d}' % v for v in rng.randint(0, 100, size=n)]
     return pa.table(
         {"event_id": pa.array(range(n), pa.int64()),
          "ts": pa.array(ts, pa.timestamp("us")),
          "user_id": pa.array(rng.randint(0, 7, size=n), pa.int64()),
-         "event_type": pa.array(["view"] * n, pa.string()),
+         "event_type": pa.array(types, pa.string()),
          "value": pa.array(rng.rand(n), pa.float64()),
-         "props": pa.array(["{}"] * n, pa.string())}
+         "props": pa.array(props, pa.string())}
     )
 
 
@@ -92,10 +95,39 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "heavy_hitters", "zorder_layout", "semantic_dedup",
            "hard_negatives"]
 
+# established operators fuzzed over the same randomized tables — degenerate
+# inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
+# fixed testdata cannot exhibit
+BROAD_OPS = [
+    "token_counts", "fingerprints", "exact_dedup", "word_counts",
+    "langid", "quality", "normalize_text", "split_assign", "corpus_shuffle",
+    "repetition_stats", "inverted_index", "length_filter", "pack_sequences",
+    "quality_gate", "doc_typicality", "bpe_first_merges", "hashed_features",
+    "delta_dedup", "pii_scrub", "doc_chunks", "stratified_sample",
+    "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
+    "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
+    "tfidf_top_terms", "decontaminate",
+    "embedding_neardup", "label_centroids", "knn_bruteforce",
+    "events_hourly", "events_sessions", "events_value_buckets",
+    "events_quantiles", "events_user_counts", "events_pivot",
+    "conversion_funnel", "latest_event_per_user", "events_rolling",
+    "events_json_stats",
+]
+
 
 @pytest.mark.parametrize("seed", [7, 23, 99])
 @pytest.mark.parametrize("name", NEW_OPS)
 def test_differential_random_tables(tmp_path, ray_session, seed, name):
+    rng = np.random.RandomState(seed)
+    pq.write_table(_rand_documents(rng, 12), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(_rand_events(rng, 40), str(tmp_path / "events.parquet"))
+    _compare(_entry(), name, str(tmp_path))
+
+
+@pytest.mark.parametrize("seed", [13])
+@pytest.mark.parametrize("name", BROAD_OPS)
+def test_differential_broad(tmp_path, ray_session, seed, name):
     rng = np.random.RandomState(seed)
     pq.write_table(_rand_documents(rng, 12), str(tmp_path / "documents.parquet"))
     pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
