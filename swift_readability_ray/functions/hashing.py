@@ -1,0 +1,44 @@
+"""Shared vectorized 64-bit hash finalizers (public-domain constants).
+
+Two standard avalanche mixers live here so every hashing call site in the
+engine uses ONE definition of each:
+
+- ``mix64`` — MurmurHash3's fmix64.  Used for PLACEMENT (partition ids in
+  the extraction pipeline): no additive pre-step, cheapest full-avalanche
+  finalizer.
+- ``splitmix64`` — SplitMix64.  Used for the Bloom double-hash family in
+  decontamination: the additive constant lets one gram key derive two
+  independent streams (``splitmix64(g)`` / ``splitmix64(g ^ C)``).
+
+Both operate on uint64 numpy arrays; numpy unsigned arithmetic wraps,
+which is exactly mod 2^64.  The constants are pinned — oracle SQL and the
+Bloom zero-false-negative guarantee depend on bit-identical values.
+"""
+
+import numpy as np
+
+SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+SPLITMIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+SPLITMIX_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array."""
+    x = (x + SPLITMIX_C1).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= SPLITMIX_C2
+    x ^= x >> np.uint64(27)
+    x *= SPLITMIX_C3
+    x ^= x >> np.uint64(31)
+    return x

@@ -36,16 +36,7 @@ from ..state.lineage import LineageLog
 import numpy as np
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """MurmurHash3-style 64-bit finalizer over a uint64 array (public
-    constants; wraps mod 2^64 like all numpy unsigned arithmetic)."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
-    return x
+from ..functions.hashing import mix64 as _mix64
 
 
 # per-position byte weights (cycle mod 64), fixed at import → placement is

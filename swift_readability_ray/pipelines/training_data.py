@@ -309,22 +309,26 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")]).sort_by("doc_id")
 
 
-def _query_vectors(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
+def _query_vectors(
+    sf_dir: str, n_queries: int, extra_columns: tuple = ()
+) -> tuple[np.ndarray, list[int], "pa.Table"]:
     """Driver-side PRUNED point read of the first ``n_queries`` query
     vectors: parquet row-group statistics prune the vec_id-ordered file to
     the row group(s) actually containing ``vec_id < n_queries``, so this
     tiny fetch never launches a Ray job or scans the table (VERDICT r3 #6
     — the previous form filtered the whole embeddings dataset to pull 4
-    rows)."""
+    rows).  ``extra_columns`` rides additional columns (e.g. ``label``
+    for hard-negative mining) on the same pruned read; the raw table is
+    returned third so callers can reach them."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
+        columns=["vec_id", "embedding"] + list(extra_columns),
         filters=[("vec_id", "<", n_queries)],
     ).sort_by("vec_id")
     queries = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    return queries, tbl.column("vec_id").to_pylist()
+    return queries, tbl.column("vec_id").to_pylist(), tbl
 
 
 def knn_bruteforce_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
@@ -332,7 +336,7 @@ def knn_bruteforce_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Tab
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    queries, query_ids = _query_vectors(sf_dir, n_queries)
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
     tbl = S.knn_bruteforce(ds, queries, query_ids, k=k)
     return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
@@ -369,10 +373,6 @@ def _ann_index(sf_dir: str, n_centroids: int = 16) -> str:
     return _ANN_INDEX_CACHE[key]
 
 
-def _ann_queries(sf_dir: str, n_queries: int):
-    return _query_vectors(sf_dir, n_queries)
-
-
 def ann_persisted_topk(
     sf_dir: str, n_queries: int = 4, k: int = 10, nprobe: int = 4,
     n_centroids: int = 16,
@@ -382,7 +382,7 @@ def ann_persisted_topk(
     lists only its nprobe bucket directories).  Approximate (rows-only);
     the full-probe sibling is the exact-oracled read-back certificate and
     containment is pytest-pinned against brute force."""
-    queries, query_ids = _ann_queries(sf_dir, n_queries)
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
     tbl = S.persisted_ivf_topk(
         _ann_index(sf_dir, n_centroids), queries, query_ids, k=k, nprobe=nprobe
     )
@@ -398,7 +398,7 @@ def ann_persisted_topk_full(
     the result is EXACT brute-force top-k served from the persisted
     layout — certifying build → partition write → read-back end to end
     against the same SQL oracle as knn_bruteforce."""
-    queries, query_ids = _ann_queries(sf_dir, n_queries)
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
     tbl = S.persisted_ivf_topk(
         _ann_index(sf_dir, n_centroids), queries, query_ids,
         k=k, nprobe=n_centroids,
@@ -1282,7 +1282,7 @@ def ivf_topk_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    queries, query_ids = _query_vectors(sf_dir, n_queries)
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
     tbl = S.ivf_topk(ds, queries, query_ids, k=k)
     return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
@@ -1299,7 +1299,7 @@ def ivf_topk_full_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Tabl
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    queries, query_ids = _query_vectors(sf_dir, n_queries)
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
     tbl = S.ivf_topk(
         ds, queries, query_ids, k=k,
         n_centroids=16, nprobe=16,
@@ -2778,6 +2778,9 @@ def dsir_weights(
     two count vectors once via ``ray.put`` and each doc scores itself
     in-batch with two ``np.take``-style gathers.  No shuffle anywhere.
     """
+    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["doc_id", "n_bigrams", "sum_target", "sum_corpus"]})
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["doc_id", "text", "lang"],
                      rows_per_block=1024)
@@ -2855,20 +2858,19 @@ def hard_negatives(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
     per-block partial top-k combiners, driver merge of blocks × nq × k
     rows) plus a vectorized per-block label mask; the query labels ride
     the same pruned parquet point read as the query vectors."""
-    import pyarrow.parquet as pq
-
+    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32())})
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "label", "embedding"],
     )
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "label", "embedding"],
-        filters=[("vec_id", "<", n_queries)],
-    ).sort_by("vec_id")
-    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    queries, query_ids, qt = _query_vectors(
+        sf_dir, n_queries, extra_columns=("label",)
+    )
     tbl = S.knn_bruteforce(
-        ds, queries, qt.column("vec_id").to_pylist(), k=k,
+        ds, queries, query_ids, k=k,
         exclude_labels=qt.column("label").to_pylist(),
     )
     return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
@@ -2897,6 +2899,10 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
     """
     from ..stages.similarity import _to_matrix
 
+    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int32()),
+                         "keep": pa.array([], pa.bool_())})
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "label", "embedding"])
 
@@ -2945,6 +2951,10 @@ def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
     a single range shuffle, same cost class as any global sort.
     """
     shift = 32 - int(n_files).bit_length() + 1  # top log2(n_files) bits
+    cols = ["zbucket", "n_events", "min_user", "max_user",
+            "min_hour", "max_hour"]
+    if not _footer_rows(f"{sf_dir}/events.parquet"):
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
     ds = _read_sized(f"{sf_dir}/events.parquet",
                      columns=["ts", "user_id"])
 
@@ -2984,19 +2994,22 @@ def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
             z |= ((u >> i) & 1) << (2 * i + 1)
             z |= ((t >> i) & 1) << (2 * i)
         b = z >> shift
-        uniq = np.unique(b)
+        # one sort + segmented reductions: no per-bucket rescan
+        o = np.argsort(b, kind="stable")
+        bs = b[o]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         return pa.table(
-            {"zbucket": pa.array(uniq, pa.int64()),
+            {"zbucket": pa.array(bs[starts], pa.int64()),
              "n_events": pa.array(
-                 [int((b == x).sum()) for x in uniq], pa.int64()),
+                 np.diff(np.r_[starts, len(bs)]), pa.int64()),
              "min_user": pa.array(
-                 [int(u_raw[b == x].min()) for x in uniq], pa.int64()),
+                 np.minimum.reduceat(u_raw[o], starts), pa.int64()),
              "max_user": pa.array(
-                 [int(u_raw[b == x].max()) for x in uniq], pa.int64()),
+                 np.maximum.reduceat(u_raw[o], starts), pa.int64()),
              "min_hour": pa.array(
-                 [int(h_raw[b == x].min()) for x in uniq], pa.int64()),
+                 np.minimum.reduceat(h_raw[o], starts), pa.int64()),
              "max_hour": pa.array(
-                 [int(h_raw[b == x].max()) for x in uniq], pa.int64())}
+                 np.maximum.reduceat(h_raw[o], starts), pa.int64())}
         )
 
     m = _merge_partials(
@@ -3032,6 +3045,9 @@ def heavy_hitters(
     """
     from collections import Counter
 
+    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["text"], rows_per_block=512)
     SENTINEL = "__TOTAL__"  # tokens are [a-z0-9]+ — cannot collide
@@ -3177,6 +3193,9 @@ def winnow_fingerprints(
     shuffle, no state; output is fingerprint rows (docs emit ~n_grams /
     window rows each).  Docs with fewer than ``window`` grams emit none.
     """
+    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["doc_id", "pos", "gram_h"]})
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def winnow(batch: pa.Table) -> pa.Table:
@@ -3221,6 +3240,12 @@ def centroid_outliers(sf_dir: str, n_dims: int = 4, k: int = 5) -> pa.Table:
     in the global top-k is in its block's top-k under the same total
     order, so the driver merge sees ≤ blocks × labels × k rows.
     """
+    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+        return pa.table({"label": pa.array([], pa.int32()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "d2q": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     Q = 10_000
     ds = _read_sized(f"{sf_dir}/embeddings.parquet",
                      columns=["vec_id", "label", "embedding"])
@@ -3266,12 +3291,11 @@ def centroid_outliers(sf_dir: str, n_dims: int = 4, k: int = 5) -> pa.Table:
         r = ns[idx][:, None] * q - sums[idx]
         d2 = (r * r).sum(axis=1)
         o = np.lexsort((ids, -d2, labels))
-        ls, keep = labels[o], np.zeros(len(o), bool)
+        ls = labels[o]
         starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
-        for s in starts:
-            e = starts[starts > s]
-            keep[s:min(s + k, e[0] if e.size else len(o))] = True
-        sel = o[keep]
+        rank = np.arange(len(o)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(o)])) + 1
+        sel = o[rank <= k]
         return pa.table(
             {"label": pa.array(labels[sel], pa.int32()),
              "vec_id": pa.array(ids[sel], pa.int64()),
@@ -3344,21 +3368,8 @@ def sink_roundtrip(sf_dir: str, out_root: str | None = None) -> pa.Table:
             shutil.rmtree(root, ignore_errors=True)
 
 
-_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
-_BLOOM_C2 = np.uint64(0xBF58476D1CE4E5B9)
-_BLOOM_C3 = np.uint64(0x94D049BB133111EB)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer over uint64 arrays (public-domain mixing
-    constants); numpy uint64 arithmetic wraps, which is exactly mod 2^64."""
-    x = (x + _BLOOM_C1).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= _BLOOM_C2
-    x ^= x >> np.uint64(27)
-    x *= _BLOOM_C3
-    x ^= x >> np.uint64(31)
-    return x
+from ..functions.hashing import SPLITMIX_C2 as _BLOOM_C2
+from ..functions.hashing import splitmix64 as _splitmix64
 
 
 def _bloom_build(keys: np.ndarray, bits_per_key: int, n_hashes: int

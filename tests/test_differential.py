@@ -149,3 +149,17 @@ def test_heavy_hitters_bigram_free_corpus(tmp_path, ray_session):
     out = heavy_hitters(str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["bigram", "n"]
+
+
+def test_new_ops_on_empty_tables(tmp_path, ray_session):
+    # empty inputs produce typed-empty results (matching the SQL oracles),
+    # never a crash — code-review round-4 finding
+    for t, maker in (("documents", _rand_documents),
+                     ("embeddings", _rand_embeddings),
+                     ("events", _rand_events)):
+        pq.write_table(maker(np.random.RandomState(0), 8).slice(0, 0),
+                       str(tmp_path / f"{t}.parquet"))
+    m = _entry()
+    for name in NEW_OPS:
+        out = m.queries()[name](str(tmp_path))
+        assert out.num_rows == 0, name
