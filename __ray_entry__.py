@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": TD.semantic_dedup,
         # hard-negative mining: top-k nearest vectors of a DIFFERENT label
         "hard_negatives": TD.hard_negatives,
+        # balanced sharding via distributed global rank (sort + block
+        # prefix scan)
+        "balanced_shards": TD.balanced_shards,
     }
 
 
@@ -1606,5 +1609,20 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # balanced shards: global rank by (n_chars DESC, doc_id), striped
+        # shard = rank % 8; per-shard count/bytes/rank-span certificate
+        "balanced_shards": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                       AS rk
+              FROM documents)
+            SELECT (rk % 8) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(rk) AS BIGINT) AS first_rank,
+                   CAST(max(rk) AS BIGINT) AS last_rank
+            FROM r GROUP BY shard ORDER BY shard
         """,
     }

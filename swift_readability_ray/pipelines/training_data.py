@@ -2878,6 +2878,88 @@ def hard_negatives(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
     )
 
 
+def balanced_shards(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Size-balanced output sharding: docs are globally ranked by
+    ``(n_chars DESC, doc_id ASC)`` and striped ``shard = rank % n_shards``
+    — the rank-striped variant of longest-processing-time assignment a
+    rewrite job uses to get near-equal output files without sequential
+    state.  Output is the per-shard certificate (count, byte total, rank
+    span).
+
+    The primitive built here is DISTRIBUTED GLOBAL RANK (SQL
+    ``row_number() OVER (ORDER BY ...)``), which Ray Data has no operator
+    for: (1) one ``ds.sort`` range-partitions the corpus (the one
+    unavoidable all-to-all); (2) a metadata pass emits each block's
+    (first key, row count) — blocks × 3 ints; (3) the driver orders those
+    by first key (the sort made keys block-disjoint) and computes the
+    exclusive prefix scan; (4) the offsets broadcast back keyed by first
+    row, and every block ranks itself as ``offset + arange(len)``.  Two
+    block-aligned passes over the sorted materialization, no per-row
+    driver work, rank correctness independent of task scheduling order.
+    """
+    cols = ["shard", "n_docs", "total_chars", "first_rank", "last_rank"]
+    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    ds = _docs_sized(sf_dir, columns=["doc_id", "n_chars"]).sort(
+        ["n_chars", "doc_id"], descending=[True, False]
+    ).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ["first_chars", "first_id", "n"]})
+        return pa.table(
+            {"first_chars": pa.array(
+                [batch.column("n_chars")[0].as_py()], pa.int64()),
+             "first_id": pa.array(
+                 [batch.column("doc_id")[0].as_py()], pa.int64()),
+             "n": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    meta = _collect(ds.map_batches(block_meta, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True))
+    fc = meta.column("first_chars").to_numpy()
+    fi = meta.column("first_id").to_numpy()
+    ns = meta.column("n").to_numpy()
+    order = np.lexsort((fi, -fc))
+    offs = np.zeros(len(order), np.int64)
+    offs[order] = np.r_[0, np.cumsum(ns[order])[:-1]]
+    off_ref = ray.put({(int(fc[i]), int(fi[i])): int(offs[i])
+                       for i in range(len(offs))})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        off = ray.get(off_ref)[
+            (int(batch.column("n_chars")[0].as_py()),
+             int(batch.column("doc_id")[0].as_py()))
+        ]
+        rk = off + np.arange(batch.num_rows, dtype=np.int64)
+        shard = rk % n_shards
+        o = np.argsort(shard, kind="stable")
+        ss = shard[o]
+        nch = batch.column("n_chars").to_numpy()[o]
+        rks = rk[o]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        return pa.table(
+            {"shard": pa.array(ss[starts], pa.int64()),
+             "n_docs": pa.array(np.diff(np.r_[starts, len(ss)]), pa.int64()),
+             "total_chars": pa.array(np.add.reduceat(nch, starts), pa.int64()),
+             "first_rank": pa.array(
+                 np.minimum.reduceat(rks, starts), pa.int64()),
+             "last_rank": pa.array(
+                 np.maximum.reduceat(rks, starts), pa.int64())}
+        )
+
+    m = _merge_partials(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["shard"], [("n_docs", "sum"), ("total_chars", "sum"),
+                    ("first_rank", "min"), ("last_rank", "max")],
+    )
+    return m.sort_by("shard")
+
+
 def semantic_dedup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within-cluster
     semantic deduplication.  The cluster key is the ``label`` column (the

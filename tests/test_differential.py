@@ -93,7 +93,7 @@ def _compare(entry_mod, name: str, sf_dir: str):
 
 NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "heavy_hitters", "zorder_layout", "semantic_dedup",
-           "hard_negatives"]
+           "hard_negatives", "balanced_shards"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
