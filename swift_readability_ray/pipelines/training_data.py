@@ -131,21 +131,30 @@ def _minhash_pairs_cached(sf_dir: str, threshold: float) -> ray.data.Dataset:
     return _MINHASH_PAIR_CACHE[key]
 
 
-def _collect(ds: ray.data.Dataset) -> pa.Table:
+def _collect(
+    ds: ray.data.Dataset, fallback_schema: dict | None = None
+) -> pa.Table:
     """Concat a (small) Dataset's batches into one pyarrow Table, returning
     a correctly-typed EMPTY table when the result has no batches at all —
     ``pa.concat_tables([])`` raises, and a filter that legitimately drops
     every row (e.g. a selective Q3 cutoff on a small corpus) must yield an
-    empty result, not a crash."""
+    empty result, not a crash.  ``fallback_schema`` ({name: type}) covers
+    the fully-degenerate case where even ``ds.schema()`` is None (every
+    mapped block empty on a tiny corpus)."""
     batches = list(ds.iter_batches(batch_format="pyarrow"))
     if batches:
         return pa.concat_tables(batches)
     s = ds.schema()
+    if s is None:
+        if fallback_schema is None:
+            raise ValueError("empty dataset with unknown schema and no fallback")
+        return pa.table({n: pa.array([], t) for n, t in fallback_schema.items()})
     return pa.table({n: pa.array([], t) for n, t in zip(s.names, s.types)})
 
 
 def _merge_partials(
-    partials: ray.data.Dataset, keys: list[str], aggs: list[tuple[str, str]]
+    partials: ray.data.Dataset, keys: list[str], aggs: list[tuple[str, str]],
+    fallback_schema: dict | None = None,
 ) -> pa.Table:
     """Driver-side merge of per-block PARTIAL aggregates: each ``(col, fn)``
     in ``aggs`` (fn ∈ sum/min/max — the re-combinable reductions) is applied
@@ -160,7 +169,7 @@ def _merge_partials(
     cardinalities (word_counts' vocabulary, per-user sessions) must keep
     the distributed groupby instead.
     """
-    merged = _collect(partials).group_by(keys).aggregate(aggs)
+    merged = _collect(partials, fallback_schema).group_by(keys).aggregate(aggs)
     return merged.rename_columns(keys + [c for c, _ in aggs])
 
 
@@ -532,9 +541,7 @@ def sample_docs(sf_dir: str, rate_pct: int = 10) -> pa.Table:
         return batch.filter(pa.array(mask))
 
     out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_format="pyarrow")]
-    ).sort_by("doc_id")
+    return _collect(out).sort_by("doc_id")
 
 
 def stratified_sample(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
@@ -1762,10 +1769,11 @@ def dup_ngram_stats(
         # driver merge of the per-block partials (partial rows ≤ gram rows,
         # so the gate bounds the driver table); Ray's Aggregate fixed cost
         # (~10 ms/block of sort/combine) dwarfs this merge at bench scale
-        ptbl = pa.concat_tables(
+        ptbl = _collect(
             gram_rows.map_batches(
                 count_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow")
+            ),
+            fallback_schema={"gram_h": pa.int64(), "nd": pa.int64()},
         )
         vocab = ptbl.group_by(["gram_h"]).aggregate([("nd", "sum")])
         dup_np = np.sort(
@@ -1830,7 +1838,9 @@ def dup_ngram_stats(
     if small:
         # same gate as above: tag partials are ≤ one row per (doc, block)
         tbl = _merge_partials(
-            tagged, ["doc_id"], [("n_inc", "sum"), ("dup_inc", "sum")]
+            tagged, ["doc_id"], [("n_inc", "sum"), ("dup_inc", "sum")],
+            fallback_schema={"doc_id": pa.int64(), "n_inc": pa.int64(),
+                             "dup_inc": pa.int64()},
         ).rename_columns(["doc_id", "n_grams", "dup_grams"])
     else:
         per_doc = tagged.groupby("doc_id").aggregate(Sum("n_inc"), Sum("dup_inc"))
@@ -2088,10 +2098,10 @@ def dup_span_coverage(
 
     n_rows = D._metadata_row_count(rows)
     if n_rows is not None and n_rows <= broadcast_limit:
-        ptbl = pa.concat_tables(
+        ptbl = _collect(
             rows.map_batches(count_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .iter_batches(batch_format="pyarrow")
+                             zero_copy_batch=True),
+            fallback_schema={"gram_h": pa.int64(), "cnt": pa.int64()},
         )
         vocab = ptbl.group_by(["gram_h"]).aggregate([("cnt", "sum")])
         dup_np = np.sort(

@@ -1153,7 +1153,11 @@ def _pairwise_cosine(ra: list, rb: list) -> np.ndarray:
 
 def _unpack_vec_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(ids, matrix) from a normalized (id, vec fixed_size_list) block —
-    zero-copy reshape of the flat float32 buffer."""
+    zero-copy reshape of the flat float32 buffer.  Repartitioning a
+    dataset with fewer rows than blocks can produce empty blocks whose
+    schema Ray leaves empty — treat those as zero vectors-rows."""
+    if tbl.num_rows == 0 or "id" not in tbl.schema.names:
+        return np.empty(0, np.int64), np.zeros((0, 1), np.float32)
     ids = tbl.column("id").to_numpy(zero_copy_only=False)
     vec = tbl.column("vec").combine_chunks()
     d = tbl.schema.field("vec").type.list_size
