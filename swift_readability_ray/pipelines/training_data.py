@@ -4666,17 +4666,24 @@ def inverted_index(
     return agg.take(order)
 
 
-def events_pivot(sf_dir: str, driver_limit: int = 5_000_000) -> pa.Table:
+def events_pivot(
+    sf_dir: str, driver_limit: int = 5_000_000,
+    types: list[str] | None = None,
+) -> pa.Table:
     """Pivot (one-hot aggregate): per user, event counts spread across one
     column per event type plus a total — the wide feature table a training
     join consumes.
 
-    Two bounded passes: the type vocabulary comes from per-block
-    ``value_counts`` partials driver-merged (event-type cardinality is
-    bounded); the pivot itself is a vectorized per-block conditional-count
-    partial (one ``pc.equal`` mask per type — no Python per row), combined
-    on the driver under ``driver_limit`` source rows, else by one
-    distributed groupby over user_id."""
+    ``types`` fixes the pivot vocabulary (default: the canonical event
+    schema).  A FIXED vocabulary is the production behavior — the output
+    schema stays stable whichever types a given shard happens to contain,
+    and it is what a static SQL mirror can express.  Pass ``types=()`` to
+    DISCOVER the vocabulary from the data instead (per-block
+    ``value_counts`` partials driver-merged; event-type cardinality is
+    bounded).  The pivot itself is a vectorized
+    per-block conditional-count partial (one ``pc.equal`` mask per type —
+    no Python per row), combined on the driver under ``driver_limit``
+    source rows, else by one distributed groupby over user_id."""
     from ray.data.aggregate import Sum
 
     path = f"{sf_dir}/events.parquet"
@@ -4687,13 +4694,20 @@ def events_pivot(sf_dir: str, driver_limit: int = 5_000_000) -> pa.Table:
         return pa.table({"event_type": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    types = sorted(
-        _merge_partials(
-            ds.map_batches(type_partial, batch_format="pyarrow",
-                           zero_copy_batch=True),
-            ["event_type"], [("n", "sum")],
-        ).column("event_type").to_pylist()
-    )
+    if types is None:
+        types = ["click", "error", "purchase", "signup", "view"]
+    elif not types:
+        types = sorted(
+            _merge_partials(
+                ds.map_batches(type_partial, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                ["event_type"], [("n", "sum")],
+                fallback_schema={"event_type": pa.string(),
+                                 "n": pa.int64()},
+            ).column("event_type").to_pylist()
+        )
+    else:
+        types = sorted(types)
     if "total" in types:
         # a type literally named 'total' would collide with the n_total
         # rollup column — refuse loudly rather than silently overwrite

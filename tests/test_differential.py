@@ -191,13 +191,23 @@ def _single_row_tables(tmp_path):
 def test_differential_single_row_tables(tmp_path, ray_session):
     # regression for the round-4 adversarial sweep: single-row inputs used
     # to crash sample_docs/dup_ngram_stats/dup_span_coverage (empty concat)
-    # and embedding_neardup (schema-less empty block after repartition).
-    # events_pivot is excluded: its static oracle hardcodes the five event
-    # types while the engine discovers the vocabulary — a documented
-    # semantic difference only visible off the fixed testdata.
+    # and embedding_neardup (schema-less empty block after repartition),
+    # and events_pivot's discovered vocabulary diverged from its static
+    # oracle (now fixed: canonical vocabulary by default, discovery via
+    # types=()).
     _single_row_tables(tmp_path)
     m = _entry()
     for name in NEW_OPS + BROAD_OPS:
-        if name == "events_pivot":
-            continue
         _compare(m, name, str(tmp_path))
+
+
+def test_events_pivot_discovery_mode(tmp_path, ray_session):
+    # types=() discovers the vocabulary; on data containing all canonical
+    # types the discovered pivot equals the fixed-vocabulary default
+    from swift_readability_ray.pipelines.training_data import events_pivot
+
+    rng = np.random.RandomState(3)
+    pq.write_table(_rand_events(rng, 60), str(tmp_path / "events.parquet"))
+    fixed = events_pivot(str(tmp_path))
+    disc = events_pivot(str(tmp_path), types=())
+    assert fixed.equals(disc)
