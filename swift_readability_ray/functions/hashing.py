@@ -33,12 +33,19 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer over a uint64 array."""
-    x = (x + SPLITMIX_C1).astype(np.uint64)
+def splitmix64_mix(x: np.ndarray) -> np.ndarray:
+    """SplitMix64's mixing rounds WITHOUT the additive pre-step — the
+    bare avalanche used where the input is already a counter-free id
+    (HyperLogLog register hashing)."""
+    x = x.astype(np.uint64, copy=True)
     x ^= x >> np.uint64(30)
     x *= SPLITMIX_C2
     x ^= x >> np.uint64(27)
     x *= SPLITMIX_C3
     x ^= x >> np.uint64(31)
     return x
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array."""
+    return splitmix64_mix((x + SPLITMIX_C1).astype(np.uint64))

@@ -2788,7 +2788,7 @@ def dsir_weights(
     two count vectors once via ``ray.put`` and each doc scores itself
     in-batch with two ``np.take``-style gathers.  No shuffle anywhere.
     """
-    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
         return pa.table({c: pa.array([], pa.int64()) for c in
                          ["doc_id", "n_bigrams", "sum_target", "sum_corpus"]})
     path = f"{sf_dir}/documents.parquet"
@@ -2868,7 +2868,7 @@ def hard_negatives(sf_dir: str, n_queries: int = 4, k: int = 5) -> pa.Table:
     per-block partial top-k combiners, driver merge of blocks × nq × k
     rows) plus a vectorized per-block label mask; the query labels ride
     the same pruned parquet point read as the query vectors."""
-    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int32())})
@@ -2908,7 +2908,7 @@ def balanced_shards(sf_dir: str, n_shards: int = 8) -> pa.Table:
     driver work, rank correctness independent of task scheduling order.
     """
     cols = ["shard", "n_docs", "total_chars", "first_rank", "last_rank"]
-    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
         return pa.table({c: pa.array([], pa.int64()) for c in cols})
     ds = _docs_sized(sf_dir, columns=["doc_id", "n_chars"]).sort(
         ["n_chars", "doc_id"], descending=[True, False]
@@ -2991,7 +2991,7 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.25) -> pa.Table:
     """
     from ..stages.similarity import _to_matrix
 
-    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "label": pa.array([], pa.int32()),
                          "keep": pa.array([], pa.bool_())})
@@ -3045,7 +3045,7 @@ def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
     shift = 32 - int(n_files).bit_length() + 1  # top log2(n_files) bits
     cols = ["zbucket", "n_events", "min_user", "max_user",
             "min_hour", "max_hour"]
-    if not _footer_rows(f"{sf_dir}/events.parquet"):
+    if _footer_rows(f"{sf_dir}/events.parquet") == 0:
         return pa.table({c: pa.array([], pa.int64()) for c in cols})
     ds = _read_sized(f"{sf_dir}/events.parquet",
                      columns=["ts", "user_id"])
@@ -3079,6 +3079,8 @@ def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         u_raw, h_raw = _dims(batch)
+        if not len(u_raw):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
         u = (u_raw - u_min) * 65535 // u_rng
         t = (h_raw - h_min) * 65535 // h_rng
         z = np.zeros(len(u), np.int64)
@@ -3137,7 +3139,7 @@ def heavy_hitters(
     """
     from collections import Counter
 
-    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
         return pa.table({"bigram": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     path = f"{sf_dir}/documents.parquet"
@@ -3285,7 +3287,7 @@ def winnow_fingerprints(
     shuffle, no state; output is fingerprint rows (docs emit ~n_grams /
     window rows each).  Docs with fewer than ``window`` grams emit none.
     """
-    if not _footer_rows(f"{sf_dir}/documents.parquet"):
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
         return pa.table({c: pa.array([], pa.int64()) for c in
                          ["doc_id", "pos", "gram_h"]})
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
@@ -3332,7 +3334,7 @@ def centroid_outliers(sf_dir: str, n_dims: int = 4, k: int = 5) -> pa.Table:
     in the global top-k is in its block's top-k under the same total
     order, so the driver merge sees ≤ blocks × labels × k rows.
     """
-    if not _footer_rows(f"{sf_dir}/embeddings.parquet"):
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
         return pa.table({"label": pa.array([], pa.int32()),
                          "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
@@ -4166,10 +4168,9 @@ def _hll_registers(uids: np.ndarray) -> np.ndarray:
     """HyperLogLog register array for a batch of int64 ids (splitmix64
     finalizer as the hash).  Registers are MERGEABLE BY MAX — the property
     that makes the sketch shuffle-free at any scale."""
-    h = uids.astype(np.uint64, copy=True)
-    h ^= h >> np.uint64(30); h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27); h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
+    from ..functions.hashing import splitmix64_mix
+
+    h = splitmix64_mix(uids.astype(np.uint64, copy=True))
     m = 1 << _HLL_P
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     rest = h >> np.uint64(_HLL_P)
