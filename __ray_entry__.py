@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # balanced sharding via distributed global rank (sort + block
         # prefix scan)
         "balanced_shards": TD.balanced_shards,
+        # incremental near-dup gate: new batch vs corpus + earlier-new by
+        # trigram Jaccard, derived from the shared verified pair table
+        "delta_neardup": TD.delta_neardup,
     }
 
 
@@ -1624,5 +1627,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(rk) AS BIGINT) AS first_rank,
                    CAST(max(rk) AS BIGINT) AS last_rank
             FROM r GROUP BY shard ORDER BY shard
+        """,
+        # incremental near-dup: same shingle/jaccard definition as
+        # ngram_dedup; a new doc (doc_id%10=0) is flagged against the old
+        # corpus and against EARLIER new docs
+        "delta_neardup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            news AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+            olds AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+            jc AS (
+              SELECT n.doc_id,
+                     max(CASE WHEN (
+                       CASE WHEN len(n.sh) = 0 AND len(o.sh) = 0 THEN 1.0
+                            WHEN len(n.sh) = 0 OR len(o.sh) = 0 THEN 0.0
+                            ELSE len(list_intersect(n.sh, o.sh))::DOUBLE
+                                 / len(list_distinct(n.sh || o.sh))::DOUBLE
+                       END) >= 0.5 THEN 1 ELSE 0 END) AS c
+              FROM news n JOIN olds o ON TRUE GROUP BY n.doc_id),
+            jb AS (
+              SELECT a.doc_id,
+                     max(CASE WHEN (
+                       CASE WHEN len(a.sh) = 0 AND len(e.sh) = 0 THEN 1.0
+                            WHEN len(a.sh) = 0 OR len(e.sh) = 0 THEN 0.0
+                            ELSE len(list_intersect(a.sh, e.sh))::DOUBLE
+                                 / len(list_distinct(a.sh || e.sh))::DOUBLE
+                       END) >= 0.5 THEN 1 ELSE 0 END) AS b
+              FROM news a JOIN news e ON e.doc_id < a.doc_id
+              GROUP BY a.doc_id)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   coalesce(jc.c, 0) = 1 AS dup_of_corpus,
+                   coalesce(jb.b, 0) = 1 AS dup_of_batch,
+                   NOT (coalesce(jc.c, 0) = 1 OR coalesce(jb.b, 0) = 1)
+                     AS keep
+            FROM news n
+            LEFT JOIN jc ON n.doc_id = jc.doc_id
+            LEFT JOIN jb ON n.doc_id = jb.doc_id
+            ORDER BY doc_id
         """,
     }

@@ -933,6 +933,46 @@ def ngram_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
 
 
+def delta_neardup(
+    sf_dir: str, threshold: float = 0.5, new_mod: int = 10
+) -> pa.Table:
+    """Incremental NEAR-dup gate: the near-duplicate sibling of
+    ``delta_dedup`` — a new crawl batch (``doc_id % new_mod == 0``) is
+    admitted only if no existing-corpus doc and no EARLIER new doc is
+    word-trigram-Jaccard-similar above ``threshold``.
+
+    Scale shape: the flags derive ENTIRELY from the session's verified
+    minhash pair table (the one signature+LSH+verify pass ngram_dedup /
+    minhash_dedup already share — adding this query adds ZERO corpus
+    scans) plus the new-batch id list; pair direction gives batch
+    ordering for free (pairs are emitted ``a < b``, so a batch dup is any
+    pair whose BOTH ends are new — the later end is the duplicate).  In a
+    real incremental run the new-batch ids are the crawl increment
+    itself; here they come from one single-column read."""
+    import pyarrow.parquet as pq
+
+    ptbl = _collect(_minhash_pairs_cached(sf_dir, threshold))
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    new_ids = np.sort(ids[ids % new_mod == 0])
+    a = ptbl.column("doc_a").to_numpy() if ptbl.num_rows else np.empty(0, np.int64)
+    b = ptbl.column("doc_b").to_numpy() if ptbl.num_rows else np.empty(0, np.int64)
+    a_new, b_new = a % new_mod == 0, b % new_mod == 0
+    corpus_dup = set(a[a_new & ~b_new].tolist()) | set(b[b_new & ~a_new].tolist())
+    batch_dup = set(b[a_new & b_new].tolist())
+    dc = np.fromiter((int(i) in corpus_dup for i in new_ids),
+                     bool, len(new_ids))
+    db = np.fromiter((int(i) in batch_dup for i in new_ids),
+                     bool, len(new_ids))
+    return pa.table(
+        {"doc_id": pa.array(new_ids, pa.int64()),
+         "dup_of_corpus": pa.array(dc),
+         "dup_of_batch": pa.array(db),
+         "keep": pa.array(~(dc | db))}
+    )
+
+
 _TOKEN_RE = None
 
 

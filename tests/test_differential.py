@@ -106,6 +106,7 @@ BROAD_OPS = [
     "delta_dedup", "pii_scrub", "doc_chunks", "stratified_sample",
     "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
+    "delta_neardup",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",
