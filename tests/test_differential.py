@@ -212,3 +212,84 @@ def test_events_pivot_discovery_mode(tmp_path, ray_session):
     fixed = events_pivot(str(tmp_path))
     disc = events_pivot(str(tmp_path), types=())
     assert fixed.equals(disc)
+
+
+def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40):
+    base_us = 1_500_000_000_000_000
+    cust_keys = np.arange(1, n_cust + 1, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(cust_keys, pa.int64()),
+         "c_name": pa.array(["Customer#%d" % k for k in cust_keys]),
+         "c_nationkey": pa.array(rng.randint(0, 5, n_cust), pa.int32()),
+         "c_acctbal": pa.array(np.round(rng.rand(n_cust) * 1000, 2),
+                               pa.float64()),
+         "c_mktsegment": pa.array(rng.choice(
+             ["BUILDING", "AUTOMOBILE", "MACHINERY"], n_cust).tolist())}),
+        str(tmp_path / "customer.parquet"))
+    ord_keys = np.arange(1, n_ord + 1, dtype=np.int64)
+    # skew custkeys so some customers have NO orders (anti-join edge)
+    o_cust = rng.randint(1, max(n_cust // 2, 2) + 1, n_ord).astype(np.int64)
+    odate = base_us + rng.randint(0, 400, n_ord).astype(np.int64) * 86_400_000_000
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(ord_keys, pa.int64()),
+         "o_custkey": pa.array(o_cust, pa.int64()),
+         "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord).tolist()),
+         "o_totalprice": pa.array(np.round(rng.rand(n_ord) * 9999, 2),
+                                  pa.float64()),
+         "o_orderdate": pa.array(odate, pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(
+             ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord).tolist())}),
+        str(tmp_path / "orders.parquet"))
+    l_ord = rng.randint(1, n_ord + 1, n_li).astype(np.int64)
+    sdate = base_us + rng.randint(0, 500, n_li).astype(np.int64) * 86_400_000_000
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(l_ord, pa.int64()),
+         "l_partkey": pa.array(rng.randint(1, 50, n_li), pa.int64()),
+         "l_suppkey": pa.array(rng.randint(1, 10, n_li), pa.int64()),
+         "l_linenumber": pa.array(rng.randint(1, 7, n_li), pa.int32()),
+         "l_quantity": pa.array(rng.randint(1, 50, n_li).astype(float),
+                                pa.float64()),
+         "l_extendedprice": pa.array(np.round(rng.rand(n_li) * 5000, 2),
+                                     pa.float64()),
+         "l_discount": pa.array(np.round(rng.rand(n_li) * 0.1, 2),
+                                pa.float64()),
+         "l_tax": pa.array(np.round(rng.rand(n_li) * 0.08, 2), pa.float64()),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li).tolist()),
+         "l_linestatus": pa.array(rng.choice(["O", "F"], n_li).tolist()),
+         "l_shipdate": pa.array(sdate, pa.timestamp("us"))}),
+        str(tmp_path / "lineitem.parquet"))
+
+
+def _compare_tpch(entry_mod, name: str, sf_dir: str):
+    import duckdb
+
+    import pandas as pd
+
+    res = entry_mod.queries()[name](sf_dir)
+    mine = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ref = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    mine = mine[sorted(mine.columns)].reset_index(drop=True)
+    ref = ref[sorted(ref.columns)].reset_index(drop=True)
+    assert mine.shape == ref.shape, (name, mine.shape, ref.shape)
+    assert mine.equals(ref), (
+        f"{name} differs\nmine:\n{mine.head(20)}\nref:\n{ref.head(20)}"
+    )
+
+
+JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
+            "customers_without_orders"]
+
+
+@pytest.mark.parametrize("seed", [19, 43])
+@pytest.mark.parametrize("name", JOIN_OPS)
+def test_differential_tpch_joins(tmp_path, ray_session, seed, name):
+    # randomized dimension/fact tables: customers without orders, orders
+    # without lineitems, duplicate keys, date-cutoff edges
+    _rand_tpch(np.random.RandomState(seed), tmp_path)
+    _compare_tpch(_entry(), name, str(tmp_path))
