@@ -269,7 +269,10 @@ def readerable_filter(sf_dir: str, min_chars: int = 500) -> pa.Table:
         ).rename_columns(["source", "n_docs"])
 
     p = filtered.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return _merge_partials(p, ["source"], [("n_docs", "sum")]).sort_by("source")
+    return _merge_partials(
+        p, ["source"], [("n_docs", "sum")],
+        fallback_schema={"source": pa.string(), "n_docs": pa.int64()},
+    ).sort_by("source")
 
 
 def token_counts(sf_dir: str) -> pa.Table:

@@ -279,13 +279,16 @@ def persisted_ivf_topk(
              "cosine": pa.array([], pa.float64())}
         )
     sub = ray.data.read_parquet(files, columns=[id_col, vec_col, "cent_id"])
-    q_ref = ray.put((qn, probe_sets))
+    q_zero = np.linalg.norm(np.asarray(queries, np.float64), axis=1) == 0
+    q_ref = ray.put((qn, probe_sets, q_zero))
 
     def partial(batch: pa.Table) -> pa.Table:
-        q, probes = ray.get(q_ref)
+        q, probes, qz = ray.get(q_ref)
         ids = _ids_array(batch, id_col)
         cent = batch.column("cent_id").to_numpy()
-        mat = _normalize(_to_matrix(batch, vec_col))
+        raw = _to_matrix(batch, vec_col)
+        row_norms = np.linalg.norm(raw, axis=1)
+        mat = _normalize(raw)
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(q)):
             mask = np.isin(cent, list(probes[qi]))
@@ -293,6 +296,11 @@ def persisted_ivf_topk(
                 continue
             sub_ids = ids[mask]
             sims = q[qi] @ mat[mask].T
+            # zero-norm convention pinned to DuckDB: cosine with a zero
+            # vector (either side) is -1.0
+            sims[row_norms[mask] == 0] = -1.0
+            if qz[qi]:
+                sims[:] = -1.0
             idx = _block_topk(sims, sub_ids, k)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
@@ -338,16 +346,19 @@ def ivf_topk(
     centroids = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
     cent_ref = ray.put(centroids)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_zero = np.linalg.norm(np.asarray(queries, np.float64), axis=1) == 0
     probe_sets = [
         set(np.argsort(-(qn[i] @ centroids.T))[:nprobe].tolist()) for i in range(len(qn))
     ]
-    q_ref = ray.put((qn, probe_sets))
+    q_ref = ray.put((qn, probe_sets, q_zero))
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        q, probes = ray.get(q_ref)
+        q, probes, qz = ray.get(q_ref)
         ids = _ids_array(batch, id_col)
-        mat = _normalize(_to_matrix(batch, vec_col))
+        raw = _to_matrix(batch, vec_col)
+        row_norms = np.linalg.norm(raw, axis=1)
+        mat = _normalize(raw)
         assign = (mat @ cents.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(q)):
@@ -356,6 +367,10 @@ def ivf_topk(
                 continue
             sub_ids = ids[mask]
             sims = q[qi] @ mat[mask].T
+            # zero-norm convention pinned to DuckDB (see knn_bruteforce)
+            sims[row_norms[mask] == 0] = -1.0
+            if qz[qi]:
+                sims[:] = -1.0
             idx = _block_topk(sims, sub_ids, k)
             out_q.extend([qi] * len(idx))
             out_id.extend(sub_ids[idx].tolist())

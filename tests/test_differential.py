@@ -293,3 +293,23 @@ def test_differential_tpch_joins(tmp_path, ray_session, seed, name):
     # without lineitems, duplicate keys, date-cutoff edges
     _rand_tpch(np.random.RandomState(seed), tmp_path)
     _compare_tpch(_entry(), name, str(tmp_path))
+
+
+# extraction / multimodal / ANN / sink families — heavier per call, so one
+# seed; payloads are synthesized from the random doc text inside each op
+HEAVY_OPS = [
+    "span_stats", "extract_metadata", "readerable_flags", "readerable_filter",
+    "extract_certificate", "media_features", "audio_features", "media_resize",
+    "video_frames", "pdf_extract", "events_asof_rates", "events_range_join",
+    "sink_roundtrip", "minhash_dedup", "minhash_dedup_docs",
+    "embedding_neardup_lsh", "ivf_topk_full", "ann_persisted_topk_full",
+]
+
+
+@pytest.mark.parametrize("name", HEAVY_OPS)
+def test_differential_heavy(tmp_path, ray_session, name):
+    rng = np.random.RandomState(77)
+    pq.write_table(_rand_documents(rng, 12), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(_rand_events(rng, 40), str(tmp_path / "events.parquet"))
+    _compare(_entry(), name, str(tmp_path))
