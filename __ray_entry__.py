@@ -191,11 +191,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental near-dup gate: new batch vs corpus + earlier-new by
         # trigram Jaccard, derived from the shared verified pair table
         "delta_neardup": TD.delta_neardup,
+        # web-graph family: weighted host link graph, fixed-iteration
+        # integer PageRank, connected components (stages/graph.py)
+        "link_graph": TD.link_graph,
+        "pagerank_hosts": TD.pagerank_hosts,
+        "host_components": TD.host_components,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "token_counts": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -1675,5 +1680,74 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN jc ON n.doc_id = jc.doc_id
             LEFT JOIN jb ON n.doc_id = jb.doc_id
             ORDER BY doc_id
+        """,
+    }
+    sql.update(_graph_oracles())
+    return sql
+
+
+def _graph_oracles() -> dict[str, str]:
+    """Web-graph family oracles.  The link CTE mirrors
+    stages/graph.synthesize_host_edges through the md5 bridge; PageRank is
+    unrolled to 5 iterations of the SAME integer floor-division update the
+    engine runs (DuckDB ``//`` == numpy ``//`` on non-negative int64);
+    components come from a recursive-CTE transitive closure (exact at
+    oracle scale — the engine uses union-find / min-label propagation)."""
+    link_cte = """
+            deg AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 48 AS s,
+                     1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':d'), 1, 8)) AS BIGINT) % 3 AS d
+              FROM documents),
+            raw_links AS (
+              SELECT 'h' || lpad(CAST(s AS VARCHAR), 2, '0') AS src_host,
+                     'h' || lpad(CAST(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 48
+                       AS VARCHAR), 2, '0') AS dst_host
+              FROM deg, unnest(generate_series(0, d - 1)) AS t(j)),
+            links AS (
+              SELECT src_host AS src, dst_host AS dst,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM raw_links WHERE src_host <> dst_host GROUP BY 1, 2)
+    """
+    pr_iters = "".join(f""",
+            r{k} AS (
+              SELECT n.h AS h,
+                     CAST(150000000 AS BIGINT)
+                       + (85 * coalesce(sum((r.r * l.w) // o.od), 0)) // 100
+                       AS r
+              FROM nodes n
+              LEFT JOIN links l ON l.dst = n.h
+              LEFT JOIN r{k - 1} r ON r.h = l.src
+              LEFT JOIN outdeg o ON o.h = l.src
+              GROUP BY n.h)""" for k in range(1, 6))
+    return {
+        "link_graph": "WITH " + link_cte + """
+            SELECT src AS src_host, dst AS dst_host, w AS n_links
+            FROM links ORDER BY 1, 2
+        """,
+        "pagerank_hosts": "WITH " + link_cte + """,
+            outdeg AS (SELECT src AS h, sum(w) AS od FROM links GROUP BY 1),
+            nodes AS (SELECT DISTINCT h FROM (
+              SELECT src AS h FROM links UNION ALL SELECT dst FROM links)),
+            r0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+        + pr_iters + """
+            SELECT h AS host, CAST(r AS BIGINT) AS rank_c
+            FROM r5 ORDER BY host
+        """,
+        "host_components": "WITH RECURSIVE " + link_cte + """,
+            base AS (SELECT DISTINCT src, dst FROM links),
+            e AS (SELECT src AS u, dst AS v FROM base
+                  UNION SELECT dst, src FROM base),
+            gnodes AS (SELECT DISTINCT u AS h FROM e),
+            reach(a, b) AS (
+              SELECT h, h FROM gnodes
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b)
+            SELECT a AS host, min(b) AS component
+            FROM reach GROUP BY a ORDER BY a
         """,
     }

@@ -15,6 +15,8 @@ which is exactly mod 2^64.  The constants are pinned — oracle SQL and the
 Bloom zero-false-negative guarantee depend on bit-identical values.
 """
 
+import hashlib
+
 import numpy as np
 
 SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
@@ -49,3 +51,13 @@ def splitmix64_mix(x: np.ndarray) -> np.ndarray:
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer over a uint64 array."""
     return splitmix64_mix((x + SPLITMIX_C1).astype(np.uint64))
+
+
+def md5_bucket(key, mod: int) -> int:
+    """First-8-hex-digit md5 bucket of ``str(key)`` — the ONE integer every
+    md5-bridged operator (splits, shuffle order, host-graph synthesis)
+    shares with its DuckDB oracle:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % mod``.
+    Per-key Python md5 is the price of the oracle bridge; placement-only
+    hashing uses the vectorized ``mix64`` instead."""
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod

@@ -26,6 +26,7 @@ import ray.data
 
 from ..functions import text_stats as T
 from ..stages import dedup as D
+from ..stages import graph as G
 from ..stages import similarity as S
 from ..stages import text_analysis as TA
 from ..stages.extract import HtmlExtractor, extract_html_batch  # noqa: F401
@@ -227,10 +228,11 @@ def _md5_bucket(key, mod: int) -> int:
     """First-8-hex-digit md5 bucket of ``str(key)`` — the ONE integer every
     deterministic-sampling/split oracle computes as
     ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % mod``;
-    shared so the engine and the SQL can never drift apart."""
-    import hashlib
+    shared (functions/hashing.md5_bucket) so the engine and the SQL can
+    never drift apart."""
+    from ..functions.hashing import md5_bucket
 
-    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
+    return md5_bucket(key, mod)
 
 
 # ------------------------------------------------------------ SQL-oracled
@@ -4887,3 +4889,77 @@ def pack_sequences(sf_dir: str, capacity: int = 256) -> pa.Table:
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow")
     ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# web-graph family (stages/graph.py): link aggregation, integer PageRank,
+# connected components over the synthesized host graph
+# ---------------------------------------------------------------------------
+
+_LINK_GRAPH_SCHEMA = {"src_host": pa.string(), "dst_host": pa.string(),
+                      "n_links": pa.int64()}
+
+
+def _host_edges(sf_dir: str) -> ray.data.Dataset:
+    return G.synthesize_host_edges(_docs_sized(sf_dir, columns=["doc_id"]))
+
+
+def link_graph(sf_dir: str) -> pa.Table:
+    """Weighted host link graph: (src_host, dst_host, n_links).
+
+    Per-block partial counting (key space bounded by N_HOSTS² for this
+    synthesis) + driver merge; a real crawl's host-pair cardinality is
+    unbounded, so the distributed sibling is the native groupby that
+    ``pagerank_hosts(force_distributed=True)`` exercises."""
+    partial = _host_edges(sf_dir).map_batches(
+        lambda b: b.group_by(["src_host", "dst_host"])
+        .aggregate([("dst_host", "count")])
+        .rename_columns(["src_host", "dst_host", "n_links"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _merge_partials(
+        partial, ["src_host", "dst_host"], [("n_links", "sum")],
+        fallback_schema=_LINK_GRAPH_SCHEMA,
+    ).sort_by([("src_host", "ascending"), ("dst_host", "ascending")])
+
+
+def _weighted_host_edges(sf_dir: str) -> ray.data.Dataset:
+    """Aggregated (src, dst, w) edge Dataset — per-block partial count,
+    then ONE native groupby-Sum so duplicate (src,dst) rows are merged
+    before the floor-division PageRank math (which is not linear in w)."""
+    from ray.data.aggregate import Sum
+
+    partial = _host_edges(sf_dir).map_batches(
+        lambda b: b.group_by(["src_host", "dst_host"])
+        .aggregate([("dst_host", "count")])
+        .rename_columns(["src", "dst", "w"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby(["src", "dst"]).aggregate(Sum("w")).map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "w": pc.cast(b.column("sum(w)"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def pagerank_hosts(sf_dir: str, iterations: int = 5,
+                   force_distributed: bool = False) -> pa.Table:
+    """Fixed-iteration integer PageRank over the host graph →
+    (host, rank_c).  Semantics, regimes and the oracle pin are documented
+    in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "rank_c": pa.array([], pa.int64())})
+    return G.pagerank(_weighted_host_edges(sf_dir), iterations=iterations,
+                      force_distributed=force_distributed)
+
+
+def host_components(sf_dir: str, force_distributed: bool = False) -> pa.Table:
+    """Connected components of the undirected host graph →
+    (host, component); component = min host label, matching both the
+    recursive-CTE oracle and the near-dup collapse convention."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "component": pa.array([], pa.string())})
+    return G.connected_components(_host_edges(sf_dir),
+                                  force_distributed=force_distributed)

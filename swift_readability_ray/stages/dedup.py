@@ -580,6 +580,39 @@ def components_keep_first(
         # batch — no left-anti join actors, no nested-column pack/unpack
         return _broadcast_anti_filter(ds, drops, id_col)
 
+    labels = propagate_min_labels(
+        edges, join_partitions=join_partitions, max_rounds=max_rounds,
+        caller="components_keep_first",
+    )
+
+    # non-representatives: paired docs whose component min is someone else
+    drops = labels.filter(expr="label < u").map_batches(
+        lambda b, _c=id_col: pa.table({_c: b.column("u")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _anti_join_drops(ds, drops, id_col, join_partitions)
+
+
+def propagate_min_labels(
+    edges: ray.data.Dataset,
+    join_partitions: int | None = None,
+    max_rounds: int = 15,
+    caller: str = "propagate_min_labels",
+) -> ray.data.Dataset:
+    """Distributed min-label propagation with pointer jumping over a
+    DOUBLED edge Dataset ``(u, v)`` (both directions present) → Dataset
+    ``(u, label)`` where ``label`` is the component minimum.
+
+    Every per-round reduction is a NATIVE ``groupby.aggregate(Min(...))``
+    — no per-node Python callback; convergence is detected by COUNTING
+    changed labels (type-agnostic, overflow-free; labels only ever
+    decrease so zero changes is a fixpoint).  Each round is
+    edges ⋈ labels + a groupby-min, all Datasets — nothing materializes
+    on the driver.  Shared by ``components_keep_first`` (near-dup corpus
+    collapse) and the host-graph ``connected_components`` operator.
+    """
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(edges)
     from ray.data.aggregate import Min
 
     def _with_old(batch: pa.Table, old: bool) -> pa.Table:
@@ -656,23 +689,14 @@ def components_keep_first(
         labels = merged.drop_columns(["old_label"])
         if n_changed == 0:  # monotone decreasing → fixpoint
             converged = True
-            logger.info(
-                "components_keep_first: converged in %d rounds", rnd + 1
-            )
+            logger.info("%s: converged in %d rounds", caller, rnd + 1)
             break
     if not converged:
         logger.warning(
-            "components_keep_first: label propagation hit max_rounds=%d "
-            "without converging — some clusters may keep >1 representative",
-            max_rounds,
+            "%s: label propagation hit max_rounds=%d without converging — "
+            "some components may carry >1 label", caller, max_rounds,
         )
-
-    # non-representatives: paired docs whose component min is someone else
-    drops = labels.filter(expr="label < u").map_batches(
-        lambda b, _c=id_col: pa.table({_c: b.column("u")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return _anti_join_drops(ds, drops, id_col, join_partitions)
+    return labels
 
 
 def _union_find_drops(

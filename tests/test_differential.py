@@ -107,6 +107,7 @@ BROAD_OPS = [
     "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
     "delta_neardup",
+    "link_graph", "pagerank_hosts", "host_components",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",

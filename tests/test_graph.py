@@ -1,0 +1,114 @@
+"""Web-graph family: driver-path vs forced-distributed equality pins,
+degenerate inputs, and integer-semantics invariants (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from swift_readability_ray.pipelines import training_data as TD
+from swift_readability_ray.stages import graph as G
+
+
+def _write_docs(tmp_path, ids):
+    texts = ["w %d" % i for i in ids]
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(["en"] * len(ids), pa.string()),
+         "source": pa.array(["s0"] * len(ids), pa.string()),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pagerank_distributed_equals_driver(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, list(range(30)))
+    drv = TD.pagerank_hosts(sf)
+    dist = TD.pagerank_hosts(sf, force_distributed=True)
+    assert drv.equals(dist)
+    # every rank is at least the jump mass; total mass is bounded by the
+    # undamped total (leakage from dangling hosts + floor divisions only
+    # ever removes mass)
+    ranks = drv.column("rank_c").to_numpy()
+    assert (ranks >= G.PR_JUMP).all()
+    assert ranks.sum() <= drv.num_rows * G.PR_SCALE
+
+
+def test_components_distributed_equals_driver(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, list(range(30)))
+    drv = TD.host_components(sf)
+    dist = TD.host_components(sf, force_distributed=True)
+    assert drv.equals(dist)
+    # component label is the min host of its group
+    comp = drv.to_pydict()
+    by_label = {}
+    for h, c in zip(comp["host"], comp["component"]):
+        by_label.setdefault(c, []).append(h)
+    for label, members in by_label.items():
+        assert min(members) == label
+
+
+def test_graph_empty_documents(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, [])
+    lg = TD.link_graph(sf)
+    assert lg.num_rows == 0
+    assert lg.schema.names == ["src_host", "dst_host", "n_links"]
+    pr = TD.pagerank_hosts(sf)
+    assert pr.num_rows == 0
+    assert pr.schema.names == ["host", "rank_c"]
+    hc = TD.host_components(sf)
+    assert hc.num_rows == 0
+    assert hc.schema.names == ["host", "component"]
+
+
+def test_graph_single_doc(tmp_path, ray_session):
+    # one doc: 1-3 links from one host; graph may even be empty if every
+    # link self-loops — all three ops must stay consistent with each other
+    sf = _write_docs(tmp_path, [7])
+    lg = TD.link_graph(sf)
+    pr = TD.pagerank_hosts(sf)
+    hc = TD.host_components(sf)
+    hosts = set(lg.column("src_host").to_pylist()) | set(
+        lg.column("dst_host").to_pylist())
+    assert set(pr.column("host").to_pylist()) == hosts
+    assert set(hc.column("host").to_pylist()) == hosts
+
+
+def test_link_graph_matches_synthesis(tmp_path, ray_session):
+    # recompute the expected multigraph in plain python from the pinned
+    # md5 bridge and compare the aggregated counts exactly
+    from swift_readability_ray.functions.hashing import md5_bucket
+
+    ids = list(range(25))
+    sf = _write_docs(tmp_path, ids)
+    expect: dict = {}
+    for i in ids:
+        s = md5_bucket(i, G.N_HOSTS)
+        for j in range(1 + md5_bucket(f"{i}:d", 3)):
+            t = md5_bucket(f"{i}:{j}", G.N_HOSTS)
+            if t != s:
+                k = (G.host_name(s), G.host_name(t))
+                expect[k] = expect.get(k, 0) + 1
+    lg = TD.link_graph(sf)
+    got = {(s, d): n for s, d, n in zip(
+        lg.column("src_host").to_pylist(),
+        lg.column("dst_host").to_pylist(),
+        lg.column("n_links").to_pylist())}
+    assert got == expect
+
+
+def test_pagerank_star_graph(ray_session):
+    # hand-built star: all mass flows to the hub; spokes keep jump mass
+    import ray
+
+    ew = ray.data.from_arrow(pa.table(
+        {"src": pa.array(["h01", "h02", "h03"], pa.string()),
+         "dst": pa.array(["h00", "h00", "h00"], pa.string()),
+         "w": pa.array([1, 1, 1], pa.int64())}))
+    out = G.pagerank(ew, iterations=5)
+    d = dict(zip(out.column("host").to_pylist(),
+                 out.column("rank_c").to_pylist()))
+    assert d["h01"] == d["h02"] == d["h03"] == G.PR_JUMP
+    # hub: J + 0.85 * 3 * rank(spoke), iterated — strictly dominant
+    assert d["h00"] > 3 * d["h01"]
