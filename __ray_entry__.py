@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": TD.link_graph,
         "pagerank_hosts": TD.pagerank_hosts,
         "host_components": TD.host_components,
+        # near-dup collapse keeping the BEST (longest) member per cluster
+        "neardup_keep_best": TD.neardup_keep_best,
     }
 
 
@@ -1679,6 +1681,52 @@ def oracle_sql() -> dict[str, str]:
             FROM news n
             LEFT JOIN jc ON n.doc_id = jc.doc_id
             LEFT JOIN jb ON n.doc_id = jb.doc_id
+            ORDER BY doc_id
+        """,
+        # keep-best near-dup collapse: same pair/closure definition as
+        # minhash_dedup_docs, but pick max n_chars (ties: min doc_id) and
+        # report the cluster size
+        "neardup_keep_best": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / len(list_distinct(a.sh || b.sh))::DOUBLE END >= 0.5),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            minlab AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+            lab AS (
+              SELECT d.doc_id, d.n_chars, coalesce(m.label, d.doc_id) AS label
+              FROM documents d LEFT JOIN minlab m ON d.doc_id = m.u),
+            best AS (
+              SELECT label, max(n_chars) AS best_nc,
+                     count(*) AS cluster_size
+              FROM lab GROUP BY label),
+            pick AS (
+              SELECT l.label, min(l.doc_id) AS doc_id
+              FROM lab l JOIN best b ON l.label = b.label
+                                    AND l.n_chars = b.best_nc
+              GROUP BY l.label)
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                   CAST(b.best_nc AS BIGINT) AS n_chars,
+                   CAST(b.cluster_size AS BIGINT) AS cluster_size
+            FROM pick p JOIN best b ON p.label = b.label
             ORDER BY doc_id
         """,
     }

@@ -4963,3 +4963,86 @@ def host_components(sf_dir: str, force_distributed: bool = False) -> pa.Table:
                          "component": pa.array([], pa.string())})
     return G.connected_components(_host_edges(sf_dir),
                                   force_distributed=force_distributed)
+
+
+def neardup_keep_best(sf_dir: str, threshold: float = 0.5,
+                      force_distributed: bool = False) -> pa.Table:
+    """Near-dup collapse keeping the BEST doc per cluster — longest
+    ``n_chars``, ties to the smallest ``doc_id`` — plus the cluster size:
+    (doc_id, n_chars, cluster_size).  Real pipelines keep the longest /
+    highest-quality member, not the first; this is that policy on top of
+    the shared verified MinHash pair table (one LSH pass serves
+    minhash_dedup / ngram_dedup / minhash_dedup_docs / this).
+
+    Scale shape: component labels come from ``dedup.component_labels``
+    (driver union-find under the pair gate, distributed min-label
+    propagation above).  Docs join labels with ONE left-outer hash join
+    (unpaired docs label themselves), and the argmax is two native
+    aggregate passes — max-length per label, then min-doc_id among the
+    max-length members — never a per-group Python callback.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "cluster_size": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    docs = _docs_sized(sf_dir, columns=["doc_id", "n_chars"])
+    labels = D.component_labels(
+        _minhash_pairs_cached(sf_dir, threshold),
+        force_distributed=force_distributed,
+    ).materialize()
+    npart = D._default_join_partitions(docs)
+    if labels.count() == 0:
+        # no verified pairs: every doc is its own cluster — skip the join
+        # (an all-empty right side can shuffle into schema-less blocks)
+        tagged = docs.map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+                "label": b.column("doc_id"),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+    else:
+        tagged = docs.join(
+            labels, join_type="left_outer", num_partitions=npart,
+            on=("doc_id",), right_on=("u",), right_suffix="_r",
+        ).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+                "label": pc.coalesce(b.column("label"), b.column("doc_id")),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()  # reused by both aggregate passes
+
+    best = tagged.groupby("label").aggregate(
+        Max("n_chars"), Count()
+    ).rename_columns(["label", "best_nc", "cluster_size"]).materialize()
+
+    pick = tagged.join(
+        best, join_type="inner", num_partitions=npart, on=("label",),
+        right_suffix="_b",
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("n_chars"),
+                                    b.column("best_nc"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("label").aggregate(Min("doc_id")).rename_columns(
+        ["label", "doc_id"])
+
+    out = pick.join(
+        best, join_type="inner", num_partitions=npart, on=("label",),
+        right_suffix="_b",
+    ).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(b.column("best_nc"), pa.int64()),
+            "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, fallback_schema={
+        "doc_id": pa.int64(), "n_chars": pa.int64(),
+        "cluster_size": pa.int64()}).sort_by("doc_id")

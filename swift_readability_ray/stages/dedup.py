@@ -593,6 +593,76 @@ def components_keep_first(
     return _anti_join_drops(ds, drops, id_col, join_partitions)
 
 
+def union_find_labels(edges: ray.data.Dataset) -> pa.Table:
+    """Driver-side min-root union-find over a small doubled edge Dataset →
+    (u, label) table; label = component minimum.  The small-regime sibling
+    of ``propagate_min_labels`` (same output contract)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    id_type = None
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        if id_type is None:
+            id_type = batch.schema.field("u").type
+        for u, v in zip(batch.column("u").to_pylist(),
+                        batch.column("v").to_pylist()):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:  # min-root union: root IS the component min
+                    ru, rv = rv, ru
+                parent[rv] = ru
+    nodes = sorted(parent)
+    return pa.table({"u": pa.array(nodes, id_type),
+                     "label": pa.array([find(n) for n in nodes], id_type)})
+
+
+def component_labels(
+    pairs: ray.data.Dataset,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    driver_limit: int = 1_000_000,
+    join_partitions: int | None = None,
+    max_rounds: int = 15,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """Component labels (u, label) for every node of a verified pair
+    Dataset — the labeling that ``components_keep_first`` uses internally,
+    exposed for policies OTHER than keep-first (e.g. keep-best-quality).
+    Same regime split: driver union-find at or under ``driver_limit``
+    edges, distributed min-label propagation above (or when forced)."""
+    col_a, col_b = pair_cols
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).combine_chunks()
+        b = batch.column(col_b).combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    doubled = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if doubled.count() == 0:
+        idt = _id_type(pairs, col_a)
+        return ray.data.from_arrow(pa.table(
+            {"u": pa.array([], idt), "label": pa.array([], idt)}))
+    if not force_distributed and doubled.count() <= driver_limit:
+        return ray.data.from_arrow(union_find_labels(doubled))
+    return propagate_min_labels(
+        doubled, join_partitions=join_partitions, max_rounds=max_rounds,
+        caller="component_labels",
+    )
+
+
 def propagate_min_labels(
     edges: ray.data.Dataset,
     join_partitions: int | None = None,

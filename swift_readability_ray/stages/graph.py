@@ -270,30 +270,7 @@ def connected_components(
 
 def _union_find_labels(edges: ray.data.Dataset) -> pa.Table:
     """Driver-side min-root union-find over a small doubled edge Dataset →
-    (host, component) table, component = min host in the component."""
-    parent: dict = {}
+    (host, component) table — dedup.union_find_labels with graph naming."""
+    from .dedup import union_find_labels
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in edges.iter_batches(batch_format="pyarrow"):
-        for u, v in zip(batch.column("u").to_pylist(),
-                        batch.column("v").to_pylist()):
-            if u not in parent:
-                parent[u] = u
-            if v not in parent:
-                parent[v] = v
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                if rv < ru:  # min-root union: root IS the component min
-                    ru, rv = rv, ru
-                parent[rv] = ru
-    hosts = sorted(parent)
-    return pa.table({"host": pa.array(hosts, pa.string()),
-                     "component": pa.array([find(h) for h in hosts],
-                                           pa.string())})
+    return union_find_labels(edges).rename_columns(["host", "component"])

@@ -303,6 +303,7 @@ HEAVY_OPS = [
     "extract_certificate", "media_features", "audio_features", "media_resize",
     "video_frames", "pdf_extract", "events_asof_rates", "events_range_join",
     "sink_roundtrip", "minhash_dedup", "minhash_dedup_docs",
+    "neardup_keep_best",
     "embedding_neardup_lsh", "ivf_topk_full", "ann_persisted_topk_full",
 ]
 
@@ -314,3 +315,24 @@ def test_differential_heavy(tmp_path, ray_session, name):
     pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
     pq.write_table(_rand_events(rng, 40), str(tmp_path / "events.parquet"))
     _compare(_entry(), name, str(tmp_path))
+
+
+def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
+    # label propagation path == driver union-find path for keep-best
+    rng = np.random.RandomState(5)
+    docs = _rand_documents(rng, 12)
+    # force near-dup clusters: make docs 4/5 copies of doc 2 with a twist
+    texts = docs.column("text").to_pylist()
+    texts[4] = texts[2]
+    texts[5] = texts[2] + " extra tail token"
+    docs = docs.set_column(1, "text", pa.array(texts, pa.string()))
+    docs = docs.set_column(
+        4, "n_chars", pa.array([len(t) for t in texts], pa.int64()))
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from swift_readability_ray.pipelines import training_data as TD
+
+    drv = TD.neardup_keep_best(str(tmp_path))
+    dist = TD.neardup_keep_best(str(tmp_path), force_distributed=True)
+    assert drv.equals(dist)
+    # each kept doc is the longest of its cluster; cluster sizes sum to n
+    assert sum(drv.column("cluster_size").to_pylist()) == docs.num_rows
