@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": TD.host_components,
         # near-dup collapse keeping the BEST (longest) member per cluster
         "neardup_keep_best": TD.neardup_keep_best,
+        # content-addressed dedup of binary media payloads (byte-hash
+        # groupby through a real PNG encode)
+        "media_dedup": TD.media_dedup,
     }
 
 
@@ -1727,6 +1730,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.best_nc AS BIGINT) AS n_chars,
                    CAST(b.cluster_size AS BIGINT) AS cluster_size
             FROM pick p JOIN best b ON p.label = b.label
+            ORDER BY doc_id
+        """,
+        # content-addressed media dedup: the engine groups by md5 of the
+        # ACTUAL encoded PNG bytes; the oracle derives the classes from
+        # the seed arithmetic (payloads are byte-identical iff the seed
+        # doc_id % 16 matches) — byte hashing must recover exactly these
+        "media_dedup": """
+            WITH m AS (
+              SELECT doc_id, doc_id % 16 AS s
+              FROM documents WHERE doc_id < 64),
+            g AS (
+              SELECT s, min(doc_id) AS canon, count(*) AS n
+              FROM m GROUP BY s)
+            SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+                   CAST(g.canon AS BIGINT) AS canonical_doc_id,
+                   CAST(g.n AS BIGINT) AS n_copies
+            FROM m JOIN g ON m.s = g.s
             ORDER BY doc_id
         """,
     }

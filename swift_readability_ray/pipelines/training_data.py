@@ -5046,3 +5046,69 @@ def neardup_keep_best(sf_dir: str, threshold: float = 0.5,
     return _collect(out, fallback_schema={
         "doc_id": pa.int64(), "n_chars": pa.int64(),
         "cluster_size": pa.int64()}).sort_by("doc_id")
+
+
+def media_dedup(sf_dir: str, n: int = 64) -> pa.Table:
+    """Content-addressed media dedup over the interleaved corpus: docs
+    whose image payload BYTES are identical collapse to the min-doc_id
+    canonical copy → (doc_id, canonical_doc_id, n_copies).
+
+    The synthesized corpus reuses one PNG per ``doc_id % 16`` seed class
+    (real encodes via functions/png.py), but the ENGINE never sees the
+    seed — it md5-hashes the actual encoded bytes and groups on the
+    digest, exactly what a content-addressed store does at 100 TB (hash
+    inside map_batches, one native groupby on the 16-byte digest — skew-
+    free by construction — then one hash join back).  The oracle derives
+    the expected classes from the seed arithmetic, certifying that
+    byte-level hashing recovers them through the encoder round trip."""
+    import hashlib
+
+    from ..functions.png import encode_png_gray
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "canonical_doc_id": pa.array([], pa.int64()),
+                      "n_copies": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id"]).filter(expr=f"doc_id < {n}")
+
+    def hash_payload(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        digests = []
+        for i in ids:
+            s = int(i) % 16  # shared seed class → byte-identical payloads
+            w = 8 + s % 8
+            h = 8 + s % 5
+            npix = w * h
+            chain = b"".join(
+                hashlib.md5(f"{s}:{b}".encode()).digest()
+                for b in range((npix + 15) // 16)
+            )
+            payload = encode_png_gray(w, h, chain[:npix], filter_type=s % 5)
+            digests.append(hashlib.md5(payload).hexdigest())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": pa.array(digests, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(hash_payload, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    if hashed.count() == 0:
+        return empty
+    agg = hashed.groupby("h").aggregate(Min("doc_id"), Count()).rename_columns(
+        ["h", "canonical_doc_id", "n_copies"])
+    out = hashed.join(
+        agg, join_type="inner",
+        num_partitions=D._default_join_partitions(hashed), on=("h",),
+    ).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "canonical_doc_id": pc.cast(b.column("canonical_doc_id"),
+                                        pa.int64()),
+            "n_copies": pc.cast(b.column("n_copies"), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, fallback_schema={
+        "doc_id": pa.int64(), "canonical_doc_id": pa.int64(),
+        "n_copies": pa.int64()}).sort_by("doc_id")

@@ -303,7 +303,7 @@ HEAVY_OPS = [
     "extract_certificate", "media_features", "audio_features", "media_resize",
     "video_frames", "pdf_extract", "events_asof_rates", "events_range_join",
     "sink_roundtrip", "minhash_dedup", "minhash_dedup_docs",
-    "neardup_keep_best",
+    "neardup_keep_best", "media_dedup",
     "embedding_neardup_lsh", "ivf_topk_full", "ann_persisted_topk_full",
 ]
 
