@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-addressed dedup of binary media payloads (byte-hash
         # groupby through a real PNG encode)
         "media_dedup": TD.media_dedup,
+        # per-host degree/doc-count feature profile
+        "host_profiles": TD.host_profiles,
+        # last-touch attribution: latest click at-or-before each purchase
+        "attribution_last_touch": TD.attribution_last_touch,
     }
 
 
@@ -1749,6 +1753,30 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN g ON m.s = g.s
             ORDER BY doc_id
         """,
+        # last-touch attribution: latest click (ties: max event_id) by the
+        # same user at-or-before each purchase; -1 when unattributed
+        "attribution_last_touch": """
+            WITH c AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+            ranked AS (
+              SELECT p.event_id AS pid, c.event_id AS click_id,
+                     epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+            SELECT CAST(p.event_id AS BIGINT) AS event_id,
+                   CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(coalesce(r.click_id, -1) AS BIGINT)
+                     AS click_event_id,
+                   CAST(coalesce(r.gap_us, -1) AS BIGINT) AS gap_us
+            FROM p LEFT JOIN ranked r ON r.pid = p.event_id AND r.rn = 1
+            ORDER BY event_id
+        """,
     }
     sql.update(_graph_oracles())
     return sql
@@ -1805,6 +1833,34 @@ def _graph_oracles() -> dict[str, str]:
         + pr_iters + """
             SELECT h AS host, CAST(r AS BIGINT) AS rank_c
             FROM r5 ORDER BY host
+        """,
+        "host_profiles": "WITH " + link_cte + """,
+            dhost AS (
+              SELECT 'h' || lpad(CAST(s AS VARCHAR), 2, '0') AS host,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM deg GROUP BY 1),
+            outa AS (
+              SELECT src AS host, CAST(sum(w) AS BIGINT) AS out_links,
+                     CAST(count(*) AS BIGINT) AS out_hosts
+              FROM links GROUP BY 1),
+            ina AS (
+              SELECT dst AS host, CAST(sum(w) AS BIGINT) AS in_links,
+                     CAST(count(*) AS BIGINT) AS in_hosts
+              FROM links GROUP BY 1),
+            hosts AS (
+              SELECT host FROM dhost UNION SELECT host FROM outa
+              UNION SELECT host FROM ina)
+            SELECT h.host,
+                   coalesce(d.n_docs, 0) AS n_docs,
+                   coalesce(o.out_links, 0) AS out_links,
+                   coalesce(o.out_hosts, 0) AS out_hosts,
+                   coalesce(i.in_links, 0) AS in_links,
+                   coalesce(i.in_hosts, 0) AS in_hosts
+            FROM hosts h
+            LEFT JOIN dhost d ON d.host = h.host
+            LEFT JOIN outa o ON o.host = h.host
+            LEFT JOIN ina i ON i.host = h.host
+            ORDER BY h.host
         """,
         "host_components": "WITH RECURSIVE " + link_cte + """,
             base AS (SELECT DISTINCT src, dst FROM links),

@@ -5112,3 +5112,144 @@ def media_dedup(sf_dir: str, n: int = 64) -> pa.Table:
     return _collect(out, fallback_schema={
         "doc_id": pa.int64(), "canonical_doc_id": pa.int64(),
         "n_copies": pa.int64()}).sort_by("doc_id")
+
+
+def host_profiles(sf_dir: str) -> pa.Table:
+    """Per-host feature profile for link-graph quality weighting:
+    (host, n_docs, out_links, out_hosts, in_links, in_hosts) — docs
+    hosted, weighted out/in link mass, distinct out/in neighbor counts.
+
+    Doc-host counts are per-block partials + driver merge (key space
+    bounded by N_HOSTS); the edge-side aggregates reduce the already
+    bounded ``link_graph`` table.  At real-web host cardinality each
+    reduction is the same shape as a native groupby + outer join — the
+    bounded-cardinality driver merge is the _merge_partials rule applied
+    to this synthesis's fixed host space."""
+    docs_partial = _docs_sized(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table({
+            "host": pa.array(
+                [G.host_name(_md5_bucket(i, G.N_HOSTS))
+                 for i in b.column("doc_id").to_pylist()], pa.string()),
+        }).group_by(["host"]).aggregate([("host", "count")])
+        .rename_columns(["host", "n_docs"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    dhost = _merge_partials(
+        docs_partial, ["host"], [("n_docs", "sum")],
+        fallback_schema={"host": pa.string(), "n_docs": pa.int64()})
+    links = link_graph(sf_dir)
+
+    n_docs = dict(zip(dhost.column("host").to_pylist(),
+                      dhost.column("n_docs").to_pylist()))
+    outl: dict = {}
+    outh: dict = {}
+    inl: dict = {}
+    inh: dict = {}
+    for s, d, w in zip(links.column("src_host").to_pylist(),
+                       links.column("dst_host").to_pylist(),
+                       links.column("n_links").to_pylist()):
+        outl[s] = outl.get(s, 0) + w
+        outh[s] = outh.get(s, 0) + 1
+        inl[d] = inl.get(d, 0) + w
+        inh[d] = inh.get(d, 0) + 1
+    hosts = sorted(set(n_docs) | set(outl) | set(inl))
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_docs": pa.array([n_docs.get(h, 0) for h in hosts], pa.int64()),
+        "out_links": pa.array([outl.get(h, 0) for h in hosts], pa.int64()),
+        "out_hosts": pa.array([outh.get(h, 0) for h in hosts], pa.int64()),
+        "in_links": pa.array([inl.get(h, 0) for h in hosts], pa.int64()),
+        "in_hosts": pa.array([inh.get(h, 0) for h in hosts], pa.int64()),
+    })
+
+
+def attribution_last_touch(
+    sf_dir: str, driver_limit: int = 1_000_000
+) -> pa.Table:
+    """Last-touch attribution: for every ``purchase`` event, the latest
+    ``click`` by the same user at-or-before it →
+    (event_id, user_id, click_event_id, gap_us), -1 when unattributed.
+
+    The per-user matching is one vectorized ``searchsorted`` over the
+    user's clicks sorted by (ts, event_id) — ties at the same microsecond
+    resolve to the max event_id, pinned to the oracle's
+    ``ORDER BY ts DESC, event_id DESC``.  Same dual path as
+    events_sessions: one driver lexsorted pass under the footer gate
+    (events prune to two types and four columns at the read), a
+    user-keyed groupby + map_groups above it — user_id is the single
+    partitioning key this family shares."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "click_event_id": pa.array([], pa.int64()),
+                      "gap_us": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+
+    def attribute(p_ts, p_eid, c_ts, c_eid):
+        """clicks sorted by (ts, event_id); purchases in any order."""
+        if len(c_ts) == 0:
+            m1 = np.full(len(p_ts), -1, np.int64)
+            return m1, m1.copy()
+        idx = np.searchsorted(c_ts, p_ts, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        hit = idx >= 0
+        click = np.where(hit, c_eid[safe], -1)
+        gap = np.where(hit, p_ts - c_ts[safe], -1)
+        return click.astype(np.int64), gap.astype(np.int64)
+
+    def per_user(uid, ts, eid, is_click):
+        co = np.lexsort((eid[is_click], ts[is_click]))
+        c_ts, c_eid = ts[is_click][co], eid[is_click][co]
+        p_ts, p_eid = ts[~is_click], eid[~is_click]
+        click, gap = attribute(p_ts, p_eid, c_ts, c_eid)
+        return pa.table({
+            "event_id": pa.array(p_eid, pa.int64()),
+            "user_id": pa.array(np.full(len(p_eid), uid, np.int64)),
+            "click_event_id": pa.array(click, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(
+            _read_sized(path, columns=cols).iter_batches(
+                batch_format="pyarrow"))
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        if not keep.any():
+            return empty
+        uid = tbl.column("user_id").to_numpy()[keep]
+        eid = tbl.column("event_id").to_numpy()[keep]
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)[keep]
+        is_click = (et[keep] == "click")
+        order = np.argsort(uid, kind="stable")
+        uid, eid, ts, is_click = (uid[order], eid[order], ts[order],
+                                  is_click[order])
+        cut = np.flatnonzero(np.diff(uid)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(uid)]))
+        parts = [per_user(int(uid[s]), ts[s:e], eid[s:e], is_click[s:e])
+                 for s, e in zip(starts, ends)]
+        out = pa.concat_tables(parts) if parts else empty
+        return out.sort_by("event_id")
+
+    ds = _read_sized(path, columns=cols).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def attr_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        is_click = group.column("event_type").to_numpy(
+            zero_copy_only=False) == "click"
+        return per_user(uid, ts, eid, is_click)
+
+    out = ds.groupby("user_id").map_groups(attr_group, batch_format="pyarrow")
+    return _collect(out, fallback_schema={
+        "event_id": pa.int64(), "user_id": pa.int64(),
+        "click_event_id": pa.int64(), "gap_us": pa.int64(),
+    }).sort_by("event_id")

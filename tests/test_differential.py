@@ -107,12 +107,13 @@ BROAD_OPS = [
     "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
     "delta_neardup",
-    "link_graph", "pagerank_hosts", "host_components",
+    "link_graph", "pagerank_hosts", "host_components", "host_profiles",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",
     "events_quantiles", "events_user_counts", "events_pivot",
-    "conversion_funnel", "latest_event_per_user", "events_rolling",
+    "conversion_funnel", "latest_event_per_user", "attribution_last_touch",
+    "events_rolling",
     "events_json_stats",
 ]
 

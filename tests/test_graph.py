@@ -112,3 +112,41 @@ def test_pagerank_star_graph(ray_session):
     assert d["h01"] == d["h02"] == d["h03"] == G.PR_JUMP
     # hub: J + 0.85 * 3 * rank(spoke), iterated — strictly dominant
     assert d["h00"] > 3 * d["h01"]
+
+
+def test_attribution_dual_path(tmp_path, ray_session):
+    # groupby map_groups path == driver lexsorted path, incl. same-ts ties
+    import numpy as np
+
+    base = 1_700_000_000_000_000
+    ts = [base, base, base + 5, base + 5, base + 9,
+          base + 1, base + 2, base + 2]
+    types = ["click", "click", "purchase", "click", "purchase",
+             "purchase", "click", "purchase"]
+    users = [1, 1, 1, 1, 1, 2, 2, 2]
+    pq.write_table(pa.table(
+        {"event_id": pa.array(range(8), pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "user_id": pa.array(users, pa.int64()),
+         "event_type": pa.array(types, pa.string()),
+         "value": pa.array([0.0] * 8, pa.float64()),
+         "props": pa.array(["{}"] * 8, pa.string())}),
+        str(tmp_path / "events.parquet"))
+    from swift_readability_ray.pipelines.training_data import (
+        attribution_last_touch,
+    )
+
+    drv = attribution_last_touch(str(tmp_path))
+    dist = attribution_last_touch(str(tmp_path), driver_limit=0)
+    assert drv.equals(dist)
+    got = {r["event_id"]: (r["click_event_id"], r["gap_us"])
+           for r in drv.to_pylist()}
+    # purchase 2 at ts+5: clicks 0,1 at base (tie → max event_id 1), click 3
+    # at ts+5 (at-or-before wins) → click 3, gap 0
+    assert got[2] == (3, 0)
+    # purchase 4 at ts+9 → click 3 (ts+5), gap 4
+    assert got[4] == (3, 4)
+    # user 2: purchase 5 at ts+1 has no click ≤ it → -1
+    assert got[5] == (-1, -1)
+    # purchase 7 at ts+2 → click 6 (same ts), gap 0
+    assert got[7] == (6, 0)

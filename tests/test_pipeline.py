@@ -470,7 +470,7 @@ def test_components_path_graph_worst_case(ray_session, caplog):
         )
     assert kept_ids == [0]
     rounds = [
-        int(r.args[0]) for r in caplog.records if "converged in" in r.msg
+        int(r.args[-1]) for r in caplog.records if "converged in" in r.msg
     ]
     assert rounds and rounds[0] <= math.ceil(math.log2(n)) + 2, rounds
 
