@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_profiles": TD.host_profiles,
         # last-touch attribution: latest click at-or-before each purchase
         "attribution_last_touch": TD.attribution_last_touch,
+        # deterministic 3-hop walks from every host (DeepWalk sampler)
+        "random_walks": TD.random_walks,
     }
 
 
@@ -1861,6 +1863,35 @@ def _graph_oracles() -> dict[str, str]:
             LEFT JOIN outa o ON o.host = h.host
             LEFT JOIN ina i ON i.host = h.host
             ORDER BY h.host
+        """,
+        "random_walks": "WITH " + link_cte + """,
+            nbr AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rk,
+                     count(*) OVER (PARTITION BY src) AS nn
+              FROM links),
+            nodes AS (SELECT DISTINCT h FROM (
+              SELECT src AS h FROM links UNION ALL SELECT dst FROM links)),
+            s1 AS (
+              SELECT n.h AS host, coalesce(b.dst, n.h) AS h1
+              FROM nodes n LEFT JOIN nbr b
+                ON b.src = n.h
+               AND b.rk = CAST(('0x' || substr(md5(n.h || ':w0'), 1, 8))
+                               AS BIGINT) % b.nn),
+            s2 AS (
+              SELECT s1.host, s1.h1, coalesce(b.dst, s1.h1) AS h2
+              FROM s1 LEFT JOIN nbr b
+                ON b.src = s1.h1
+               AND b.rk = CAST(('0x' || substr(md5(s1.h1 || ':w1'), 1, 8))
+                               AS BIGINT) % b.nn),
+            s3 AS (
+              SELECT s2.host, s2.h1, s2.h2, coalesce(b.dst, s2.h2) AS h3
+              FROM s2 LEFT JOIN nbr b
+                ON b.src = s2.h2
+               AND b.rk = CAST(('0x' || substr(md5(s2.h2 || ':w2'), 1, 8))
+                               AS BIGINT) % b.nn)
+            SELECT host, h1, h2, h3 FROM s3 ORDER BY host
         """,
         "host_components": "WITH RECURSIVE " + link_cte + """,
             base AS (SELECT DISTINCT src, dst FROM links),

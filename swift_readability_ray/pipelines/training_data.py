@@ -5253,3 +5253,15 @@ def attribution_last_touch(
         "event_id": pa.int64(), "user_id": pa.int64(),
         "click_event_id": pa.int64(), "gap_us": pa.int64(),
     }).sort_by("event_id")
+
+
+def random_walks(sf_dir: str, steps: int = 3,
+                 force_distributed: bool = False) -> pa.Table:
+    """Deterministic 3-hop random walks from every host of the link graph
+    → (host, h1, h2, h3); semantics and regimes in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         **{f"h{k+1}": pa.array([], pa.string())
+                            for k in range(steps)}})
+    return G.random_walks(_weighted_host_edges(sf_dir), steps=steps,
+                          force_distributed=force_distributed)

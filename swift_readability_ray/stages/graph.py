@@ -274,3 +274,130 @@ def _union_find_labels(edges: ray.data.Dataset) -> pa.Table:
     from .dedup import union_find_labels
 
     return union_find_labels(edges).rename_columns(["host", "component"])
+
+
+def random_walks(
+    ew: ray.data.Dataset,
+    steps: int = 3,
+    driver_limit: int = 500_000,
+    join_partitions: int | None = None,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Deterministic ``steps``-hop walks from every host — the positive-
+    pair sampler graph-embedding training (DeepWalk/node2vec) consumes.
+    At step k from host c the walk moves to the ``md5(c ‖ ':wk') %
+    out_hosts(c)``-th DISTINCT out-neighbor in dst order (the md5 oracle
+    bridge again, so walks are reproducible on any cluster size and in
+    SQL); dangling hosts absorb (stay in place).  → (host, h1..h{steps}).
+
+    Driver path (≤ ``driver_limit`` aggregated edges): dict-indexed
+    neighbor lists, one pass.  Distributed path: per step ONE left-outer
+    join against the out-degree table (computes the target rank) and ONE
+    two-key left-outer join against the rank-indexed neighbor table —
+    the walk frontier is a Dataset throughout, so 10^8 simultaneous
+    walks shard across the cluster; neighbor ranking is a per-src
+    map_groups (real per-group work: sort + arange, not 1-row calls).
+    """
+    ew = ew.materialize()
+    n_edges = ew.count()
+    if n_edges == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         **{f"h{k+1}": pa.array([], pa.string())
+                            for k in range(steps)}})
+
+    if not force_distributed and n_edges <= driver_limit:
+        tbl = pa.concat_tables(ew.iter_batches(batch_format="pyarrow"))
+        nbrs: dict[str, list[str]] = {}
+        hosts_set = set()
+        for s, d in zip(tbl.column("src").to_pylist(),
+                        tbl.column("dst").to_pylist()):
+            nbrs.setdefault(s, []).append(d)
+            hosts_set.add(s)
+            hosts_set.add(d)
+        for s in nbrs:
+            nbrs[s].sort()
+        hosts = sorted(hosts_set)
+        cols: dict[str, list[str]] = {f"h{k+1}": [] for k in range(steps)}
+        for h in hosts:
+            cur = h
+            for k in range(steps):
+                lst = nbrs.get(cur)
+                if lst:
+                    cur = lst[md5_bucket(f"{cur}:w{k}", len(lst))]
+                cols[f"h{k+1}"].append(cur)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         **{c: pa.array(v, pa.string())
+                            for c, v in cols.items()}})
+
+    from ray.data.aggregate import Count
+
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(ew)
+
+    # ew rows are distinct (src,dst): out-neighbor count is a row count
+    outn = ew.groupby("src").aggregate(Count()).rename_columns(
+        ["src", "nn"]).materialize()
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.take(pc.sort_indices(g, sort_keys=[("dst", "ascending")]))
+        return pa.table({
+            "src": g.column("src"), "dst": g.column("dst"),
+            "rk": pa.array(np.arange(g.num_rows, dtype=np.int64)),
+        })
+
+    import pyarrow.compute as _pc
+
+    nbr = ew.groupby("src").map_groups(
+        rank_group, batch_format="pyarrow").materialize()
+
+    nodes = ew.map_batches(
+        lambda b: pa.table({"host": pa.concat_arrays(
+            [b.column("src").combine_chunks(),
+             b.column("dst").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("host").aggregate(Count()).map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "cur": b.column("host")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    walks = nodes
+    kept = ["host"]
+    for k in range(steps):
+        def with_rank(b: pa.Table, _k=k, _kept=tuple(kept)) -> pa.Table:
+            cur = b.column("cur").to_pylist()
+            nn = b.column("nn").to_pylist()  # null for dangling hosts
+            rk = [md5_bucket(f"{c}:w{_k}", n) if n else -1
+                  for c, n in zip(cur, nn)]
+            out = {c: b.column(c) for c in _kept}
+            out["cur"] = b.column("cur")
+            out["rk_t"] = pa.array(rk, pa.int64())
+            return pa.table(out)
+
+        def step_out(b: pa.Table, _k=k, _kept=tuple(kept)) -> pa.Table:
+            nxt = _pc.coalesce(b.column("dst"), b.column("cur"))
+            out = {c: b.column(c) for c in _kept}
+            out[f"h{_k+1}"] = nxt
+            out["cur"] = nxt
+            return pa.table(out)
+
+        walks = walks.join(
+            outn, join_type="left_outer", num_partitions=join_partitions,
+            on=("cur",), right_on=("src",), right_suffix="_o",
+        ).map_batches(with_rank, batch_format="pyarrow",
+                      zero_copy_batch=True).join(
+            nbr, join_type="left_outer", num_partitions=join_partitions,
+            on=("cur", "rk_t"), right_on=("src", "rk"), right_suffix="_n",
+        ).map_batches(step_out, batch_format="pyarrow",
+                      zero_copy_batch=True).materialize()
+        kept.append(f"h{k+1}")
+
+    out = pa.concat_tables(
+        walks.map_batches(
+            lambda b, _kept=tuple(kept): b.select(list(_kept)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return out.sort_by("host")

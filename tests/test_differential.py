@@ -108,6 +108,7 @@ BROAD_OPS = [
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
     "delta_neardup",
     "link_graph", "pagerank_hosts", "host_components", "host_profiles",
+    "random_walks",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",

@@ -150,3 +150,26 @@ def test_attribution_dual_path(tmp_path, ray_session):
     assert got[5] == (-1, -1)
     # purchase 7 at ts+2 → click 6 (same ts), gap 0
     assert got[7] == (6, 0)
+
+
+def test_random_walks_distributed_equals_driver(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, list(range(30)))
+    drv = TD.random_walks(sf)
+    dist = TD.random_walks(sf, force_distributed=True)
+    assert drv.equals(dist)
+    # every hop is either a real out-neighbor of the previous host or an
+    # absorbing stay on a dangling host
+    lg = TD.link_graph(sf)
+    nbrs = {}
+    for s, d in zip(lg.column("src_host").to_pylist(),
+                    lg.column("dst_host").to_pylist()):
+        nbrs.setdefault(s, set()).add(d)
+    for r in drv.to_pylist():
+        cur = r["host"]
+        for k in (1, 2, 3):
+            nxt = r[f"h{k}"]
+            if cur in nbrs:
+                assert nxt in nbrs[cur]
+            else:
+                assert nxt == cur
+            cur = nxt
