@@ -338,3 +338,22 @@ def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
     assert drv.equals(dist)
     # each kept doc is the longest of its cluster; cluster sizes sum to n
     assert sum(drv.column("cluster_size").to_pylist()) == docs.num_rows
+
+
+GRAPH_OPS = ["link_graph", "pagerank_hosts", "host_components",
+             "host_profiles", "random_walks", "attribution_last_touch",
+             "media_dedup"]
+
+
+@pytest.mark.parametrize("seed", [3, 31, 77])
+def test_differential_graph_family(tmp_path, ray_session, seed):
+    # denser corpus (40 docs over 48 hosts) than the broad sweep: multi-
+    # node components, hosts with several ranked neighbors, heavier walk
+    # branching; plus a bigger event stream for attribution tie cases
+    rng = np.random.RandomState(seed)
+    pq.write_table(_rand_documents(rng, 40), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_events(rng, 120), str(tmp_path / "events.parquet"))
+    pq.write_table(_rand_embeddings(rng, 10), str(tmp_path / "embeddings.parquet"))
+    m = _entry()
+    for name in GRAPH_OPS:
+        _compare(m, name, str(tmp_path))
