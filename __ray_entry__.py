@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": TD.attribution_last_touch,
         # deterministic 3-hop walks from every host (DeepWalk sampler)
         "random_walks": TD.random_walks,
+        # weekly cohort retention counts over events
+        "retention_cohorts": TD.retention_cohorts,
     }
 
 
@@ -1778,6 +1780,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.gap_us, -1) AS BIGINT) AS gap_us
             FROM p LEFT JOIN ranked r ON r.pid = p.event_id AND r.rn = 1
             ORDER BY event_id
+        """,
+        # weekly cohort retention: cohort = first active epoch-week per
+        # user; distinct active users per (cohort, offset)
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events),
+            c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+            SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+                   CAST(uw.wk - c.cw AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     sql.update(_graph_oracles())

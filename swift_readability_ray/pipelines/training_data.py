@@ -5265,3 +5265,91 @@ def random_walks(sf_dir: str, steps: int = 3,
                             for k in range(steps)}})
     return G.random_walks(_weighted_host_edges(sf_dir), steps=steps,
                           force_distributed=force_distributed)
+
+
+def retention_cohorts(sf_dir: str, driver_limit: int = 1_000_000) -> pa.Table:
+    """Weekly cohort retention: cohort = a user's first active epoch-week,
+    and for every (cohort_week, week_offset) the count of distinct users
+    active that many weeks later → (cohort_week, week_offset, n_users).
+
+    Weeks are integer ``epoch_us // 604800000000`` (floor division on
+    non-negative int64 — numpy == DuckDB).  Distributed shape: one
+    groupby distinct over (user_id, wk) — rows shrink to user×week
+    BEFORE anything joins — then a native Min per user for the cohort,
+    one hash join back, and a bounded (cohort, offset) count (weeks² key
+    space → driver merge by the _merge_partials rule).  Driver path under
+    the footer gate: one ``np.unique`` pass over the same pairs."""
+    path = f"{sf_dir}/events.parquet"
+    WEEK_US = 604_800_000_000
+    empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+
+    def finish(uid: np.ndarray, wk: np.ndarray) -> pa.Table:
+        """distinct (uid, wk) pairs → cohort/offset counts, vectorized."""
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        uid, wk = pairs[:, 0], pairs[:, 1]
+        users, inv = np.unique(uid, return_inverse=True)
+        cohort = np.full(users.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, inv, wk)
+        cw = cohort[inv]
+        off = wk - cw
+        keys, counts = np.unique(np.stack([cw, off], axis=1), axis=0,
+                                 return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(keys[:, 0], pa.int64()),
+            "week_offset": pa.array(keys[:, 1], pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(
+            _read_sized(path, columns=["user_id", "ts"]).iter_batches(
+                batch_format="pyarrow"))
+        uid = tbl.column("user_id").to_numpy()
+        wk = (tbl.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64)) // WEEK_US
+        return finish(uid, wk)
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_sized(path, columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "wk": pa.array(
+                (b.column("ts").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64)) // WEEK_US,
+                pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    uw = ds.groupby(["user_id", "wk"]).aggregate(Count()).map_batches(
+        lambda b: b.select(["user_id", "wk"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    cohort = uw.groupby("user_id").aggregate(Min("wk")).rename_columns(
+        ["user_id", "cw"])
+    joined = uw.join(
+        cohort, join_type="inner",
+        num_partitions=D._default_join_partitions(uw), on=("user_id",),
+    ).map_batches(
+        lambda b: pa.table({
+            "cohort_week": pc.cast(b.column("cw"), pa.int64()),
+            "week_offset": pa.array(
+                np.asarray(b.column("wk").combine_chunks(), dtype=np.int64)
+                - np.asarray(b.column("cw").combine_chunks(),
+                             dtype=np.int64), pa.int64()),
+        }).group_by(["cohort_week", "week_offset"]).aggregate(
+            [("week_offset", "count")]
+        ).rename_columns(["cohort_week", "week_offset", "n_users"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _merge_partials(
+        joined, ["cohort_week", "week_offset"], [("n_users", "sum")],
+        fallback_schema={"cohort_week": pa.int64(),
+                         "week_offset": pa.int64(),
+                         "n_users": pa.int64()},
+    ).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])

@@ -114,6 +114,7 @@ BROAD_OPS = [
     "events_hourly", "events_sessions", "events_value_buckets",
     "events_quantiles", "events_user_counts", "events_pivot",
     "conversion_funnel", "latest_event_per_user", "attribution_last_touch",
+    "retention_cohorts",
     "events_rolling",
     "events_json_stats",
 ]

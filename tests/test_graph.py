@@ -173,3 +173,32 @@ def test_random_walks_distributed_equals_driver(tmp_path, ray_session):
             else:
                 assert nxt == cur
             cur = nxt
+
+
+def test_retention_dual_path(tmp_path, ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000_000_000
+    n = 200
+    ts = base + rng.randint(0, 60 * 86400, n).astype(np.int64) * 1_000_000
+    pq.write_table(pa.table(
+        {"event_id": pa.array(range(n), pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "user_id": pa.array(rng.randint(0, 9, n), pa.int64()),
+         "event_type": pa.array(["view"] * n, pa.string()),
+         "value": pa.array([0.0] * n, pa.float64()),
+         "props": pa.array(["{}"] * n, pa.string())}),
+        str(tmp_path / "events.parquet"))
+    from swift_readability_ray.pipelines.training_data import (
+        retention_cohorts,
+    )
+
+    drv = retention_cohorts(str(tmp_path))
+    dist = retention_cohorts(str(tmp_path), driver_limit=0)
+    assert drv.equals(dist)
+    # offset 0 row exists for every cohort and counts its full cohort
+    d = drv.to_pylist()
+    cohorts = {r["cohort_week"] for r in d}
+    zero = {r["cohort_week"] for r in d if r["week_offset"] == 0}
+    assert cohorts == zero
