@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": TD.random_walks,
         # weekly cohort retention counts over events
         "retention_cohorts": TD.retention_cohorts,
+        # top document-level word co-occurrence pairs
+        "cooccurrence_pairs": TD.cooccurrence_pairs,
     }
 
 
@@ -1794,6 +1796,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM uw JOIN c ON uw.user_id = c.user_id
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # top-20 document-level co-occurrence pairs (t1 < t2), counting
+        # documents containing both; same [a-z0-9]+ tokenizer as
+        # hashed_features
+        "cooccurrence_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (
+              SELECT DISTINCT doc_id, u.t AS term
+              FROM toks, unnest(ts) AS u(t)),
+            pairs AS (
+              SELECT a.term AS t1, b.term AS t2
+              FROM terms a JOIN terms b
+                ON a.doc_id = b.doc_id AND a.term < b.term)
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pairs GROUP BY 1, 2
+            ORDER BY n_docs DESC, t1, t2 LIMIT 20
         """,
     }
     sql.update(_graph_oracles())

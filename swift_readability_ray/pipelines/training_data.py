@@ -5353,3 +5353,66 @@ def retention_cohorts(sf_dir: str, driver_limit: int = 1_000_000) -> pa.Table:
                          "week_offset": pa.int64(),
                          "n_users": pa.int64()},
     ).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
+def cooccurrence_pairs(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-``k`` document-level word co-occurrence pairs — the
+    association-statistics builder word-embedding pipelines consume:
+    (t1, t2, n_docs) for t1 < t2, counting DOCUMENTS where both occur,
+    ordered by (n_docs DESC, t1, t2).
+
+    Per-block: distinct sorted tokens per doc, pair expansion via
+    ``np.triu_indices`` (vectorized — no Python pair loop), local
+    group-count; then ONE native groupby-Sum over the pair partials and
+    per-block top-k + driver merge for the head (the top_docs pattern —
+    only blocks×k rows reach the driver).  At open-vocabulary scale the
+    per-doc distinct set must be windowed/capped before expansion; this
+    corpus's vocabulary is bounded, and the cap would change counts, so
+    none is applied here (the oracle counts the same uncapped pairs)."""
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        a1, a2 = [], []
+        for t in batch.column("text").to_pylist():
+            toks = np.array(sorted(set(
+                _GRAM_TOKEN_RE.findall((t or "").lower()))))
+            if toks.size < 2:
+                continue
+            i, j = np.triu_indices(toks.size, 1)
+            a1.append(toks[i])
+            a2.append(toks[j])
+        if not a1:
+            return empty
+        return pa.table({
+            "t1": pa.array(np.concatenate(a1), pa.string()),
+            "t2": pa.array(np.concatenate(a2), pa.string()),
+        }).group_by(["t1", "t2"]).aggregate([("t2", "count")]).rename_columns(
+            ["t1", "t2", "n_docs"])
+
+    from ray.data.aggregate import Sum
+
+    grouped = ds.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["t1", "t2"]).aggregate(Sum("n_docs")).rename_columns(
+        ["t1", "t2", "n_docs"])
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.set_column(2, "n_docs", pc.cast(b.column("n_docs"), pa.int64()))
+        idx = pc.sort_indices(b, sort_keys=[
+            ("n_docs", "descending"), ("t1", "ascending"),
+            ("t2", "ascending")])
+        return b.take(idx[:k])
+
+    merged = _collect(
+        grouped.map_batches(block_topk, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        fallback_schema={"t1": pa.string(), "t2": pa.string(),
+                         "n_docs": pa.int64()})
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("n_docs", "descending"), ("t1", "ascending"), ("t2", "ascending")])
+    return merged.take(idx[:k])

@@ -106,6 +106,7 @@ BROAD_OPS = [
     "delta_dedup", "pii_scrub", "doc_chunks", "stratified_sample",
     "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
+    "cooccurrence_pairs",
     "delta_neardup",
     "link_graph", "pagerank_hosts", "host_components", "host_profiles",
     "random_walks",
