@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": TD.retention_cohorts,
         # top document-level word co-occurrence pairs
         "cooccurrence_pairs": TD.cooccurrence_pairs,
+        # undirected triangle count of the host graph
+        "triangle_count": TD.triangle_count,
     }
 
 
@@ -1931,6 +1933,15 @@ def _graph_oracles() -> dict[str, str]:
                AND b.rk = CAST(('0x' || substr(md5(s2.h2 || ':w2'), 1, 8))
                                AS BIGINT) % b.nn)
             SELECT host, h1, h2, h3 FROM s3 ORDER BY host
+        """,
+        "triangle_count": "WITH " + link_cte + """,
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM links)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "host_components": "WITH RECURSIVE " + link_cte + """,
             base AS (SELECT DISTINCT src, dst FROM links),

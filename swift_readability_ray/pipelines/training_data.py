@@ -5416,3 +5416,12 @@ def cooccurrence_pairs(sf_dir: str, k: int = 20) -> pa.Table:
     idx = pc.sort_indices(merged, sort_keys=[
         ("n_docs", "descending"), ("t1", "ascending"), ("t2", "ascending")])
     return merged.take(idx[:k])
+
+
+def triangle_count(sf_dir: str, force_distributed: bool = False) -> pa.Table:
+    """Triangle count of the undirected host graph → (n_triangles);
+    semantics and regimes in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    return G.triangle_count(_weighted_host_edges(sf_dir),
+                            force_distributed=force_distributed)

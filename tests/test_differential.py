@@ -109,7 +109,7 @@ BROAD_OPS = [
     "cooccurrence_pairs",
     "delta_neardup",
     "link_graph", "pagerank_hosts", "host_components", "host_profiles",
-    "random_walks",
+    "random_walks", "triangle_count",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",
@@ -344,7 +344,8 @@ def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
 
 GRAPH_OPS = ["link_graph", "pagerank_hosts", "host_components",
              "host_profiles", "random_walks", "attribution_last_touch",
-             "media_dedup"]
+             "media_dedup", "triangle_count", "retention_cohorts",
+             "cooccurrence_pairs"]
 
 
 @pytest.mark.parametrize("seed", [3, 31, 77])

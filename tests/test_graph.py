@@ -202,3 +202,23 @@ def test_retention_dual_path(tmp_path, ray_session):
     cohorts = {r["cohort_week"] for r in d}
     zero = {r["cohort_week"] for r in d if r["week_offset"] == 0}
     assert cohorts == zero
+
+
+def test_triangle_count_distributed_equals_driver(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, list(range(40)))
+    drv = TD.triangle_count(sf)
+    dist = TD.triangle_count(sf, force_distributed=True)
+    assert drv.equals(dist)
+
+
+def test_triangle_count_known_graph(ray_session):
+    # K4 minus one edge = 2 triangles
+    import ray
+
+    ew = ray.data.from_arrow(pa.table(
+        {"src": pa.array(["h0", "h0", "h0", "h1", "h2"], pa.string()),
+         "dst": pa.array(["h1", "h2", "h3", "h2", "h3"], pa.string()),
+         "w": pa.array([1] * 5, pa.int64())}))
+    assert G.triangle_count(ew).column("n_triangles").to_pylist() == [2]
+    assert G.triangle_count(
+        ew, force_distributed=True).column("n_triangles").to_pylist() == [2]
