@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pairs": TD.cooccurrence_pairs,
         # undirected triangle count of the host graph
         "triangle_count": TD.triangle_count,
+        # composed end-to-end certificate: gate -> dedup -> split counts
+        "pipeline_certificate": TD.pipeline_certificate,
     }
 
 
@@ -1819,6 +1821,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
             FROM pairs GROUP BY 1, 2
             ORDER BY n_docs DESC, t1, t2 LIMIT 20
+        """,
+        # composed end-to-end pipeline: the quality_gate, exact_dedup and
+        # split_assign oracle SQL fused into one certificate query
+        "pipeline_certificate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            bc AS (
+              SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db
+              FROM big GROUP BY doc_id),
+            feat AS (
+              SELECT t.doc_id, len(t.ts) AS n_tok,
+                     coalesce(b.nb, 0) AS nb, coalesce(b.db, 0) AS db,
+                     len(list_filter(t.ts,
+                         x -> x IN ('the', 'a', 'of'))) AS n_stop
+              FROM toks t LEFT JOIN bc b ON t.doc_id = b.doc_id),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_tok < 20 THEN 'too_short'
+                          WHEN (nb - db) * 5 > nb THEN 'repetitive'
+                          WHEN n_stop * 100 < n_tok THEN 'no_stopwords'
+                          ELSE 'keep' END AS reason
+              FROM feat),
+            kept AS (
+              SELECT d.doc_id, d.text, d.lang
+              FROM documents d JOIN r ON d.doc_id = r.doc_id
+              WHERE r.reason = 'keep'),
+            ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+            fin AS (
+              SELECT k.lang,
+                     CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 100 AS bk
+              FROM kept k JOIN ded ON k.doc_id = ded.doc_id)
+            SELECT CASE WHEN bk < 80 THEN 'train'
+                        WHEN bk < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM fin GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     sql.update(_graph_oracles())

@@ -2718,6 +2718,29 @@ def hashed_features(sf_dir: str, n_buckets: int = 8) -> pa.Table:
     ).sort_by("doc_id")
 
 
+_GATE_STOPWORDS = frozenset({"the", "a", "of"})
+
+
+def _gate_reason(text: str | None) -> str:
+    """First failing quality rule (fixed order) or 'keep' — the ONE rule
+    set quality_gate and pipeline_certificate share.  All comparisons in
+    integer space, bit-exact vs the SQL mirror."""
+    toks = _GRAM_TOKEN_RE.findall((text or "").lower())
+    n_tok = len(toks)
+    if n_tok < 20:
+        return "too_short"
+    grams = np.array([f"{a} {b}" for a, b in zip(toks, toks[1:])],
+                     dtype=object)
+    nb = len(grams)
+    db = len(np.unique(grams))
+    n_stop = sum(1 for x in toks if x in _GATE_STOPWORDS)
+    if (nb - db) * 5 > nb:
+        return "repetitive"
+    if n_stop * 100 < n_tok:
+        return "no_stopwords"
+    return "keep"
+
+
 def quality_gate(sf_dir: str) -> pa.Table:
     """Composite quality gate with reasons (the Dolma/RefinedWeb-style
     keep/drop decision): per doc, the FIRST failing rule in a fixed order
@@ -2728,10 +2751,6 @@ def quality_gate(sf_dir: str) -> pa.Table:
     float ratio), so the gate is bit-exact across engines.  Shuffle-free
     per-doc map; recording the reason (not just the bool) is what makes a
     100 TB filter sweep diagnosable afterwards."""
-    import re
-
-    token_re = re.compile(r"[a-z0-9]+")
-    stop = {"the", "a", "of"}
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -2739,25 +2758,8 @@ def quality_gate(sf_dir: str) -> pa.Table:
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            toks = token_re.findall((t or "").lower())
-            n_tok = len(toks)
-            if n_tok < 20:
-                reason = "too_short"
-            else:
-                grams = np.array(
-                    [f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object
-                )
-                nb = len(grams)
-                db = len(np.unique(grams))
-                n_stop = sum(1 for x in toks if x in stop)
-                if (nb - db) * 5 > nb:
-                    reason = "repetitive"
-                elif n_stop * 100 < n_tok:
-                    reason = "no_stopwords"
-                else:
-                    reason = "keep"
             out_id.append(doc_id)
-            out_r.append(reason)
+            out_r.append(_gate_reason(t))
         return pa.table(
             {"doc_id": pa.array(out_id, pa.int64()),
              "reason": pa.array(out_r, pa.string())}
@@ -5425,3 +5427,73 @@ def triangle_count(sf_dir: str, force_distributed: bool = False) -> pa.Table:
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
     return G.triangle_count(_weighted_host_edges(sf_dir),
                             force_distributed=force_distributed)
+
+
+def pipeline_certificate(sf_dir: str) -> pa.Table:
+    """END-TO-END composed pipeline certificate: quality gate → exact
+    dedup (keep-first) → deterministic split, reported as per-(split,
+    lang) surviving-doc counts — the single number set that certifies a
+    whole ingest pipeline ran correctly, with every stage the same code
+    the individually-oracled queries run.
+
+    Streaming shape: ONE map stage gates and hashes (text never crosses
+    a shuffle — only (doc_id, lang, md5) rows leave it), one native
+    groupby-Min for the dedup, one slim hash join to recover the
+    surviving rows, and a bounded (split, lang) partial-count merge.
+    The DuckDB oracle composes the quality/dedup/split oracle SQL into
+    one query, so the certificate is verified end to end, not
+    stagewise."""
+    empty = pa.table({"split": pa.array([], pa.string()),
+                      "lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text", "lang"],
+                     rows_per_block=1024)
+
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        ids, langs, hs = [], [], []
+        for doc_id, t, lang in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("text").to_pylist(),
+                                   batch.column("lang").to_pylist()):
+            if _gate_reason(t) == "keep":
+                ids.append(doc_id)
+                langs.append(lang)
+                hs.append(T.md5_fingerprint(t or ""))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": pa.array(langs, pa.string()),
+                         "__h": pa.array(hs, pa.string())})
+
+    from ray.data.aggregate import Min
+
+    kept = ds.map_batches(gate_and_hash, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    if kept.count() == 0:
+        return empty
+    ded = kept.groupby("__h").aggregate(Min("doc_id")).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("min(doc_id)"),
+                                              pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    fin = ded.join(
+        kept, join_type="inner",
+        num_partitions=D._default_join_partitions(kept), on=("doc_id",),
+    )
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        bk = np.array([_md5_bucket(i, 100)
+                       for i in batch.column("doc_id").to_pylist()])
+        split = np.where(bk < 80, "train", np.where(bk < 90, "valid",
+                                                    "test"))
+        return pa.table({"split": pa.array(split.tolist(), pa.string()),
+                         "lang": batch.column("lang")}).group_by(
+            ["split", "lang"]).aggregate([("lang", "count")]
+        ).rename_columns(["split", "lang", "n_docs"])
+
+    return _merge_partials(
+        fin.map_batches(split_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["split", "lang"], [("n_docs", "sum")],
+        fallback_schema={"split": pa.string(), "lang": pa.string(),
+                         "n_docs": pa.int64()},
+    ).sort_by([("split", "ascending"), ("lang", "ascending")])
