@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": TD.triangle_count,
         # composed end-to-end certificate: gate -> dedup -> split counts
         "pipeline_certificate": TD.pipeline_certificate,
+        # source-pair vocabulary overlap (mixing diagnostic)
+        "vocab_overlap": TD.vocab_overlap,
     }
 
 
@@ -1864,6 +1866,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM fin GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # vocabulary overlap between source shards: distinct shared and
+        # combined token types per source pair (zero-overlap pairs kept)
+        "vocab_overlap": """
+            WITH toks AS (
+              SELECT source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            terms AS (
+              SELECT DISTINCT source, u.t AS term
+              FROM toks, unnest(ts) AS u(t)),
+            sizes AS (SELECT source, count(*) AS nv FROM terms GROUP BY source),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            pairs AS (
+              SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+            inter AS (
+              SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+              FROM terms a JOIN terms b
+                ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT p.sa AS src_a, p.sb AS src_b,
+                   CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter,
+                   CAST(coalesce(za.nv, 0) + coalesce(zb.nv, 0)
+                        - coalesce(i.ni, 0) AS BIGINT) AS n_union
+            FROM pairs p
+            LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+            LEFT JOIN sizes za ON za.source = p.sa
+            LEFT JOIN sizes zb ON zb.source = p.sb
+            ORDER BY src_a, src_b
         """,
     }
     sql.update(_graph_oracles())

@@ -5497,3 +5497,125 @@ def pipeline_certificate(sf_dir: str) -> pa.Table:
         fallback_schema={"split": pa.string(), "lang": pa.string(),
                          "n_docs": pa.int64()},
     ).sort_by([("split", "ascending"), ("lang", "ascending")])
+
+
+def vocab_overlap(sf_dir: str) -> pa.Table:
+    """Vocabulary overlap between source shards — the corpus diagnostic
+    that tells a mixing strategy how redundant two sources are:
+    (src_a, src_b, n_inter, n_union) for every source pair a < b,
+    counting distinct shared / combined token types.
+
+    Scale shape: distinct (term, source) pairs reduce per block, then the
+    source axis folds into a BITMASK (sources are a bounded dimension;
+    ids discovered from a first tiny distinct pass) so ONE native
+    groupby-Sum per term replaces any per-term group callback; per-batch
+    mask tallies expand to bounded (src_a, src_b) partials that driver-
+    merge.  Zero-overlap pairs are still emitted (cross of sizes)."""
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_inter": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["text", "source"],
+                     rows_per_block=1024)
+
+    sources = sorted(set(pa.concat_tables(
+        _docs_sized(sf_dir, columns=["source"]).iter_batches(
+            batch_format="pyarrow")
+    ).column("source").to_pylist()))  # bounded dimension, tiny scan
+    if len(sources) > 62:
+        raise ValueError("vocab_overlap bitmask supports <=62 sources; "
+                         "shard the source dimension first")
+    sid = {s: i for i, s in enumerate(sources)}
+
+    def term_bits(batch: pa.Table) -> pa.Table:
+        seen: dict[str, int] = {}
+        for t, s in zip(batch.column("text").to_pylist(),
+                        batch.column("source").to_pylist()):
+            bit = 1 << sid[s]
+            for tok in set(_GRAM_TOKEN_RE.findall((t or "").lower())):
+                seen[tok] = seen.get(tok, 0) | bit
+        return pa.table({"term": pa.array(list(seen), pa.string()),
+                         "mask": pa.array(list(seen.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    # per-block masks OR-fold exactly by splitting each mask into its
+    # set bits, deduping (term, bit) rows with one groupby, then Summing
+    # the now-unique bits per term — Sum == OR once each bit is distinct
+    def term_bit_rows(batch: pa.Table) -> pa.Table:
+        terms, bits = [], []
+        for t, m in zip(batch.column("term").to_pylist(),
+                        batch.column("mask").to_pylist()):
+            mm = m
+            while mm:
+                b = mm & (-mm)
+                terms.append(t)
+                bits.append(b)
+                mm ^= b
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "bit": pa.array(bits, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    distinct_tb = ds.map_batches(
+        term_bits, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        term_bit_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["term", "bit"]).aggregate(Count()).map_batches(
+        lambda b: b.select(["term", "bit"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    masks = distinct_tb.groupby("term").aggregate(Sum("bit")).map_batches(
+        lambda b: pa.table({"mask": pc.cast(b.column("sum(bit)"),
+                                            pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    S = len(sources)
+
+    def tally(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("mask").combine_chunks(),
+                       dtype=np.int64)
+        rows_a, rows_b, inter = [], [], []
+        nv = [int(((m >> i) & 1).sum()) for i in range(S)]
+        for i in range(S):
+            for j in range(i + 1, S):
+                rows_a.append(sources[i])
+                rows_b.append(sources[j])
+                inter.append(int((((m >> i) & (m >> j)) & 1).sum()))
+        out = pa.table({
+            "src_a": pa.array(rows_a, pa.string()),
+            "src_b": pa.array(rows_b, pa.string()),
+            "n_inter": pa.array(inter, pa.int64()),
+        })
+        szt = pa.table({
+            "src_a": pa.array(sources, pa.string()),
+            "src_b": pa.array(["__size__"] * S, pa.string()),
+            "n_inter": pa.array(nv, pa.int64()),
+        })
+        return pa.concat_tables([out, szt])
+
+    partial = masks.map_batches(tally, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = _merge_partials(
+        partial, ["src_a", "src_b"], [("n_inter", "sum")],
+        fallback_schema={"src_a": pa.string(), "src_b": pa.string(),
+                         "n_inter": pa.int64()})
+    nv = {r["src_a"]: r["n_inter"] for r in merged.to_pylist()
+          if r["src_b"] == "__size__"}
+    got = {(r["src_a"], r["src_b"]): r["n_inter"]
+           for r in merged.to_pylist() if r["src_b"] != "__size__"}
+    # assemble over ALL source pairs (the oracle cross-joins sources), so
+    # a vocabulary-free corpus still reports its zero rows
+    pairs = [(sources[i], sources[j]) for i in range(S)
+             for j in range(i + 1, S)]
+    return pa.table({
+        "src_a": pa.array([a for a, _ in pairs], pa.string()),
+        "src_b": pa.array([b for _, b in pairs], pa.string()),
+        "n_inter": pa.array([got.get(p, 0) for p in pairs], pa.int64()),
+        "n_union": pa.array(
+            [nv.get(a, 0) + nv.get(b, 0) - got.get((a, b), 0)
+             for a, b in pairs], pa.int64()),
+    })
