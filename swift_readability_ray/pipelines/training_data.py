@@ -177,6 +177,16 @@ def _merge_partials(
 _GRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+def _cents(col) -> pa.Array:
+    """value → integer cents with HALF-UP ties, matching DuckDB
+    ``round(v * 100)`` for the non-negative money/value columns these
+    queries convert (``pc.round`` is half-to-even: pc.round(12.5) → 12
+    but DuckDB round(12.5) → 13 — the same tie class the quality and
+    jaccard oracles already pinned with floor(x·10⁶ + 0.5))."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
 def _doc_gram_keys(text: str, n: int) -> np.ndarray:
     """DISTINCT word ``n``-gram 64-bit md5 keys of one doc (signed int64).
 
@@ -563,6 +573,9 @@ def stratified_sample(sf_dir: str, scale: int = 1_000_000) -> pa.Table:
     of rows), then a broadcast-threshold Bernoulli filter.  Stable across
     runs, engines and cluster sizes, unlike ``random_sample``.
     """
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string())})
     ds = _docs_sized(sf_dir, columns=["doc_id", "lang"])
 
     def cnt(batch: pa.Table) -> pa.Table:
@@ -884,7 +897,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
         hour = pc.cast(
             pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
         )
-        val_c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        val_c = _cents(batch.column("value"))
         b = pa.table(
             {
                 "event_type": batch.column("event_type"),
@@ -978,7 +991,6 @@ def delta_neardup(
     )
 
 
-_TOKEN_RE = None
 
 
 def word_counts(sf_dir: str, k: int = 20) -> pa.Table:
@@ -991,19 +1003,15 @@ def word_counts(sf_dir: str, k: int = 20) -> pa.Table:
     shuffling vocabularies.  Final top-k is a Dataset sort+limit over the
     aggregated (small) table.
     """
-    import re
     from collections import Counter
 
-    global _TOKEN_RE
-    if _TOKEN_RE is None:
-        _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
     ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=512)
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            c.update(_TOKEN_RE.findall((t or "").lower()))
+            c.update(_GRAM_TOKEN_RE.findall((t or "").lower()))
         return pa.table(
             {"token": pa.array(list(c.keys()), pa.string()),
              "n": pa.array(list(c.values()), pa.int64())}
@@ -1044,7 +1052,7 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         def cents(col):
-            return pc.cast(pc.round(pc.multiply(batch.column(col), 100.0)), pa.int64())
+            return _cents(batch.column(col))
 
         b = pa.table(
             {
@@ -1086,6 +1094,8 @@ def events_sessions(
     pins the shuffle path equal).
     """
     path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64()), "n_sessions": pa.array([], pa.int64())})
     gap_us = gap_seconds * 1_000_000
 
     def counts(ts_us: np.ndarray) -> tuple[int, int]:
@@ -1772,7 +1782,7 @@ def dup_ngram_stats(
 
     from ray.data.aggregate import Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -2098,7 +2108,7 @@ def dup_span_coverage(
 
     from ray.data.aggregate import Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def doc_grams(text: str) -> tuple[np.ndarray, int]:
@@ -2621,6 +2631,8 @@ def latest_event_per_user(
     from ray.data.aggregate import Max
 
     path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()), "last_ts": pa.array([], pa.timestamp('us')), "last_event_id": pa.array([], pa.int64()), "last_value_c": pa.array([], pa.int64())})
     ds = _read_sized(path, columns=["user_id", "event_id", "ts", "value"])
 
     def last_partial(batch: pa.Table) -> pa.Table:
@@ -3089,6 +3101,12 @@ def zorder_layout(sf_dir: str, n_files: int = 16) -> pa.Table:
     scale is ``ds.sort("z").write_parquet(partition_cols=["zbucket"])`` —
     a single range shuffle, same cost class as any global sort.
     """
+    if n_files < 2 or n_files & (n_files - 1):
+        # the shift formula below is only exact for powers of two; a
+        # non-power value would silently produce fewer buckets than asked
+        # (and desync from the oracle's fixed zv >> 28 at the default 16)
+        raise ValueError(f"zorder_layout: n_files={n_files} must be a "
+                         "power of two >= 2")
     shift = 32 - int(n_files).bit_length() + 1  # top log2(n_files) bits
     cols = ["zbucket", "n_events", "min_user", "max_user",
             "min_hour", "max_hour"]
@@ -3259,23 +3277,45 @@ def heavy_hitters(
     order = np.lexsort((bs, -ns))
     top_b, top_n = bs[order[:k]], ns[order[:k]]
 
+    if n_total == 0:
+        # no bigram exists anywhere (all docs < 2 tokens): the exact
+        # answer is empty and the fallback's groupby would be schema-less
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     if len(top_n) < k or int(top_n[-1]) * buckets <= n_total:
         # gate failed: a non-candidate could in principle outrank the
-        # k-th candidate — take the always-correct distributed plan
+        # k-th candidate — take the always-correct DISTRIBUTED plan: one
+        # native groupby-Sum over per-block Counter partials, then
+        # per-block top-k + driver merge (exact — after the groupby each
+        # bigram lives in exactly one hash partition), so the driver
+        # never holds the vocabulary (the failure mode this op exists
+        # to avoid; code-review round-4 second-continuation finding)
+        from ray.data.aggregate import Sum
+
+        grouped = ds.map_batches(
+            lambda b: pa.table(
+                {"bigram": pa.array(
+                    list(c := Counter(
+                        bg for t in b.column("text").to_pylist()
+                        for bg in _bigrams(t))), pa.string()),
+                 "n": pa.array(list(c.values()), pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).groupby("bigram").aggregate(Sum("n")).rename_columns(
+            ["bigram", "n"])
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            b = b.set_column(1, "n", pc.cast(b.column("n"), pa.int64()))
+            idx = pc.sort_indices(b, sort_keys=[
+                ("n", "descending"), ("bigram", "ascending")])
+            return b.take(idx[:k])
+
         vt = _collect(
-            ds.map_batches(
-                lambda b: pa.table(
-                    {"bigram": pa.array(
-                        list(c := Counter(
-                            bg for t in b.column("text").to_pylist()
-                            for bg in _bigrams(t))), pa.string()),
-                     "n": pa.array(list(c.values()), pa.int64())}
-                ),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-        ).group_by(["bigram"]).aggregate([("n", "sum")])
+            grouped.map_batches(block_topk, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            fallback_schema={"bigram": pa.string(), "n": pa.int64()})
         bs = np.array(vt.column("bigram").to_pylist())
-        ns = vt.column("n_sum").to_numpy()
+        ns = vt.column("n").to_numpy()
         order = np.lexsort((bs, -ns))
         top_b, top_n = bs[order[:k]], ns[order[:k]]
 
@@ -3694,9 +3734,7 @@ def events_range_join(sf_dir: str, n_windows: int = 20) -> pa.Table:
     def contain(batch: pa.Table) -> pa.Table:
         lo_a, hi_a = ray.get(win_ref)
         us = batch.column("ts").cast(pa.int64()).to_numpy()
-        cents = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
-        ).to_numpy()
+        cents = _cents(batch.column("value")).to_numpy()
         ns, sums = [], []
         for k in range(len(lo_a)):
             mask = (us >= lo_a[k]) & (us < hi_a[k])
@@ -3743,7 +3781,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
@@ -3854,6 +3892,8 @@ def events_rolling(
         return ts, eid, cents
 
     path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()), "rn": pa.array([], pa.int64()), "roll_sum_c": pa.array([], pa.int64()), "range_sum_c": pa.array([], pa.int64())})
     cols = ["event_id", "user_id", "ts", "value"]
     n_rows = _footer_rows(path)
 
@@ -3912,6 +3952,12 @@ def events_quantiles(
     runs driver-side on the collected two-column table.
     """
     path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        cols = {"event_type": pa.array([], pa.string())}
+        for q in qs:
+            cols[f"p{int(q * 100)}_c"] = pa.array([], pa.int64())
+        cols["n"] = pa.array([], pa.int64())
+        return pa.table(cols)
     import pyarrow.parquet as pq
 
     def qtable(groups: dict[str, np.ndarray]) -> pa.Table:
@@ -3934,8 +3980,7 @@ def events_quantiles(
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"event_type": batch.column("event_type"),
-             "v_c": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
-                            pa.int64())}
+             "v_c": _cents(batch.column("value"))}
         )
 
     ds = _read_sized(path, columns=["event_type", "value"]).map_batches(
@@ -3996,9 +4041,7 @@ def events_quantiles_sketch(
 
     def partial(batch: pa.Table) -> pa.Table:
         types = batch.column("event_type").to_numpy(zero_copy_only=False)
-        v_c = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
-        ).to_numpy()
+        v_c = _cents(batch.column("value")).to_numpy()
         bins = np.clip((v_c - lo_c) // width, 0, n_bins - 1)
         out_t, out_b, out_n = [], [], []
         for et in np.unique(types):
@@ -4167,6 +4210,8 @@ def events_user_counts(
     where even the distinct pair set is too wide to shuffle.
     """
     path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return pa.table({"event_type": pa.array([], pa.string()), "n_users": pa.array([], pa.int64())})
     import pyarrow.parquet as pq
 
     def pair_distinct(batch: pa.Table) -> pa.Table:
@@ -4386,10 +4431,8 @@ def q3_top_orders(
     def rev_partial(batch: pa.Table) -> pa.Table:
         """Shipdate filter + exact integer revenue partial per orderkey."""
         b = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff_us)))
-        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
-                          pa.int64())
-        disc_p = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)),
-                         pa.int64())
+        price_c = _cents(b.column("l_extendedprice"))
+        disc_p = _cents(b.column("l_discount"))
         t = pa.table(
             {"o_orderkey": b.column("l_orderkey"),
              "rev_c4": pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_p))}
@@ -4591,7 +4634,7 @@ def repetition_stats(sf_dir: str) -> pa.Table:
     SAME operation order as the SQL mirror ((nb-db)*1e6/nb)."""
     import re
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -4645,7 +4688,7 @@ def inverted_index(
 
     from ray.data.aggregate import Max, Min, Sum
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["doc_id", "text"], rows_per_block=1024)
 
@@ -4804,6 +4847,9 @@ def length_filter(sf_dir: str, lo_pct: float = 0.05,
     one cumsum) — no sort, no sample: the partial table is one row per
     distinct length per block regardless of corpus size.  Thresholds then
     broadcast into a shuffle-free filter + per-lang count rollup."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_kept": pa.array([], pa.int64())})
     import math
 
     ds = _docs_sized(sf_dir, columns=["lang", "n_chars"])
@@ -4853,7 +4899,7 @@ def pack_sequences(sf_dir: str, capacity: int = 256) -> pa.Table:
     larger than ``capacity`` occupies its own bin (fill resets to it)."""
     import re
 
-    token_re = re.compile(r"[a-z0-9]+")
+    token_re = _GRAM_TOKEN_RE  # the ONE oracle-pinned tokenizer
     ds = _docs_sized(sf_dir, columns=["doc_id", "source", "text"],
                      rows_per_block=1024)
 

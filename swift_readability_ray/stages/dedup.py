@@ -929,10 +929,7 @@ def near_dedup_keep_first(
     that wants both the pair table and the deduped corpus should run MinHash
     once, not twice (judge r2 item)."""
     if join_partitions is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_rows = _metadata_row_count(ds)
-        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
-        join_partitions = max(2, min(n_cpus, sized))
+        join_partitions = _default_join_partitions(ds)
     if pairs is None:
         pairs = minhash_dedup_pairs(
             ds, threshold, num_perm, bands, text_col, join_partitions=join_partitions
@@ -1095,10 +1092,7 @@ def embedding_neardup_lsh(
             "bands must divide n_planes with 1 <= n_planes/bands <= 32"
         )
     if join_partitions is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_rows = _metadata_row_count(ds)
-        sized = (n_rows // 500_000 + 1) if n_rows is not None else n_cpus
-        join_partitions = max(2, min(n_cpus, sized))
+        join_partitions = _default_join_partitions(ds)
     bits_per_band = n_planes // bands
 
     def sketch(batch: pa.Table) -> pa.Table:

@@ -360,3 +360,46 @@ def test_differential_graph_family(tmp_path, ray_session, seed):
     m = _entry()
     for name in GRAPH_OPS:
         _compare(m, name, str(tmp_path))
+
+
+def test_money_cents_half_up_ties(tmp_path, ray_session):
+    # value*100 landing EXACTLY on .5 (0.125 is representable): engine
+    # must round half-up like DuckDB round(), not numpy/pyarrow half-even
+    # (code-review round-4 second-continuation finding)
+    base = 1_700_000_000_000_000
+    pq.write_table(pa.table(
+        {"event_id": pa.array(range(4), pa.int64()),
+         "ts": pa.array([base + i for i in range(4)], pa.timestamp("us")),
+         "user_id": pa.array([0, 0, 1, 1], pa.int64()),
+         "event_type": pa.array(["view", "view", "click", "view"]),
+         "value": pa.array([0.125, 0.375, 0.625, 0.875], pa.float64()),
+         "props": pa.array(["{}"] * 4, pa.string())}),
+        str(tmp_path / "events.parquet"))
+    rng = np.random.RandomState(0)
+    pq.write_table(_rand_documents(rng, 4), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_embeddings(rng, 4), str(tmp_path / "embeddings.parquet"))
+    m = _entry()
+    for name in ("events_hourly", "events_value_buckets",
+                 "events_quantiles", "events_rolling"):
+        _compare(m, name, str(tmp_path))
+
+
+# ops the round-4 second-continuation review found crashing on 0-row
+# input files (pre-round-4 family; the NEW_OPS already had guards) —
+# compared against their oracles over fully EMPTY typed tables
+EMPTY_GUARDED_OPS = [
+    "events_sessions", "events_rolling", "events_quantiles",
+    "events_user_counts", "latest_event_per_user", "stratified_sample",
+    "length_filter",
+]
+
+
+def test_established_ops_on_empty_tables(tmp_path, ray_session):
+    for t, maker in (("documents", _rand_documents),
+                     ("embeddings", _rand_embeddings),
+                     ("events", _rand_events)):
+        pq.write_table(maker(np.random.RandomState(0), 8).slice(0, 0),
+                       str(tmp_path / f"{t}.parquet"))
+    m = _entry()
+    for name in EMPTY_GUARDED_OPS:
+        _compare(m, name, str(tmp_path))
