@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": TD.triangle_count,
         # composed end-to-end certificate: gate -> dedup -> split counts
         "pipeline_certificate": TD.pipeline_certificate,
+        # CCNet-style per-language head/middle/tail quality bucketing
+        "quality_tiers": TD.quality_tiers,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
     }
@@ -433,32 +435,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quality formula mirrored term-by-term; floor(x*1e6+0.5)/1e6 is the
         # shared half-up rounding (see functions/text_stats.py)
-        "quality": r"""
-            WITH t AS (
-              SELECT doc_id, length(text) AS n,
-                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r\f\x0b]')) AS n_punct
-              FROM documents),
-            m AS (
-              SELECT doc_id, n, n_punct, len(toks) AS n_tok,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
-                     END AS mean_len,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE len(list_filter(toks, x -> list_contains(
-                                 ['a','and','ce','dans','das','de','den','der','die','ein','el','en','es','est','et','for','in','is','ist','it','la','le','mit','no','of','por','pour','que','that','the','to','un','und','von','y','zu'],
-                                 lower(x))))::DOUBLE / len(toks)
-                     END AS stop_ratio
-              FROM t)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-              CASE WHEN n = 0 OR n_tok = 0 THEN 0.0
-                   ELSE floor((0.3 * least(n / 500.0, 1.0)
-                        + 0.2 * (CASE WHEN mean_len BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.5 END)
-                        + 0.2 * (1.0 - least((n_punct::DOUBLE / n) * 5.0, 1.0))
-                        + 0.3 * least(stop_ratio * 4.0, 1.0)) * 1000000 + 0.5) / 1000000
-              END AS quality
-            FROM m ORDER BY doc_id
-        """,
         # pdf_extract synthesizes one 40-word-paragraph text object per
         # block, so block/char counts are exactly reconstructable from text
         "pdf_extract": r"""
@@ -1900,7 +1876,64 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     sql.update(_graph_oracles())
+    sql.update(_quality_oracles())
     return sql
+
+
+def _quality_oracles() -> dict[str, str]:
+    """The quality score CTE shared by the per-doc score query and the
+    CCNet-style per-language tier bucketing — ONE definition so the two
+    can never drift (the score is the oracle pin for both)."""
+    cte = r"""
+            t AS (
+              SELECT doc_id, length(text) AS n,
+                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r\f\x0b]')) AS n_punct
+              FROM documents),
+            m AS (
+              SELECT doc_id, n, n_punct, len(toks) AS n_tok,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                     END AS mean_len,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> list_contains(
+                                 ['a','and','ce','dans','das','de','den','der','die','ein','el','en','es','est','et','for','in','is','ist','it','la','le','mit','no','of','por','pour','que','that','the','to','un','und','von','y','zu'],
+                                 lower(x))))::DOUBLE / len(toks)
+                     END AS stop_ratio
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                CASE WHEN n = 0 OR n_tok = 0 THEN 0.0
+                     ELSE floor((0.3 * least(n / 500.0, 1.0)
+                          + 0.2 * (CASE WHEN mean_len BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.5 END)
+                          + 0.2 * (1.0 - least((n_punct::DOUBLE / n) * 5.0, 1.0))
+                          + 0.3 * least(stop_ratio * 4.0, 1.0)) * 1000000 + 0.5) / 1000000
+                END AS quality
+              FROM m)
+    """
+    return {
+        "quality": "WITH " + cte + """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, quality
+            FROM q ORDER BY doc_id
+        """,
+        "quality_tiers": "WITH " + cte + """,
+            wl AS (
+              SELECT q.doc_id, d.lang, q.quality
+              FROM q JOIN documents d ON q.doc_id = d.doc_id),
+            ranked AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY quality DESC, doc_id) - 1 AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM wl)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CASE WHEN rk * 3 < n THEN 'head'
+                        WHEN rk * 3 < 2 * n THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM ranked ORDER BY doc_id
+        """,
+    }
 
 
 def _graph_oracles() -> dict[str, str]:

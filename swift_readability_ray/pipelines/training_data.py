@@ -5665,3 +5665,72 @@ def vocab_overlap(sf_dir: str) -> pa.Table:
             [nv.get(a, 0) + nv.get(b, 0) - got.get((a, b), 0)
              for a, b in pairs], pa.int64()),
     })
+
+
+def quality_tiers(sf_dir: str, driver_limit: int = 2_000_000) -> pa.Table:
+    """CCNet-style per-language quality bucketing: rank each language's
+    docs by quality score and cut into head/middle/tail thirds →
+    (doc_id, lang, tier).  This is the calibration step web pipelines run
+    before sampling (keep head, downweight tail) — absolute scores are
+    not comparable across languages, per-lang RANKS are.
+
+    Tier boundaries are integer comparisons (rk·3 < n), rank order is
+    (quality DESC, doc_id ASC) with the oracle-pinned half-up score, so
+    the bucketing is bit-exact.  Scale shape: scoring is a shuffle-free
+    map; ranking shuffles slim (doc_id, lang, quality) rows ONCE
+    partitioned by lang (the groupby primitive balanced_shards built on);
+    under the footer gate one driver lexsort replaces the shuffle."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "tier": pa.array([], pa.string())})
+    path = f"{sf_dir}/documents.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text", "lang"],
+                     rows_per_block=1024)
+    scored = ds.map_batches(
+        TA.add_quality, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang", "quality"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def tiers(doc_id: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """One language's docs → tier labels, in the given row order."""
+        n = len(doc_id)
+        order = np.lexsort((doc_id, -q))  # quality DESC, doc_id ASC
+        rk = np.empty(n, np.int64)
+        rk[order] = np.arange(n)
+        return np.where(rk * 3 < n, "head",
+                        np.where(rk * 3 < 2 * n, "middle", "tail"))
+
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(scored.iter_batches(batch_format="pyarrow"))
+        lang = np.asarray(tbl.column("lang").combine_chunks())
+        did = tbl.column("doc_id").to_numpy()
+        q = tbl.column("quality").to_numpy()
+        order = np.argsort(lang, kind="stable")
+        lang, did, q = lang[order], did[order], q[order]
+        cut = np.flatnonzero(lang[1:] != lang[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(lang)]))
+        parts = [pa.table({"doc_id": pa.array(did[s:e], pa.int64()),
+                           "lang": pa.array(lang[s:e], pa.string()),
+                           "tier": pa.array(tiers(did[s:e], q[s:e]),
+                                            pa.string())})
+                 for s, e in zip(starts, ends)]
+        return pa.concat_tables(parts).sort_by("doc_id")
+
+    def tier_group(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy()
+        q = g.column("quality").to_numpy()
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "lang": g.column("lang"),
+                         "tier": pa.array(tiers(did, q), pa.string())})
+
+    out = scored.groupby("lang").map_groups(tier_group,
+                                            batch_format="pyarrow")
+    return _collect(out, fallback_schema={
+        "doc_id": pa.int64(), "lang": pa.string(), "tier": pa.string(),
+    }).sort_by("doc_id")

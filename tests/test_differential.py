@@ -102,7 +102,7 @@ BROAD_OPS = [
     "token_counts", "fingerprints", "exact_dedup", "word_counts",
     "langid", "quality", "normalize_text", "split_assign", "corpus_shuffle",
     "repetition_stats", "inverted_index", "length_filter", "pack_sequences",
-    "quality_gate", "pipeline_certificate", "vocab_overlap", "doc_typicality", "bpe_first_merges", "hashed_features",
+    "quality_gate", "pipeline_certificate", "vocab_overlap", "quality_tiers", "doc_typicality", "bpe_first_merges", "hashed_features",
     "delta_dedup", "pii_scrub", "doc_chunks", "stratified_sample",
     "sample_docs", "top_docs", "top_docs_per_source", "doc_stats",
     "ngram_dedup", "simhash_dedup", "dup_ngram_stats", "dup_span_coverage",
@@ -390,7 +390,7 @@ def test_money_cents_half_up_ties(tmp_path, ray_session):
 EMPTY_GUARDED_OPS = [
     "events_sessions", "events_rolling", "events_quantiles",
     "events_user_counts", "latest_event_per_user", "stratified_sample",
-    "length_filter",
+    "length_filter", "quality_tiers",
 ]
 
 
