@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_certificate": TD.pipeline_certificate,
         # CCNet-style per-language head/middle/tail quality bucketing
         "quality_tiers": TD.quality_tiers,
+        # incremental ANN index maintenance: build base, append delta,
+        # full-probe == exact top-k over the union
+        "ann_append_topk_full": TD.ann_append_topk_full,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
     }
@@ -1418,6 +1421,25 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index full probe: exact brute-force ranking, same
         # mirror as knn_bruteforce — certifies the index write→read cycle
         "ann_persisted_topk_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                    FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # incremental append certificate: same exact union top-k (base
+        # vec_id%10!=0 was built, delta %10==0 appended — the union is the
+        # whole table)
+        "ann_append_topk_full": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 4),
                  scored AS (

@@ -5734,3 +5734,62 @@ def quality_tiers(sf_dir: str, driver_limit: int = 2_000_000) -> pa.Table:
     return _collect(out, fallback_schema={
         "doc_id": pa.int64(), "lang": pa.string(), "tier": pa.string(),
     }).sort_by("doc_id")
+
+
+_ANN_APPEND_CACHE: dict = {}
+
+
+def _ann_appended_index(sf_dir: str, n_centroids: int = 16) -> str:
+    """Persisted IVF index built over the BASE corpus (vec_id % 10 != 0)
+    then APPENDED with the delta batch (vec_id % 10 == 0) — the
+    incremental-maintenance lifecycle, cached per session like
+    _ann_index."""
+    key = (sf_dir, n_centroids)
+    if key not in _ANN_APPEND_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        def part(keep_delta: bool):
+            ds = ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("vec_id").to_numpy()
+                mask = (ids % 10 == 0) if keep_delta else (ids % 10 != 0)
+                return b.filter(pa.array(mask))
+
+            return ds.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        root = tempfile.mkdtemp(prefix="ann_append_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        base = part(False)
+        n_rows = D._metadata_row_count(
+            ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
+        blocks = (max(1, n_rows // 65_536 + 1)
+                  if n_rows is not None else None)
+        S.build_persisted_index(base, root, n_centroids=n_centroids,
+                                num_blocks=blocks)
+        S.append_to_persisted_index(root, part(True), num_blocks=blocks)
+        _ANN_APPEND_CACHE[key] = root
+    return _ANN_APPEND_CACHE[key]
+
+
+def ann_append_topk_full(
+    sf_dir: str, n_queries: int = 4, k: int = 10, n_centroids: int = 16
+) -> pa.Table:
+    """Incremental-index certificate: full-probe the base+appended
+    persisted IVF layout — exact top-k over the UNION of both batches,
+    verified against the same SQL oracle shape as knn_bruteforce.  Proves
+    append lands every delta vector in a probe-visible bucket without
+    touching existing files."""
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
+    tbl = S.persisted_ivf_topk(
+        _ann_appended_index(sf_dir, n_centroids), queries, query_ids,
+        k=k, nprobe=n_centroids,
+    )
+    return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )

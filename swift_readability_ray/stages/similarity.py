@@ -403,3 +403,47 @@ def ivf_topk(
             "cosine": pa.array(out_sim, pa.float64()),
         }
     )
+
+
+def append_to_persisted_index(
+    index_root: str,
+    ds_new: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+) -> None:
+    """INCREMENTAL index maintenance: assign a new vector batch to the
+    EXISTING centroids and append files into the same hive layout — no
+    rebuild, no rewrite of existing buckets.  At 100 TB this is how a
+    daily crawl lands in the ANN index: the build is a one-time job,
+    appends are per-delta jobs, probes pick up new files for free (the
+    directory listing IS the manifest).  Centroids are read back from the
+    persisted table, so append jobs share nothing with the build job but
+    the layout."""
+    import pyarrow.parquet as pq
+
+    cent_tbl = pq.read_table(f"{index_root}/centroids.parquet")
+    centroids = _normalize(np.asarray(
+        cent_tbl.column(vec_col).to_pylist(), dtype=np.float32))
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch, vec_col))
+        a = (mat @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             vec_col: batch.column(vec_col),
+             "cent_id": pa.array(a),
+             "centroid": pa.array(a)}
+        )
+
+    assigned = ds_new.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if num_blocks is not None:
+        assigned = assigned.repartition(num_blocks)
+    assigned.write_parquet(
+        f"{index_root}/assignments",
+        partition_cols=["centroid"],
+        min_rows_per_file=32_768,
+    )
