@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ANN index maintenance: build base, append delta,
         # full-probe == exact top-k over the union
         "ann_append_topk_full": TD.ann_append_topk_full,
+        # link-prediction negative sampling over the host graph
+        "edge_negatives": TD.edge_negatives,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
     }
@@ -2075,6 +2077,23 @@ def _graph_oracles() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "edge_negatives": "WITH " + link_cte + """,
+            nodes AS (SELECT DISTINCT h FROM (
+              SELECT src AS h FROM links UNION ALL SELECT dst FROM links)),
+            cand AS (
+              SELECT n.h AS src,
+                     'h' || lpad(CAST(
+                       CAST(('0x' || substr(md5(n.h || ':n'
+                            || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 48
+                       AS VARCHAR), 2, '0') AS dst,
+                     j
+              FROM nodes n, unnest(generate_series(0, 3)) AS t(j))
+            SELECT c.src, c.dst, CAST(c.j AS BIGINT) AS slot
+            FROM cand c
+            LEFT JOIN links l ON l.src = c.src AND l.dst = c.dst
+            WHERE c.dst <> c.src AND l.src IS NULL
+            ORDER BY c.src, slot
         """,
         "host_components": "WITH RECURSIVE " + link_cte + """,
             base AS (SELECT DISTINCT src, dst FROM links),

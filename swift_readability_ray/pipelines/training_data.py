@@ -5793,3 +5793,14 @@ def ann_append_topk_full(
     return tbl.select(["query_id", "neighbor_id", "rank"]).sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
     )
+
+
+def edge_negatives(sf_dir: str, per_host: int = 4) -> pa.Table:
+    """Link-prediction negative samples over the host graph →
+    (src, dst, slot); semantics in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "slot": pa.array([], pa.int64())})
+    return G.edge_negatives(_weighted_host_edges(sf_dir),
+                            per_host=per_host)

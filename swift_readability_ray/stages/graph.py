@@ -466,3 +466,90 @@ def triangle_count(
     )
     return pa.table(
         {"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
+def edge_negatives(
+    ew: ray.data.Dataset,
+    per_host: int = 4,
+    join_partitions: int | None = None,
+    driver_limit: int = 500_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Deterministic NEGATIVE edge sampling for link-prediction training —
+    the complement of ``random_walks``' positives: for every host, up to
+    ``per_host`` md5-bridged candidate targets, keeping those that are
+    NOT a real out-edge (and not self) → (src, dst, slot).
+
+    Scale shape: candidates are generated per node block (no driver
+    loop), and the rejection test is ONE distributed left-anti hash join
+    against the aggregated edge list — exactly how negatives are mined
+    against a 10^10-edge graph; nothing materializes until the final
+    (bounded) collect."""
+    from ray.data.aggregate import Count
+
+    ew = ew.materialize()
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string()),
+                      "slot": pa.array([], pa.int64())})
+    n_edges = ew.count()
+    if n_edges == 0:
+        return empty
+    if not force_distributed and n_edges <= driver_limit:
+        # tiny edge list: driver set-lookup rejection (the anti join's
+        # hash shuffle can emit schema-less empty blocks on 1-row sides)
+        tbl = pa.concat_tables(ew.iter_batches(batch_format="pyarrow"))
+        ss = tbl.column("src").to_pylist()
+        dd = tbl.column("dst").to_pylist()
+        real = set(zip(ss, dd))
+        src, dst, slot = [], [], []
+        for h in sorted(set(ss) | set(dd)):
+            for j in range(per_host):
+                c = host_name(md5_bucket(f"{h}:n{j}", N_HOSTS))
+                if c != h and (h, c) not in real:
+                    src.append(h)
+                    dst.append(c)
+                    slot.append(j)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "slot": pa.array(slot, pa.int64())})
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(ew)
+
+    nodes = ew.map_batches(
+        lambda b: pa.table({"host": pa.concat_arrays(
+            [b.column("src").combine_chunks(),
+             b.column("dst").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("host").aggregate(Count()).map_batches(
+        lambda b: b.select(["host"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def cands(b: pa.Table) -> pa.Table:
+        src, dst, slot = [], [], []
+        for h in b.column("host").to_pylist():
+            for j in range(per_host):
+                c = host_name(md5_bucket(f"{h}:n{j}", N_HOSTS))
+                if c != h:
+                    src.append(h)
+                    dst.append(c)
+                    slot.append(j)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "slot": pa.array(slot, pa.int64())})
+
+    cand = nodes.map_batches(cands, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    edges_only = ew.map_batches(
+        lambda b: b.select(["src", "dst"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    neg = cand.join(
+        edges_only, join_type="left_anti",
+        num_partitions=join_partitions, on=("src", "dst"),
+    )
+    out = pa.concat_tables(neg.iter_batches(batch_format="pyarrow"))
+    if out.num_rows == 0:
+        return empty
+    return out.select(["src", "dst", "slot"]).sort_by(
+        [("src", "ascending"), ("slot", "ascending")])

@@ -109,7 +109,7 @@ BROAD_OPS = [
     "cooccurrence_pairs",
     "delta_neardup",
     "link_graph", "pagerank_hosts", "host_components", "host_profiles",
-    "random_walks", "triangle_count",
+    "random_walks", "triangle_count", "edge_negatives",
     "tfidf_top_terms", "decontaminate",
     "embedding_neardup", "label_centroids", "knn_bruteforce",
     "events_hourly", "events_sessions", "events_value_buckets",
@@ -345,7 +345,7 @@ def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
 
 GRAPH_OPS = ["link_graph", "pagerank_hosts", "host_components",
              "host_profiles", "random_walks", "attribution_last_touch",
-             "media_dedup", "triangle_count", "retention_cohorts",
+             "media_dedup", "triangle_count", "edge_negatives", "retention_cohorts",
              "cooccurrence_pairs"]
 
 

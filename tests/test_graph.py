@@ -222,3 +222,22 @@ def test_triangle_count_known_graph(ray_session):
     assert G.triangle_count(ew).column("n_triangles").to_pylist() == [2]
     assert G.triangle_count(
         ew, force_distributed=True).column("n_triangles").to_pylist() == [2]
+
+
+def test_edge_negatives_distributed_equals_driver(tmp_path, ray_session):
+    from swift_readability_ray.pipelines.training_data import (
+        _weighted_host_edges,
+    )
+
+    sf = _write_docs(tmp_path, list(range(40)))
+    drv = TD.edge_negatives(sf)
+    dist = G.edge_negatives(_weighted_host_edges(sf),
+                            force_distributed=True)
+    assert drv.equals(dist)
+    # no negative is a real edge
+    lg = TD.link_graph(sf)
+    real = set(zip(lg.column("src_host").to_pylist(),
+                   lg.column("dst_host").to_pylist()))
+    for r in drv.to_pylist():
+        assert (r["src"], r["dst"]) not in real
+        assert r["src"] != r["dst"]
