@@ -1345,8 +1345,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE event_type IN ('signup', 'purchase')
               GROUP BY user_id)
             SELECT CAST(count(first_signup) AS BIGINT) AS n_started,
-                   CAST(sum(CASE WHEN first_purchase > first_signup
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(coalesce(sum(CASE WHEN first_purchase > first_signup
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_converted,
                    CAST(coalesce(sum(CASE WHEN first_purchase > first_signup
                                  THEN first_purchase - first_signup END), 0)
                         AS BIGINT) AS sum_gap_us

@@ -3394,9 +3394,10 @@ def winnow_fingerprints(
              "gram_h": pa.array(out_h, pa.int64())}
         )
 
-    return pa.concat_tables(
-        ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")
+    return _collect(
+        ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "pos": pa.int64(),
+                         "gram_h": pa.int64()},
     ).sort_by([("doc_id", "ascending"), ("pos", "ascending")])
 
 
@@ -5514,17 +5515,54 @@ def pipeline_certificate(sf_dir: str) -> pa.Table:
 
     kept = ds.map_batches(gate_and_hash, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
-    if kept.count() == 0:
+    n_kept = kept.count()
+    if n_kept == 0:
         return empty
-    ded = kept.groupby("__h").aggregate(Min("doc_id")).map_batches(
-        lambda b: pa.table({"doc_id": pc.cast(b.column("min(doc_id)"),
-                                              pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    fin = ded.join(
-        kept, join_type="inner",
-        num_partitions=D._default_join_partitions(kept), on=("doc_id",),
-    )
+    if n_kept <= 4096:
+        # tiny survivor set: dedup + split on the driver — a 1-2 row join
+        # side can hash-shuffle into schema-less empty blocks (the same
+        # guard neardup_keep_best and edge_negatives carry)
+        tbl = pa.concat_tables(kept.iter_batches(batch_format="pyarrow"))
+        seen: dict = {}
+        for i, h in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("__h").to_pylist()):
+            if h not in seen or i < seen[h]:
+                seen[h] = i
+        keep_ids = set(seen.values())
+        mask = pa.array([i in keep_ids
+                         for i in tbl.column("doc_id").to_pylist()])
+        fin = ray.data.from_arrow(tbl.filter(mask))
+    else:
+        ded = kept.groupby("__h").aggregate(Min("doc_id")).map_batches(
+            lambda b: pa.table({"doc_id": pc.cast(b.column("min(doc_id)"),
+                                                  pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if ded.count() <= 2_000_000:
+            # survivor-id set fits a broadcast: vectorized searchsorted
+            # filter instead of a join (a high-dup corpus can shrink ded
+            # to a handful of rows — too thin a join side)
+            ids = np.sort(np.concatenate([
+                b.column("doc_id").to_numpy()
+                for b in ded.iter_batches(batch_format="pyarrow")]))
+            ids_ref = ray.put(ids)
+
+            def keep_min(b: pa.Table) -> pa.Table:
+                key = ray.get(ids_ref)
+                d = b.column("doc_id").to_numpy()
+                i = np.searchsorted(key, d)
+                i_safe = np.clip(i, 0, max(len(key) - 1, 0))
+                return b.filter(pa.array((len(key) > 0)
+                                         & (key[i_safe] == d)))
+
+            fin = kept.map_batches(keep_min, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        else:
+            fin = kept.join(
+                ded, join_type="inner",
+                num_partitions=D._default_join_partitions(kept),
+                on=("doc_id",),
+            )
 
     def split_partial(batch: pa.Table) -> pa.Table:
         bk = np.array([_md5_bucket(i, 100)
@@ -5804,3 +5842,175 @@ def edge_negatives(sf_dir: str, per_host: int = 4) -> pa.Table:
                          "slot": pa.array([], pa.int64())})
     return G.edge_negatives(_weighted_host_edges(sf_dir),
                             per_host=per_host)
+
+
+def q5_local_supplier_volume(
+    sf_dir: str, region: str = "ASIA",
+    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
+    SUPPLIER sit in the same nation of one region, for one order-date
+    year → (n_name, revenue_c4), revenue in integer cent×cent units
+    (half-up _cents, the q3 convention).
+
+    The canonical 6-table join done Ray-shaped: region→nation and
+    supplier are constant-size catalog dims (driver reads, always);
+    customer and orders broadcast as sorted key arrays under footer
+    gates — so the 10^12-row lineitem side is ONE shuffle-free
+    map_batches with three searchsorted lookups and a bounded
+    (25-nation) partial rollup.  Above the gate (or forced) the
+    orders×lineitem leg runs as a distributed hash join on o_orderkey
+    with the date filter pushed BEFORE the shuffle; both paths are
+    pinned equal and share the dim broadcasts."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    # catalog dims (constant size at any corpus scale): region → nations
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist()
+             if r["r_name"] == region}
+    nkey_to_name = {r["n_nationkey"]: r["n_name"]
+                    for r in nat.to_pylist() if r["n_regionkey"] in rkeys}
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue_c4": pa.array([], pa.int64())})
+    if not nkey_to_name:
+        return empty
+    nkeys = np.array(sorted(nkey_to_name), np.int64)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).sort_by(
+        "s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).sort_by(
+        "c_custkey")
+    c_keys = cust.column("c_custkey").to_numpy()
+    c_nat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+
+    def li_partial_factory(ord_keys, ord_cnat):
+        ok_ref = ray.put(ord_keys)
+        on_ref = ray.put(ord_cnat)
+        sk_ref = ray.put(s_keys)
+        sn_ref = ray.put(s_nat)
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            okeys, onat = ray.get(ok_ref), ray.get(on_ref)
+            skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+            lo_k = batch.column("l_orderkey").to_numpy()
+            ls = batch.column("l_suppkey").to_numpy()
+            oi = np.searchsorted(okeys, lo_k)
+            oi_safe = np.clip(oi, 0, max(len(okeys) - 1, 0))
+            o_hit = (len(okeys) > 0) & (okeys[oi_safe] == lo_k)
+            si = np.searchsorted(skeys, ls)
+            si_safe = np.clip(si, 0, max(len(skeys) - 1, 0))
+            s_hit = (len(skeys) > 0) & (skeys[si_safe] == ls)
+            keep = o_hit & s_hit & (onat[oi_safe] == snat[si_safe])
+            if not keep.any():
+                return pa.table({"nkey": pa.array([], pa.int64()),
+                                 "revenue_c4": pa.array([], pa.int64())})
+            price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+            disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
+            rev = price_c * (100 - disc_c)
+            nk = onat[oi_safe][keep]
+            out = np.zeros(len(nkeys), np.int64)
+            np.add.at(out, np.searchsorted(nkeys, nk), rev)
+            nz = np.flatnonzero(out)
+            return pa.table({"nkey": pa.array(nkeys[nz], pa.int64()),
+                             "revenue_c4": pa.array(out[nz], pa.int64())})
+
+        return li_partial
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    def order_filter(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
+        ck = b.column("o_custkey").to_numpy()
+        ci = np.searchsorted(c_keys, ck)
+        ci_safe = np.clip(ci, 0, max(len(c_keys) - 1, 0))
+        c_hit = (len(c_keys) > 0) & (c_keys[ci_safe] == ck)
+        keep = (od >= lo) & (od < hi) & c_hit & np.isin(
+            c_nat[np.clip(ci_safe, 0, None)], nkeys) & c_hit
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "cnat": pa.array(c_nat[ci_safe][keep], pa.int64()),
+        })
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        # broadcast path: date+region-filtered orders become two sorted
+        # arrays; lineitem never shuffles
+        ot = pa.concat_tables(
+            ords.map_batches(order_filter, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow"))
+        ot = ot.sort_by("o_orderkey")
+        partial = li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("cnat").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # distributed path: filtered orders ⋈ lineitem hash join on
+        # o_orderkey (slim columns both sides), dims stay broadcast
+        of = ords.map_batches(order_filter, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        if of.count() == 0:
+            return empty
+        sk_ref = ray.put(s_keys)
+        sn_ref = ray.put(s_nat)
+        li_slim = li.map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "price_c": _cents(b.column("l_extendedprice")),
+                "disc_c": _cents(b.column("l_discount")),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = li_slim.join(
+            of, join_type="inner",
+            num_partitions=D._default_join_partitions(li_slim),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def rev_partial(b: pa.Table) -> pa.Table:
+            skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+            ls = b.column("l_suppkey").to_numpy()
+            si = np.searchsorted(skeys, ls)
+            si_safe = np.clip(si, 0, max(len(skeys) - 1, 0))
+            keep = ((len(skeys) > 0) & (skeys[si_safe] == ls)
+                    & (b.column("cnat").to_numpy() == snat[si_safe]))
+            if not keep.any():
+                return pa.table({"nkey": pa.array([], pa.int64()),
+                                 "revenue_c4": pa.array([], pa.int64())})
+            rev = (b.column("price_c").to_numpy()[keep]
+                   * (100 - b.column("disc_c").to_numpy()[keep]))
+            nk = b.column("cnat").to_numpy()[keep]
+            out = np.zeros(len(nkeys), np.int64)
+            np.add.at(out, np.searchsorted(nkeys, nk), rev)
+            nz = np.flatnonzero(out)
+            return pa.table({"nkey": pa.array(nkeys[nz], pa.int64()),
+                             "revenue_c4": pa.array(out[nz], pa.int64())})
+
+        partial = joined.map_batches(rev_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    merged = _merge_partials(
+        partial, ["nkey"], [("revenue_c4", "sum")],
+        fallback_schema={"nkey": pa.int64(), "revenue_c4": pa.int64()})
+    names = [nkey_to_name[k] for k in merged.column("nkey").to_pylist()]
+    out = pa.table({"n_name": pa.array(names, pa.string()),
+                    "revenue_c4": merged.column("revenue_c4")})
+    idx = pc.sort_indices(out, sort_keys=[("revenue_c4", "descending"),
+                                          ("n_name", "ascending")])
+    return out.take(idx)
