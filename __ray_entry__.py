@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_append_topk_full": TD.ann_append_topk_full,
         # link-prediction negative sampling over the host graph
         "edge_negatives": TD.edge_negatives,
+        # TPC-H Q5 shape: 6-table join, revenue per nation (region/nation/
+        # supplier dims broadcast, orders gated, lineitem never shuffles)
+        "q5_local_supplier_volume": TD.q5_local_supplier_volume,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
     }
@@ -1002,6 +1005,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue_c4 DESC, o_orderkey
             LIMIT 10
+        """,
+        # TPC-H Q5: same-nation customer+supplier revenue, one region, one
+        # order-date year; integer cent x cent revenue like q3
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_c4 DESC, n_name
         """,
         # rolling windows per user: ROWS frame (3 preceding + current,
         # ts/event_id order) and RANGE frame (60 min preceding + current,

@@ -404,3 +404,106 @@ def test_established_ops_on_empty_tables(tmp_path, ray_session):
     m = _entry()
     for name in EMPTY_GUARDED_OPS:
         _compare(m, name, str(tmp_path))
+
+
+def _rand_tpch_dims(rng, tmp_path, n_sup=12):
+    # region/nation/supplier dims for the 6-table q5 join
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array(range(5), pa.int64()),
+         "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                             "MIDDLE EAST"], pa.string())}),
+        str(tmp_path / "region.parquet"))
+    nk = np.arange(25, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(nk, pa.int64()),
+         "n_name": pa.array(["NATION%02d" % k for k in nk], pa.string()),
+         "n_regionkey": pa.array(rng.randint(0, 5, 25), pa.int64())}),
+        str(tmp_path / "nation.parquet"))
+    sk = np.arange(1, n_sup + 1, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array(sk, pa.int64()),
+         "s_name": pa.array(["Supplier#%d" % k for k in sk], pa.string()),
+         "s_nationkey": pa.array(rng.randint(0, 25, n_sup), pa.int64()),
+         "s_acctbal": pa.array(np.round(rng.rand(n_sup) * 999, 2),
+                               pa.float64())}),
+        str(tmp_path / "supplier.parquet"))
+
+
+@pytest.mark.parametrize("seed", [29, 67])
+def test_differential_q5(tmp_path, ray_session, seed):
+    # q5's default date band is 1996: generate orders straddling it so the
+    # band filter actually cuts, plus customers whose nationkey spans all
+    # 25 nations (the c_nation == s_nation join predicate gets real hits
+    # and misses)
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    _rand_tpch(rng, tmp_path)
+    _rand_tpch_dims(rng, tmp_path)
+    # overwrite orders with dates straddling the 1996 band, and customers
+    # with the full nation range
+    n_ord, n_cust = 200, 8
+    base_us = int(np.datetime64("1995-06-01", "us").astype(np.int64))
+    odate = base_us + rng.randint(0, 900, n_ord).astype(np.int64) * 86_400_000_000
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(np.arange(1, n_ord + 1), pa.int64()),
+         "o_custkey": pa.array(rng.randint(1, n_cust + 1, n_ord), pa.int64()),
+         "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord).tolist()),
+         "o_totalprice": pa.array(np.round(rng.rand(n_ord) * 9999, 2),
+                                  pa.float64()),
+         "o_orderdate": pa.array(odate, pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(
+             ["1-URGENT", "2-HIGH"], n_ord).tolist())}),
+        str(tmp_path / "orders.parquet"))
+    ck = np.arange(1, n_cust + 1, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(ck, pa.int64()),
+         "c_name": pa.array(["Customer#%d" % k for k in ck]),
+         "c_nationkey": pa.array(rng.randint(0, 25, n_cust), pa.int32()),
+         "c_acctbal": pa.array(np.round(rng.rand(n_cust) * 1000, 2),
+                               pa.float64()),
+         "c_mktsegment": pa.array(["BUILDING"] * n_cust, pa.string())}),
+        str(tmp_path / "customer.parquet"))
+
+    # lineitem re-keyed to the wider order range so the filtered-orders
+    # join side has enough rows for a real hash shuffle
+    n_li = 400
+    sdate = base_us + rng.randint(0, 900, n_li).astype(np.int64) * 86_400_000_000
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(rng.randint(1, n_ord + 1, n_li), pa.int64()),
+         "l_partkey": pa.array(rng.randint(1, 50, n_li), pa.int64()),
+         "l_suppkey": pa.array(rng.randint(1, 13, n_li), pa.int64()),
+         "l_linenumber": pa.array(rng.randint(1, 7, n_li), pa.int32()),
+         "l_quantity": pa.array(rng.randint(1, 50, n_li).astype(float),
+                                pa.float64()),
+         "l_extendedprice": pa.array(np.round(rng.rand(n_li) * 5000, 2),
+                                     pa.float64()),
+         "l_discount": pa.array(np.round(rng.rand(n_li) * 0.1, 2),
+                                pa.float64()),
+         "l_tax": pa.array(np.round(rng.rand(n_li) * 0.08, 2), pa.float64()),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li).tolist()),
+         "l_linestatus": pa.array(rng.choice(["O", "F"], n_li).tolist()),
+         "l_shipdate": pa.array(sdate, pa.timestamp("us"))}),
+        str(tmp_path / "lineitem.parquet"))
+
+    m = _entry()
+    res = m.queries()["q5_local_supplier_volume"](str(tmp_path))
+    mine = res.to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    ref = con.execute(m.oracle_sql()["q5_local_supplier_volume"]).fetchdf()
+    mine = mine[sorted(mine.columns)].reset_index(drop=True)
+    ref = ref[sorted(ref.columns)].reset_index(drop=True)
+    assert mine.equals(ref), (mine, ref)
+    # forced-distributed path pinned equal
+    from swift_readability_ray.pipelines.training_data import (
+        q5_local_supplier_volume,
+    )
+
+    dist = q5_local_supplier_volume(str(tmp_path), force_distributed=True)
+    assert dist.to_pandas()[sorted(mine.columns)].reset_index(
+        drop=True).equals(mine)
