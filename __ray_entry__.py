@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q5 shape: 6-table join, revenue per nation (region/nation/
         # supplier dims broadcast, orders gated, lineitem never shuffles)
         "q5_local_supplier_volume": TD.q5_local_supplier_volume,
+        # TPC-H Q14 shape: promo-part revenue share (integer numerator +
+        # denominator; part dim broadcast, lineitem never shuffles)
+        "q14_promo_revenue": TD.q14_promo_revenue,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
     }
@@ -1026,6 +1029,21 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "q14_promo_revenue": """
+            SELECT CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100)
+                                            AS BIGINT)) END), 0) AS BIGINT)
+                     AS promo_rev_c4,
+                   CAST(coalesce(sum(
+                         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100)
+                                       AS BIGINT))), 0) AS BIGINT)
+                     AS total_rev_c4
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
         """,
         # rolling windows per user: ROWS frame (3 preceding + current,
         # ts/event_id order) and RANGE frame (60 min preceding + current,

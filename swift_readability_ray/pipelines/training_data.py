@@ -6014,3 +6014,66 @@ def q5_local_supplier_volume(
     idx = pc.sort_indices(out, sort_keys=[("revenue_c4", "descending"),
                                           ("n_name", "ascending")])
     return out.take(idx)
+
+
+def q14_promo_revenue(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+) -> pa.Table:
+    """TPC-H Q14 shape: revenue share of PROMO-type parts for one
+    ship-date window → one row (promo_rev_c4, total_rev_c4) in integer
+    cent×cent units (the ratio is the caller's division — keeping both
+    integer sums makes the oracle hash-exact).
+
+    The part dimension broadcasts as a sorted key array + promo bitmask
+    (`ray.put` once); lineitem is a shuffle-free map with a searchsorted
+    lookup and two integer partial sums per block, driver-merged."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).sort_by(
+        "p_partkey")
+    p_keys = part.column("p_partkey").to_numpy()
+    p_promo = np.asarray(
+        pc.equal(part.column("p_type"), "PROMO").combine_chunks())
+    pk_ref = ray.put(p_keys)
+    pp_ref = ray.put(p_promo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, promo = ray.get(pk_ref), ray.get(pp_ref)
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        if not keep.any() or len(keys) == 0:
+            return pa.table({"promo_rev_c4": pa.array([0], pa.int64()),
+                             "total_rev_c4": pa.array([0], pa.int64())})
+        pkey = batch.column("l_partkey").to_numpy()[keep]
+        i = np.searchsorted(keys, pkey)
+        i_safe = np.clip(i, 0, len(keys) - 1)
+        hit = keys[i_safe] == pkey
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+        disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
+        rev = (price_c * (100 - disc_c))[hit]
+        is_promo = promo[i_safe[hit]]
+        return pa.table({
+            "promo_rev_c4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_rev_c4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    parts = _collect(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"promo_rev_c4": pa.int64(),
+                         "total_rev_c4": pa.int64()})
+    return pa.table({
+        "promo_rev_c4": pa.array(
+            [int(pc.sum(parts.column("promo_rev_c4")).as_py() or 0)],
+            pa.int64()),
+        "total_rev_c4": pa.array(
+            [int(pc.sum(parts.column("total_rev_c4")).as_py() or 0)],
+            pa.int64()),
+    })

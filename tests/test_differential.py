@@ -245,8 +245,20 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
          "o_orderpriority": pa.array(rng.choice(
              ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord).tolist())}),
         str(tmp_path / "orders.parquet"))
+    pk = np.arange(1, 51, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array(pk, pa.int64()),
+         "p_name": pa.array(["part%d" % k for k in pk], pa.string()),
+         "p_brand": pa.array(["B%d" % (k % 5) for k in pk], pa.string()),
+         "p_type": pa.array(rng.choice(
+             ["PROMO", "STANDARD", "ECONOMY"], 50).tolist(), pa.string()),
+         "p_size": pa.array(rng.randint(1, 50, 50), pa.int32()),
+         "p_retailprice": pa.array(np.round(rng.rand(50) * 2000, 2),
+                                   pa.float64())}),
+        str(tmp_path / "part.parquet"))
     l_ord = rng.randint(1, n_ord + 1, n_li).astype(np.int64)
-    sdate = base_us + rng.randint(0, 500, n_li).astype(np.int64) * 86_400_000_000
+    q14_base = int(np.datetime64("1995-06-01", "us").astype(np.int64))
+    sdate = q14_base + rng.randint(0, 900, n_li).astype(np.int64) * 86_400_000_000
     pq.write_table(pa.table(
         {"l_orderkey": pa.array(l_ord, pa.int64()),
          "l_partkey": pa.array(rng.randint(1, 50, n_li), pa.int64()),
@@ -273,11 +285,14 @@ def _compare_tpch(entry_mod, name: str, sf_dir: str):
     res = entry_mod.queries()[name](sf_dir)
     mine = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    import os
+
+    for t in ("customer", "orders", "lineitem", "part"):
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
     ref = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
     mine = mine[sorted(mine.columns)].reset_index(drop=True)
     ref = ref[sorted(ref.columns)].reset_index(drop=True)
@@ -288,7 +303,7 @@ def _compare_tpch(entry_mod, name: str, sf_dir: str):
 
 
 JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
-            "customers_without_orders"]
+            "customers_without_orders", "q14_promo_revenue"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
