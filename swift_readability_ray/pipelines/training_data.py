@@ -5951,10 +5951,13 @@ def q5_local_supplier_volume(
                                   and n_ords <= broadcast_limit):
         # broadcast path: date+region-filtered orders become two sorted
         # arrays; lineitem never shuffles
-        ot = pa.concat_tables(
+        ot = _collect(
             ords.map_batches(order_filter, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .iter_batches(batch_format="pyarrow"))
+                             zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64(),
+                             "cnat": pa.int64()})
+        if ot.num_rows == 0:
+            return empty
         ot = ot.sort_by("o_orderkey")
         partial = li.map_batches(
             li_partial_factory(ot.column("o_orderkey").to_numpy(),
