@@ -5934,17 +5934,21 @@ def q5_local_supplier_volume(
                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
     n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
 
+    ck_ref = ray.put(c_keys)
+    cn_ref = ray.put(c_nat)
+
     def order_filter(b: pa.Table) -> pa.Table:
+        ckeys, cnat = ray.get(ck_ref), ray.get(cn_ref)
         od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
         ck = b.column("o_custkey").to_numpy()
-        ci = np.searchsorted(c_keys, ck)
-        ci_safe = np.clip(ci, 0, max(len(c_keys) - 1, 0))
-        c_hit = (len(c_keys) > 0) & (c_keys[ci_safe] == ck)
-        keep = (od >= lo) & (od < hi) & c_hit & np.isin(
-            c_nat[np.clip(ci_safe, 0, None)], nkeys) & c_hit
+        ci = np.searchsorted(ckeys, ck)
+        ci_safe = np.clip(ci, 0, max(len(ckeys) - 1, 0))
+        c_hit = (len(ckeys) > 0) & (ckeys[ci_safe] == ck)
+        keep = ((od >= lo) & (od < hi) & c_hit
+                & np.isin(cnat[ci_safe], nkeys))
         return pa.table({
             "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
-            "cnat": pa.array(c_nat[ci_safe][keep], pa.int64()),
+            "cnat": pa.array(cnat[ci_safe][keep], pa.int64()),
         })
 
     if not force_distributed and (n_ords is not None
