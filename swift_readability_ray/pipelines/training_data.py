@@ -177,6 +177,20 @@ def _merge_partials(
 _GRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+def _sorted_member(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of ``vals`` in the SORTED array ``keys`` →
+    (hit_mask, safe_index).  The ONE guarded searchsorted idiom — an
+    empty key array short-circuits BEFORE any indexing (numpy ``&`` does
+    not short-circuit, so ``(len(k) > 0) & (k[i] == v)`` still indexes
+    the empty array and raises; code-review finding)."""
+    if keys.size == 0:
+        z = np.zeros(len(vals), np.int64)
+        return np.zeros(len(vals), bool), z
+    i = np.searchsorted(keys, vals)
+    i_safe = np.clip(i, 0, len(keys) - 1)
+    return keys[i_safe] == vals, i_safe
+
+
 def _cents(col) -> pa.Array:
     """value → integer cents with HALF-UP ties, matching DuckDB
     ``round(v * 100)`` for the non-negative money/value columns these
@@ -5548,12 +5562,9 @@ def pipeline_certificate(sf_dir: str) -> pa.Table:
             ids_ref = ray.put(ids)
 
             def keep_min(b: pa.Table) -> pa.Table:
-                key = ray.get(ids_ref)
-                d = b.column("doc_id").to_numpy()
-                i = np.searchsorted(key, d)
-                i_safe = np.clip(i, 0, max(len(key) - 1, 0))
-                return b.filter(pa.array((len(key) > 0)
-                                         & (key[i_safe] == d)))
+                hit, _ = _sorted_member(ray.get(ids_ref),
+                                        b.column("doc_id").to_numpy())
+                return b.filter(pa.array(hit))
 
             fin = kept.map_batches(keep_min, batch_format="pyarrow",
                                    zero_copy_batch=True)
@@ -5904,13 +5915,12 @@ def q5_local_supplier_volume(
             skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
             lo_k = batch.column("l_orderkey").to_numpy()
             ls = batch.column("l_suppkey").to_numpy()
-            oi = np.searchsorted(okeys, lo_k)
-            oi_safe = np.clip(oi, 0, max(len(okeys) - 1, 0))
-            o_hit = (len(okeys) > 0) & (okeys[oi_safe] == lo_k)
-            si = np.searchsorted(skeys, ls)
-            si_safe = np.clip(si, 0, max(len(skeys) - 1, 0))
-            s_hit = (len(skeys) > 0) & (skeys[si_safe] == ls)
-            keep = o_hit & s_hit & (onat[oi_safe] == snat[si_safe])
+            o_hit, oi_safe = _sorted_member(okeys, lo_k)
+            s_hit, si_safe = _sorted_member(skeys, ls)
+            keep = (o_hit & s_hit
+                    & (len(okeys) > 0) & (len(skeys) > 0))
+            if keep.any():
+                keep &= onat[oi_safe] == snat[si_safe]
             if not keep.any():
                 return pa.table({"nkey": pa.array([], pa.int64()),
                                  "revenue_c4": pa.array([], pa.int64())})
@@ -5941,14 +5951,15 @@ def q5_local_supplier_volume(
         ckeys, cnat = ray.get(ck_ref), ray.get(cn_ref)
         od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
         ck = b.column("o_custkey").to_numpy()
-        ci = np.searchsorted(ckeys, ck)
-        ci_safe = np.clip(ci, 0, max(len(ckeys) - 1, 0))
-        c_hit = (len(ckeys) > 0) & (ckeys[ci_safe] == ck)
-        keep = ((od >= lo) & (od < hi) & c_hit
-                & np.isin(cnat[ci_safe], nkeys))
+        c_hit, ci_safe = _sorted_member(ckeys, ck)
+        keep = (od >= lo) & (od < hi) & c_hit
+        if keep.any():
+            keep &= np.isin(cnat[ci_safe], nkeys)
         return pa.table({
             "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
-            "cnat": pa.array(cnat[ci_safe][keep], pa.int64()),
+            "cnat": pa.array(cnat[ci_safe][keep]
+                             if len(ckeys) else np.array([], np.int64),
+                             pa.int64()),
         })
 
     if not force_distributed and (n_ords is not None
@@ -5974,6 +5985,17 @@ def q5_local_supplier_volume(
                               zero_copy_batch=True).materialize()
         if of.count() == 0:
             return empty
+        if of.count() <= 16:
+            # pathologically thin join side (the twice-hit schema-less
+            # empty-block gotcha): collect it and take the broadcast math
+            ot = pa.concat_tables(
+                of.iter_batches(batch_format="pyarrow")).sort_by(
+                "o_orderkey")
+            partial = li.map_batches(
+                li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                                   ot.column("cnat").to_numpy()),
+                batch_format="pyarrow", zero_copy_batch=True)
+            return _q5_finish(partial, nkey_to_name)
         sk_ref = ray.put(s_keys)
         sn_ref = ray.put(s_nat)
         li_slim = li.map_batches(
@@ -5993,10 +6015,11 @@ def q5_local_supplier_volume(
         def rev_partial(b: pa.Table) -> pa.Table:
             skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
             ls = b.column("l_suppkey").to_numpy()
-            si = np.searchsorted(skeys, ls)
-            si_safe = np.clip(si, 0, max(len(skeys) - 1, 0))
-            keep = ((len(skeys) > 0) & (skeys[si_safe] == ls)
-                    & (b.column("cnat").to_numpy() == snat[si_safe]))
+            s_hit, si_safe = _sorted_member(skeys, ls)
+            keep = s_hit
+            if keep.any():
+                keep = keep & (b.column("cnat").to_numpy()
+                               == snat[si_safe])
             if not keep.any():
                 return pa.table({"nkey": pa.array([], pa.int64()),
                                  "revenue_c4": pa.array([], pa.int64())})
@@ -6012,6 +6035,11 @@ def q5_local_supplier_volume(
         partial = joined.map_batches(rev_partial, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
+    return _q5_finish(partial, nkey_to_name)
+
+
+def _q5_finish(partial, nkey_to_name: dict) -> pa.Table:
+    """Bounded (≤25-nation) partial merge + name mapping + Q5 ordering."""
     merged = _merge_partials(
         partial, ["nkey"], [("revenue_c4", "sum")],
         fallback_schema={"nkey": pa.int64(), "revenue_c4": pa.int64()})
@@ -6055,9 +6083,7 @@ def q14_promo_revenue(
             return pa.table({"promo_rev_c4": pa.array([0], pa.int64()),
                              "total_rev_c4": pa.array([0], pa.int64())})
         pkey = batch.column("l_partkey").to_numpy()[keep]
-        i = np.searchsorted(keys, pkey)
-        i_safe = np.clip(i, 0, len(keys) - 1)
-        hit = keys[i_safe] == pkey
+        hit, i_safe = _sorted_member(keys, pkey)
         price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
         disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
         rev = (price_c * (100 - disc_c))[hit]

@@ -172,6 +172,44 @@ def build_ivf_centroids(
     return centroids
 
 
+
+def _assign_and_write(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    out_root: str,
+    id_col: str,
+    vec_col: str,
+    num_blocks: int | None,
+) -> None:
+    """The ONE layout writer build and append share: nearest-centroid
+    assignment + hive-partitioned parquet write.  The centroid id is ALSO
+    carried as a data column (``cent_id``) so a leaf-directory read needs
+    no hive inference; ``num_blocks`` coalesces many-tiny-block inputs
+    (write_parquet emits one file per block × partition value)."""
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch, vec_col))
+        a = (mat @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             vec_col: batch.column(vec_col),
+             "cent_id": pa.array(a),
+             "centroid": pa.array(a)}
+        )
+
+    assigned = ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if num_blocks is not None:
+        assigned = assigned.repartition(num_blocks)
+    assigned.write_parquet(
+        f"{out_root}/assignments",
+        partition_cols=["centroid"],
+        min_rows_per_file=32_768,
+    )
+
+
 def build_persisted_index(
     ds: ray.data.Dataset,
     out_root: str,
@@ -194,32 +232,7 @@ def build_persisted_index(
     import pyarrow.parquet as pq
 
     centroids = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
-    cent_ref = ray.put(centroids)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_to_matrix(batch, vec_col))
-        a = (mat @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int64)
-        return pa.table(
-            {id_col: batch.column(id_col),
-             vec_col: batch.column(vec_col),
-             "cent_id": pa.array(a),
-             "centroid": pa.array(a)}
-        )
-
-    assigned = ds.map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True
-    )
-    if num_blocks is not None:
-        # coalesce: write_parquet emits one file per (block × partition
-        # value), so a many-tiny-block input fragments every centroid dir —
-        # callers that know the corpus size pass a row-budgeted block count
-        # (VERDICT r3 #3); at scale leave None and let blocks flow through
-        assigned = assigned.repartition(num_blocks)
-    assigned.write_parquet(
-        f"{out_root}/assignments",
-        partition_cols=["centroid"],
-        min_rows_per_file=32_768,
-    )
+    _assign_and_write(ds, centroids, out_root, id_col, vec_col, num_blocks)
     pq.write_table(
         pa.table(
             {"centroid": pa.array(range(len(centroids)), pa.int64()),
@@ -425,25 +438,5 @@ def append_to_persisted_index(
     cent_tbl = pq.read_table(f"{index_root}/centroids.parquet")
     centroids = _normalize(np.asarray(
         cent_tbl.column(vec_col).to_pylist(), dtype=np.float32))
-    cent_ref = ray.put(centroids)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_to_matrix(batch, vec_col))
-        a = (mat @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int64)
-        return pa.table(
-            {id_col: batch.column(id_col),
-             vec_col: batch.column(vec_col),
-             "cent_id": pa.array(a),
-             "centroid": pa.array(a)}
-        )
-
-    assigned = ds_new.map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True
-    )
-    if num_blocks is not None:
-        assigned = assigned.repartition(num_blocks)
-    assigned.write_parquet(
-        f"{index_root}/assignments",
-        partition_cols=["centroid"],
-        min_rows_per_file=32_768,
-    )
+    _assign_and_write(ds_new, centroids, index_root, id_col, vec_col,
+                      num_blocks)

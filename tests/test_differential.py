@@ -234,7 +234,10 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
     ord_keys = np.arange(1, n_ord + 1, dtype=np.int64)
     # skew custkeys so some customers have NO orders (anti-join edge)
     o_cust = rng.randint(1, max(n_cust // 2, 2) + 1, n_ord).astype(np.int64)
-    odate = base_us + rng.randint(0, 400, n_ord).astype(np.int64) * 86_400_000_000
+    # straddle q3's o_orderdate < 1998-01-01 cutoff so the fuzz CUTS
+    # (the old 2017 base made the q3 comparison empty-vs-empty)
+    o_base = int(np.datetime64("1996-06-01", "us").astype(np.int64))
+    odate = o_base + rng.randint(0, 1100, n_ord).astype(np.int64) * 86_400_000_000
     pq.write_table(pa.table(
         {"o_orderkey": pa.array(ord_keys, pa.int64()),
          "o_custkey": pa.array(o_cust, pa.int64()),
@@ -258,10 +261,14 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
         str(tmp_path / "part.parquet"))
     l_ord = rng.randint(1, n_ord + 1, n_li).astype(np.int64)
     q14_base = int(np.datetime64("1995-06-01", "us").astype(np.int64))
-    sdate = q14_base + rng.randint(0, 900, n_li).astype(np.int64) * 86_400_000_000
+    # 0..1400d spans 1995-1999: q14's 1996 band AND q3's shipdate >
+    # 1998-01-01 predicate both cut
+    sdate = q14_base + rng.randint(0, 1400, n_li).astype(np.int64) * 86_400_000_000
     pq.write_table(pa.table(
         {"l_orderkey": pa.array(l_ord, pa.int64()),
-         "l_partkey": pa.array(rng.randint(1, 50, n_li), pa.int64()),
+         # 1..60 so some partkeys MISS the 1..50 part table (q14's
+         # inner-join exclusion branch gets real coverage)
+         "l_partkey": pa.array(rng.randint(1, 61, n_li), pa.int64()),
          "l_suppkey": pa.array(rng.randint(1, 10, n_li), pa.int64()),
          "l_linenumber": pa.array(rng.randint(1, 7, n_li), pa.int32()),
          "l_quantity": pa.array(rng.randint(1, 50, n_li).astype(float),
