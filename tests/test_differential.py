@@ -529,3 +529,19 @@ def test_differential_q5(tmp_path, ray_session, seed):
     dist = q5_local_supplier_volume(str(tmp_path), force_distributed=True)
     assert dist.to_pandas()[sorted(mine.columns)].reset_index(
         drop=True).equals(mine)
+
+
+def test_every_oracled_query_is_fuzzed():
+    # meta-guard: a new oracled query must land in SOME differential fuzz
+    # surface (BROAD/NEW/HEAVY/GRAPH/JOIN lists or a dedicated test), so
+    # oracle parity is never certified by the fixed corpus alone
+    DEDICATED = {
+        # covered by their own differential tests in this file
+        "q5_local_supplier_volume",  # test_differential_q5
+        "retention_cohorts",         # GRAPH_OPS + dual-path test
+    }
+    fuzzed = (set(BROAD_OPS) | set(NEW_OPS) | set(HEAVY_OPS)
+              | set(GRAPH_OPS) | set(JOIN_OPS) | DEDICATED)
+    m = _entry()
+    missing = set(m.oracle_sql()) - fuzzed
+    assert not missing, f"oracled queries with no fuzz surface: {missing}"
