@@ -230,6 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": TD.q14_promo_revenue,
         # source-pair vocabulary overlap (mixing diagnostic)
         "vocab_overlap": TD.vocab_overlap,
+        # TPC-H Q6 shape: shuffle-free forecast-revenue scan-aggregate
+        "q6_forecast_revenue": TD.q6_forecast_revenue,
+        # TPC-H Q4 shape: per-priority EXISTS semi-join (shipped-before-
+        # order anomaly audit; broadcast-gated with join fallback)
+        "q4_priority_anomalies": TD.q4_priority_anomalies,
+        # TPC-H Q18 shape: large-volume orders (HAVING prune -> gated
+        # join -> top-k -> <=k-key customer fetch)
+        "q18_large_orders": TD.q18_large_orders,
     }
 
 
@@ -1044,6 +1052,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        # TPC-H Q6: integer cent×cent revenue with the discount band
+        # compared in rounded cents (matches the engine's _cents half-up)
+        "q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_c4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # TPC-H Q4 shape: the EXISTS stays a true correlated semi-join in
+        # the oracle; the engine evaluates it as min(shipdate) < orderdate
+        "q4_priority_anomalies": """
+            WITH w AS (
+              SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM w
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = w.o_orderkey
+                            AND l.l_shipdate < w.o_orderdate)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q18 shape: HAVING on the per-order quantity sum, then the
+        # customer join only for the k-row head
+        "q18_large_orders": """
+            WITH t AS (
+              SELECT l_orderkey,
+                     CAST(sum(l_quantity) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+            SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey, t.total_qty,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY price_c DESC, o_orderkey LIMIT 10
         """,
         # rolling windows per user: ROWS frame (3 preceding + current,
         # ts/event_id order) and RANGE frame (60 min preceding + current,

@@ -6110,3 +6110,323 @@ def q14_promo_revenue(
             [int(pc.sum(parts.column("total_rev_c4")).as_py() or 0)],
             pa.int64()),
     })
+
+
+def q6_forecast_revenue(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+    disc_lo_c: int = 5, disc_hi_c: int = 7, max_qty: float = 24.0,
+) -> pa.Table:
+    """TPC-H Q6 shape: forecast-revenue delta — what revenue would be
+    gained by eliminating small discounts on low-quantity items in one
+    ship-date year → one row (revenue_c4, n_items), revenue in integer
+    cent×cent units (price_c × disc_c) so the oracle is hash-exact.
+
+    The canonical shuffle-free scan-aggregate: a column-pruned lineitem
+    read, one vectorized filter+sum per block, bounded partials driver-
+    merged.  Discounts are compared in CENTS (``_cents`` half-up) so the
+    band predicate matches DuckDB ``round(l_discount*100) BETWEEN``
+    exactly — a float ``0.05 <= d`` comparison would diverge on values
+    like 0.049999999."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy()
+        disc_c = _cents(batch.column("l_discount")).to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        keep = ((sd >= lo) & (sd < hi) & (disc_c >= disc_lo_c)
+                & (disc_c <= disc_hi_c) & (qty < max_qty))
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+        return pa.table({
+            "revenue_c4": pa.array(
+                [int((price_c * disc_c[keep]).sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    parts = _collect(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"revenue_c4": pa.int64(), "n_items": pa.int64()})
+    return pa.table({
+        "revenue_c4": pa.array(
+            [int(pc.sum(parts.column("revenue_c4")).as_py() or 0)],
+            pa.int64()),
+        "n_items": pa.array(
+            [int(pc.sum(parts.column("n_items")).as_py() or 0)],
+            pa.int64()),
+    })
+
+
+def q4_priority_anomalies(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+    broadcast_limit: int = 200_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q4 shape: per-priority count of orders in one order-date
+    window for which EXISTS an anomalous lineitem (shipped BEFORE the
+    order date — the data-quality semi-join every ingest audit runs) →
+    (o_orderpriority, n_orders) ordered by priority.
+
+    Scale shape — the semi-join never materializes matches, only order
+    keys:
+      - orders: column-pruned read + window filter; the surviving
+        (orderkey, orderdate, priority) side broadcasts sorted while its
+        count (free metadata after the materialize) is ≤
+        ``broadcast_limit`` — lineitem then never shuffles: each block
+        does one searchsorted membership + date compare and emits only
+        its DISTINCT anomalous order keys;
+      - above the gate (or ``force_distributed``): lineitem pre-combines
+        to per-block (orderkey, min_shipdate) partials, ONE native
+        groupby-Min collapses them, and ONE hash join against the
+        filtered orders evaluates the EXISTS as ``min_ship < orderdate``
+        (EXISTS(ship < od) ⇔ min(ship) < od, so the join side is one row
+        per order, not per lineitem);
+      - both paths end in bounded per-priority partial counts
+        driver-merged; tests pin them equal.
+    """
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64())})
+    if (_footer_rows(f"{sf_dir}/orders.parquet") == 0
+            or _footer_rows(f"{sf_dir}/lineitem.parquet") == 0):
+        return empty
+
+    ords = _read_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch.column("o_orderdate"), pa.int64())
+        keep = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
+        b = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "od_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority")})
+
+    fords = ords.map_batches(
+        window, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_f = fords.count()
+    if n_f == 0:
+        return empty
+    li = _read_sized(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_shipdate"])
+
+    def count_priorities(prios: pa.Array | pa.ChunkedArray) -> pa.Table:
+        t = pa.table({"o_orderpriority": prios}).group_by(
+            ["o_orderpriority"]).aggregate([("o_orderpriority", "count")])
+        t = t.rename_columns(["o_orderpriority", "n_orders"])
+        return t.set_column(
+            1, "n_orders", pc.cast(t.column("n_orders"), pa.int64())
+        ).sort_by("o_orderpriority")
+
+    if not force_distributed and n_f <= broadcast_limit:
+        tbl = _collect(fords).sort_by("o_orderkey")
+        keys = tbl.column("o_orderkey").to_numpy()
+        odate = tbl.column("od_us").to_numpy()
+        k_ref, d_ref = ray.put(keys), ray.put(odate)
+
+        def anomalous_keys(batch: pa.Table) -> pa.Table:
+            k, d = ray.get(k_ref), ray.get(d_ref)
+            ok = batch.column("l_orderkey").to_numpy()
+            sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy()
+            hit, i = _sorted_member(k, ok)
+            anom = hit & (sd < d[i])
+            return pa.table({"o_orderkey": pa.array(
+                np.unique(ok[anom]), pa.int64())})
+
+        parts = _collect(
+            li.map_batches(anomalous_keys, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64()})
+        matched = np.unique(parts.column("o_orderkey").to_numpy())
+        hit, _ = _sorted_member(matched, keys)
+        if not hit.any():
+            return empty
+        return count_priorities(tbl.column("o_orderpriority").filter(
+            pa.array(hit)))
+
+    # distributed path: EXISTS(ship < od) ⇔ min(ship) < od
+    from ray.data.aggregate import Min
+
+    def minship_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "m": pc.cast(batch.column("l_shipdate"), pa.int64())})
+        return t.group_by(["l_orderkey"]).aggregate([("m", "min")]
+                                                    ).rename_columns(
+            ["l_orderkey", "m"])
+
+    minship = li.map_batches(
+        minship_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("l_orderkey").aggregate(Min("m")).rename_columns(
+        ["l_orderkey", "m"])
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = fords.join(
+        minship, join_type="inner", num_partitions=max(2, n_cpus),
+        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("m"), batch.column("od_us")))
+        if b.num_rows == 0:
+            return empty
+        return count_priorities(b.column("o_orderpriority"))
+
+    merged = _merge_partials(
+        joined.map_batches(prio_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"], [("n_orders", "sum")],
+        fallback_schema={"o_orderpriority": pa.string(),
+                         "n_orders": pa.int64()})
+    return merged.sort_by("o_orderpriority")
+
+
+def q18_large_orders(
+    sf_dir: str, qty_threshold: float = 150.0, k: int = 10,
+    broadcast_limit: int = 1_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q18 shape: large-volume orders — the top-``k`` orders whose
+    total lineitem quantity exceeds ``qty_threshold``, with their
+    customer → (c_name, c_custkey, o_orderkey, total_qty, price_c)
+    ordered by (price_c DESC, o_orderkey).  Money in integer cents.
+
+    Scale shape — the HAVING prunes before anything joins:
+      - lineitem pre-combines per block (orderkey → qty sum partials),
+        ONE native groupby-Sum collapses them, and the ``>`` filter
+        drops all but the heavy tail (quantity sums are integral floats,
+        exact under any combine order below 2^53);
+      - survivors broadcast sorted under ``broadcast_limit`` — orders
+        then never shuffles (vectorized membership filter per block),
+        and the k-row head is cut BEFORE any customer access;
+      - the customer fetch is a ≤k-key membership filter over the
+        dimension (broadcast keys, pruned columns) — never a join of the
+        full dimension;
+      - above the gate (or ``force_distributed``): survivors ⋈ orders as
+        a distributed hash join, per-block top-k partials, driver merge
+        of blocks×k rows.  Tests pin both paths equal.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"c_name": pa.array([], pa.string()),
+                      "c_custkey": pa.array([], pa.int64()),
+                      "o_orderkey": pa.array([], pa.int64()),
+                      "total_qty": pa.array([], pa.int64()),
+                      "price_c": pa.array([], pa.int64())})
+    for t in ("lineitem", "orders", "customer"):
+        if _footer_rows(f"{sf_dir}/{t}.parquet") == 0:
+            return empty
+
+    li = _read_sized(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "q": batch.column("l_quantity"),
+        }).group_by(["l_orderkey"]).aggregate([("q", "sum")]
+                                              ).rename_columns(
+            ["l_orderkey", "q"])
+
+    def having(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("sum(q)"), qty_threshold))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "total_qty": pc.cast(b.column("sum(q)"), pa.int64())})
+
+    survivors = li.map_batches(
+        qty_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("l_orderkey").aggregate(Sum("q")).map_batches(
+        having, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if survivors.count() == 0:
+        return empty
+
+    sort_keys = [("price_c", "descending"), ("o_orderkey", "ascending")]
+    if not force_distributed and survivors.count() <= broadcast_limit:
+        s_tbl = _collect(survivors).sort_by("l_orderkey")
+        keys = s_tbl.column("l_orderkey").to_numpy()
+        qty = s_tbl.column("total_qty").to_numpy()
+        k_ref = ray.put(keys)
+
+        def member_orders(batch: pa.Table) -> pa.Table:
+            hit, _ = _sorted_member(ray.get(k_ref),
+                                    batch.column("o_orderkey").to_numpy())
+            b = batch.filter(pa.array(hit))
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "price_c": _cents(b.column("o_totalprice"))})
+
+        ords = _read_sized(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        matched = _collect(
+            ords.map_batches(member_orders, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64(),
+                             "o_custkey": pa.int64(),
+                             "price_c": pa.int64()})
+        if matched.num_rows == 0:
+            return empty
+        head = matched.take(pc.sort_indices(matched, sort_keys=sort_keys)[:k])
+        _, i = _sorted_member(keys, head.column("o_orderkey").to_numpy())
+        head = head.append_column("total_qty", pa.array(qty[i], pa.int64()))
+    else:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ords = _read_sized(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        joined = ords.join(
+            survivors, join_type="inner", num_partitions=max(2, n_cpus),
+            on=("o_orderkey",), right_on=("l_orderkey",))
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "price_c": _cents(b.column("o_totalprice")),
+                "total_qty": pc.cast(b.column("total_qty"), pa.int64())})
+            return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+        merged = _collect(
+            joined.map_batches(block_topk, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64(),
+                             "o_custkey": pa.int64(),
+                             "price_c": pa.int64(),
+                             "total_qty": pa.int64()})
+        if merged.num_rows == 0:
+            return empty
+        head = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+
+    # ≤k customers: membership filter over the pruned dimension
+    ck = np.unique(head.column("o_custkey").to_numpy())
+    ck_ref = ray.put(ck)
+
+    def member_cust(batch: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(ck_ref),
+                                batch.column("c_custkey").to_numpy())
+        b = batch.filter(pa.array(hit))
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name")})
+
+    cust = _collect(
+        _read_sized(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_name"]).map_batches(
+            member_cust, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"c_custkey": pa.int64(), "c_name": pa.string()})
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    return pa.table({
+        "c_name": pa.array(
+            [names.get(c) for c in head.column("o_custkey").to_pylist()],
+            pa.string()),
+        "c_custkey": pc.cast(head.column("o_custkey"), pa.int64()),
+        "o_orderkey": pc.cast(head.column("o_orderkey"), pa.int64()),
+        "total_qty": head.column("total_qty"),
+        "price_c": head.column("price_c"),
+    })

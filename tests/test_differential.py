@@ -310,7 +310,9 @@ def _compare_tpch(entry_mod, name: str, sf_dir: str):
 
 
 JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
-            "customers_without_orders", "q14_promo_revenue"]
+            "customers_without_orders", "q14_promo_revenue",
+            "q6_forecast_revenue", "q4_priority_anomalies",
+            "q18_large_orders"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -320,6 +322,25 @@ def test_differential_tpch_joins(tmp_path, ray_session, seed, name):
     # without lineitems, duplicate keys, date-cutoff edges
     _rand_tpch(np.random.RandomState(seed), tmp_path)
     _compare_tpch(_entry(), name, str(tmp_path))
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q4_q18_forced_distributed(tmp_path, ray_session, seed):
+    # the distributed join paths (above the broadcast gates) pinned equal
+    # to the broadcast paths on randomized tables — lower q18's threshold
+    # so survivors actually exist at this table size
+    rng = np.random.RandomState(seed)
+    _rand_tpch(rng, tmp_path, n_cust=8, n_ord=20, n_li=120)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a4 = TD.q4_priority_anomalies(str(tmp_path))
+    d4 = TD.q4_priority_anomalies(str(tmp_path), force_distributed=True)
+    assert a4.equals(d4)
+    a18 = TD.q18_large_orders(str(tmp_path), qty_threshold=60.0)
+    d18 = TD.q18_large_orders(str(tmp_path), qty_threshold=60.0,
+                              force_distributed=True)
+    assert a18.num_rows > 0
+    assert a18.equals(d18)
 
 
 # extraction / multimodal / ANN / sink families — heavier per call, so one
