@@ -238,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q18 shape: large-volume orders (HAVING prune -> gated
         # join -> top-k -> <=k-key customer fetch)
         "q18_large_orders": TD.q18_large_orders,
+        # per-user recency/frequency/monetary features (one pass,
+        # native groupby over per-block partials)
+        "user_rfm": TD.user_rfm,
+        # per-(source, lang) release data card with EXACT discrete
+        # median via histogram merge (no distributed sort)
+        "data_card": TD.data_card,
     }
 
 
@@ -1052,6 +1058,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        # RFM features: purchase-only cents, whole-day recency vs the
+        # corpus max timestamp (BIGINT floor division == numpy //)
+        "user_rfm": """
+            WITH g AS (SELECT max(ts) AS m FROM events)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                      AS BIGINT) AS monetary_c,
+                   CAST((epoch_us((SELECT m FROM g)) - epoch_us(max(ts)))
+                        // 86400000000 AS BIGINT) AS recency_days
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # data card: exact discrete median (quantile_disc = the value at
+        # 0-based rank (n-1)//2), token counts on the shared tokenizer
+        "data_card": """
+            WITH t AS (
+              SELECT source, lang, n_chars,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9]+'),
+                                     x -> x <> '')) AS n_tok
+              FROM documents)
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # TPC-H Q6: integer cent×cent revenue with the discount band
         # compared in rounded cents (matches the engine's _cents half-up)

@@ -6430,3 +6430,148 @@ def q18_large_orders(
         "total_qty": head.column("total_qty"),
         "price_c": head.column("price_c"),
     })
+
+
+def user_rfm(sf_dir: str) -> pa.Table:
+    """Per-user RFM features (recency / frequency / monetary) — the
+    classic user-feature rollup a behavioral training set starts from →
+    (user_id, frequency, monetary_c, recency_days) ordered by user_id.
+    Monetary counts PURCHASE events only, in integer cents; recency is
+    whole days between the user's last event and the corpus max
+    timestamp (floor division on non-negative int64 — matches DuckDB
+    ``//``).
+
+    Scale shape: one pass — per-block partials group by user (count,
+    purchase-cents sum, max ts), ONE native groupby re-combines them
+    (user cardinality is unbounded, so this stays distributed; no driver
+    merge), and the corpus max needed for recency is read off the SAME
+    partials (a bounded per-block max column) rather than a second scan.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "frequency": pa.array([], pa.int64()),
+                      "monetary_c": pa.array([], pa.int64()),
+                      "recency_days": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        val_c = _cents(batch.column("value"))
+        is_p = pc.equal(batch.column("event_type"), "purchase")
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "m": pc.if_else(is_p, val_c, pa.scalar(0, pa.int64())),
+            "t": ts})
+        return t.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("m", "sum"), ("t", "max")]).rename_columns(
+            ["user_id", "n", "m", "t"])
+
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "ts", "event_type", "value"])
+    grouped = ev.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("user_id").aggregate(
+        Sum("n"), Sum("m"), Max("t")).rename_columns(
+        ["user_id", "n", "m", "t"]).materialize()
+    g_max = grouped.max("t")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch.column("t").combine_chunks(), np.int64)
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "frequency": pc.cast(batch.column("n"), pa.int64()),
+            "monetary_c": pc.cast(batch.column("m"), pa.int64()),
+            "recency_days": pa.array((g_max - t) // 86_400_000_000,
+                                     pa.int64())})
+
+    return _collect(
+        grouped.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        fallback_schema={"user_id": pa.int64(), "frequency": pa.int64(),
+                         "monetary_c": pa.int64(),
+                         "recency_days": pa.int64()},
+    ).sort_by("user_id")
+
+
+def data_card(sf_dir: str) -> pa.Table:
+    """Per-(source, lang) data card — the per-slice summary a dataset
+    release ships: (source, lang, n_docs, total_tokens, p50_chars)
+    ordered by (source, lang).  ``p50_chars`` is the EXACT discrete
+    median (DuckDB ``quantile_disc(0.5)``: the value at 0-based rank
+    ``(n-1)//2`` of the sorted slice).
+
+    Scale shape: exact group medians WITHOUT a distributed sort — each
+    block pre-combines to (source, lang, n_chars) histogram partials
+    (plus token sums riding the same keys), ONE native groupby-Sum
+    merges the histograms, and the driver walks cumulative counts to
+    the median rank.  Valid while slices × distinct lengths is bounded
+    (lengths are ≤ a few hundred thousand distinct values at any corpus
+    size — the histogram is megabytes when the corpus is terabytes);
+    an unbounded-domain median would need the distributed-quantile
+    sketch (``events_quantiles_sketch``) instead."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "total_tokens": pa.array([], pa.int64()),
+                      "p50_chars": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pa.array(
+            [len(_GRAM_TOKEN_RE.findall((t or "").lower()))
+             for t in batch.column("text").to_pylist()], pa.int64())
+        t = pa.table({"source": batch.column("source"),
+                      "lang": batch.column("lang"),
+                      "n_chars": batch.column("n_chars"),
+                      "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "tok": toks})
+        return t.group_by(["source", "lang", "n_chars"]).aggregate(
+            [("cnt", "sum"), ("tok", "sum")]).rename_columns(
+            ["source", "lang", "n_chars", "cnt", "tok"])
+
+    ds = _docs_sized(sf_dir, columns=["source", "lang", "n_chars", "text"],
+                     rows_per_block=1024)
+    hist = _collect(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["source", "lang", "n_chars"])
+        .aggregate(Sum("cnt"), Sum("tok"))
+        .rename_columns(["source", "lang", "n_chars", "cnt", "tok"]),
+        fallback_schema={"source": pa.string(), "lang": pa.string(),
+                         "n_chars": pa.int64(), "cnt": pa.int64(),
+                         "tok": pa.int64()})
+    hist = hist.sort_by([("source", "ascending"), ("lang", "ascending"),
+                         ("n_chars", "ascending")])
+    src = np.asarray(hist.column("source").combine_chunks())
+    lng = np.asarray(hist.column("lang").combine_chunks())
+    ch = hist.column("n_chars").to_numpy()
+    cnt = hist.column("cnt").to_numpy().astype(np.int64)
+    tok = hist.column("tok").to_numpy().astype(np.int64)
+    out = {"source": [], "lang": [], "n_docs": [], "total_tokens": [],
+           "p50_chars": []}
+    i = 0
+    while i < len(src):
+        j = i
+        while j < len(src) and src[j] == src[i] and lng[j] == lng[i]:
+            j += 1
+        c = cnt[i:j]
+        n = int(c.sum())
+        rank = (n - 1) // 2
+        p50 = int(ch[i:j][np.searchsorted(np.cumsum(c), rank + 1)])
+        out["source"].append(str(src[i]))
+        out["lang"].append(str(lng[i]))
+        out["n_docs"].append(n)
+        out["total_tokens"].append(int(tok[i:j].sum()))
+        out["p50_chars"].append(p50)
+        i = j
+    return pa.table({"source": pa.array(out["source"], pa.string()),
+                     "lang": pa.array(out["lang"], pa.string()),
+                     "n_docs": pa.array(out["n_docs"], pa.int64()),
+                     "total_tokens": pa.array(out["total_tokens"], pa.int64()),
+                     "p50_chars": pa.array(out["p50_chars"], pa.int64())})

@@ -115,7 +115,7 @@ BROAD_OPS = [
     "events_hourly", "events_sessions", "events_value_buckets",
     "events_quantiles", "events_user_counts", "events_pivot",
     "conversion_funnel", "latest_event_per_user", "attribution_last_touch",
-    "retention_cohorts",
+    "retention_cohorts", "user_rfm", "data_card",
     "events_rolling",
     "events_json_stats",
 ]
@@ -434,7 +434,7 @@ def test_money_cents_half_up_ties(tmp_path, ray_session):
 EMPTY_GUARDED_OPS = [
     "events_sessions", "events_rolling", "events_quantiles",
     "events_user_counts", "latest_event_per_user", "stratified_sample",
-    "length_filter", "quality_tiers",
+    "length_filter", "quality_tiers", "user_rfm", "data_card",
 ]
 
 
