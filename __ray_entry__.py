@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-(source, lang) release data card with EXACT discrete
         # median via histogram merge (no distributed sort)
         "data_card": TD.data_card,
+        # integer TF-IDF keyword retrieval (tokenize once, slim tf
+        # table reused for df and scoring)
+        "search_topk": TD.search_topk,
+        # integer HITS hub/authority scores over the host graph
+        # (max-normalized fixed point; PageRank's companion)
+        "hits_hosts": TD.hits_hosts,
     }
 
 
@@ -1058,6 +1064,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        # integer TF-IDF retrieval: w_t = (1000*N) // df_t (BIGINT floor
+        # division), score = sum of tf*w — hash-exact, no floats
+        "search_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '[^a-z0-9]+'),
+                                        t -> t <> '')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('table', 'scan', 'merge') GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            w AS (SELECT term, (1000 * n.n) // df.df AS w FROM df, n),
+            sc AS (SELECT tf.doc_id, sum(tf.tf * w.w) AS score
+                   FROM tf JOIN w USING (term) GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(score AS BIGINT) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         # RFM features: purchase-only cents, whole-day recency vs the
         # corpus max timestamp (BIGINT floor division == numpy //)
@@ -2124,7 +2151,39 @@ def _graph_oracles() -> dict[str, str]:
               LEFT JOIN r{k - 1} r ON r.h = l.src
               LEFT JOIN outdeg o ON o.h = l.src
               GROUP BY n.h)""" for k in range(1, 6))
+    hits_iters = "".join(f""",
+            a{k}r AS (
+              SELECT n.h AS h,
+                     CAST(coalesce(sum(l.w * h{k - 1}.s), 0) AS BIGINT) AS s
+              FROM nodes n
+              LEFT JOIN links l ON l.dst = n.h
+              LEFT JOIN h{k - 1} ON h{k - 1}.h = l.src
+              GROUP BY n.h),
+            a{k} AS (SELECT h, (s * 1000000)
+                       // greatest((SELECT max(s) FROM a{k}r), 1) AS s
+                     FROM a{k}r),
+            h{k}r AS (
+              SELECT n.h AS h,
+                     CAST(coalesce(sum(l.w * a{k}.s), 0) AS BIGINT) AS s
+              FROM nodes n
+              LEFT JOIN links l ON l.src = n.h
+              LEFT JOIN a{k} ON a{k}.h = l.dst
+              GROUP BY n.h),
+            h{k} AS (SELECT h, (s * 1000000)
+                       // greatest((SELECT max(s) FROM h{k}r), 1) AS s
+                     FROM h{k}r)""" for k in range(1, 4))
     return {
+        # HITS: 3 unrolled iterations of the same max-normalized integer
+        # update the engine runs (see stages/graph.hits)
+        "hits_hosts": "WITH " + link_cte + """,
+            nodes AS (SELECT DISTINCT h FROM (
+              SELECT src AS h FROM links UNION ALL SELECT dst FROM links)),
+            h0 AS (SELECT h, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+        + hits_iters + """
+            SELECT a3.h AS host, CAST(a3.s AS BIGINT) AS authority_c,
+                   CAST(h3.s AS BIGINT) AS hub_c
+            FROM a3 JOIN h3 ON h3.h = a3.h ORDER BY host
+        """,
         "link_graph": "WITH " + link_cte + """
             SELECT src AS src_host, dst AS dst_host, w AS n_links
             FROM links ORDER BY 1, 2

@@ -6575,3 +6575,93 @@ def data_card(sf_dir: str) -> pa.Table:
                      "n_docs": pa.array(out["n_docs"], pa.int64()),
                      "total_tokens": pa.array(out["total_tokens"], pa.int64()),
                      "p50_chars": pa.array(out["p50_chars"], pa.int64())})
+
+
+def search_topk(
+    sf_dir: str, terms: tuple = ("table", "scan", "merge"), k: int = 10,
+) -> pa.Table:
+    """Keyword retrieval: top-``k`` docs by integer TF-IDF for a fixed
+    query-term set → (doc_id, score), ordered by (score DESC, doc_id).
+    The score is exact integer arithmetic — ``Σ_t tf(d,t) · w_t`` with
+    ``w_t = (1000·N) // df_t`` (floor division, so DuckDB ``//`` and
+    numpy agree and the oracle is hash-exact; df_t ≤ N keeps w_t ≥
+    1000, so no hit is ever zero-weighted away).
+
+    Scale shape — the corpus is tokenized ONCE:
+      - one map stage emits the slim (doc_id, tf_0..tf_m) term-frequency
+        table (m = |terms|, a handful of int columns) and materializes
+        it in the object store;
+      - document frequencies are per-block indicator sums over that slim
+        table (bounded m-column partials, driver-merged — never a
+        groupby), N comes from the parquet footer;
+      - scoring is a second pass over the SAME slim table (no
+        re-tokenization): vectorized dot with the broadcast weight row,
+        per-block top-k, driver merge of blocks×k rows.
+    """
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if not n_docs:
+        return empty
+    terms = list(terms)
+    m = len(terms)
+    tf_cols = [f"tf_{j}" for j in range(m)]
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        counts = [Counter(_GRAM_TOKEN_RE.findall((t or "").lower()))
+                  for t in batch.column("text").to_pylist()]
+        for j, term in enumerate(terms):
+            cols[tf_cols[j]] = pa.array(
+                [c.get(term, 0) for c in counts], pa.int64())
+        return pa.table(cols)
+
+    tf = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                     rows_per_block=1024).map_batches(
+        tf_batch, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([int(pc.sum(pc.cast(pc.greater(
+                batch.column(c), 0), pa.int64())).as_py() or 0)], pa.int64())
+            for c in tf_cols})
+
+    dfs = _collect(
+        tf.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={c: pa.int64() for c in tf_cols})
+    df = np.array([int(pc.sum(dfs.column(c)).as_py() or 0)
+                   for c in tf_cols], np.int64)
+    w = np.where(df > 0, (1000 * int(n_docs)) // np.maximum(df, 1), 0)
+    sort_keys = [("score", "descending"), ("doc_id", "ascending")]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        tfm = np.stack([batch.column(c).to_numpy() for c in tf_cols], axis=1)
+        score = tfm @ w
+        keep = score > 0
+        t = pa.table({
+            "doc_id": pa.array(
+                batch.column("doc_id").to_numpy()[keep], pa.int64()),
+            "score": pa.array(score[keep], pa.int64())})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    merged = _collect(
+        tf.map_batches(score_block, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "score": pa.int64()})
+    return merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+
+
+def hits_hosts(sf_dir: str, iterations: int = 3,
+               force_distributed: bool = False) -> pa.Table:
+    """Fixed-iteration integer HITS over the host graph →
+    (host, authority_c, hub_c); semantics, normalization, overflow bound
+    and regimes documented on ``stages/graph.hits``."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "authority_c": pa.array([], pa.int64()),
+                         "hub_c": pa.array([], pa.int64())})
+    return G.hits(_weighted_host_edges(sf_dir), iterations=iterations,
+                  force_distributed=force_distributed)

@@ -553,3 +553,159 @@ def edge_negatives(
         return empty
     return out.select(["src", "dst", "slot"]).sort_by(
         [("src", "ascending"), ("slot", "ascending")])
+
+
+HITS_SCALE = 1_000_000
+
+
+def _hits_numpy(edges: pa.Table, iterations: int) -> pa.Table:
+    """Driver-side vectorized HITS over an aggregated (src, dst, w) edge
+    table — factorized hosts, ``np.add.at`` scatter-adds, max-normalized
+    integers each half-step (semantics documented on :func:`hits`)."""
+    src = np.asarray(edges.column("src").combine_chunks())
+    dst = np.asarray(edges.column("dst").combine_chunks())
+    w = _i64(edges.column("w"))
+    hosts = np.unique(np.concatenate([src, dst]))
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "authority_c": pa.array([], pa.int64()),
+                      "hub_c": pa.array([], pa.int64())})
+    if hosts.size == 0:
+        return empty
+    si = np.searchsorted(hosts, src)
+    di = np.searchsorted(hosts, dst)
+    h = np.full(hosts.size, HITS_SCALE, np.int64)
+    a = np.zeros(hosts.size, np.int64)
+    for _ in range(iterations):
+        a_raw = np.zeros(hosts.size, np.int64)
+        np.add.at(a_raw, di, w * h[si])
+        a = (a_raw * HITS_SCALE) // max(int(a_raw.max()), 1)
+        h_raw = np.zeros(hosts.size, np.int64)
+        np.add.at(h_raw, si, w * a[di])
+        h = (h_raw * HITS_SCALE) // max(int(h_raw.max()), 1)
+    return pa.table({"host": pa.array(hosts.tolist(), pa.string()),
+                     "authority_c": pa.array(a, pa.int64()),
+                     "hub_c": pa.array(h, pa.int64())})
+
+
+def _hits_distributed(
+    ew: ray.data.Dataset, iterations: int, join_partitions: int | None
+) -> pa.Table:
+    """Distributed HITS: each half-step is ONE hash join (edges ⋈ scores
+    on the propagating endpoint) + ONE native groupby-Sum + a tiny global
+    max (a metadata-cheap ``Dataset.max``) broadcast into the normalizing
+    map.  Nodes missing from a half-step's sum re-enter through a union
+    of zero rows, exactly like the PageRank sibling."""
+    from ray.data.aggregate import Count, Sum
+
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(ew)
+
+    nodes = ew.map_batches(
+        lambda b: pa.table({"host": pa.concat_arrays(
+            [b.column("src").combine_chunks(),
+             b.column("dst").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("host").aggregate(Count()).map_batches(
+        lambda b: b.select(["host"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def const_scores(val: int):
+        def mk(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "host": b.column("host"),
+                "s": pa.array(np.full(b.num_rows, val, np.int64))})
+        return mk
+
+    def zero_scores(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b.column("host"),
+                         "c": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def half_step(scores: ray.data.Dataset, out_key: str, in_key: str
+                  ) -> ray.data.Dataset:
+        # propagate w·s from out_key endpoint, sum at in_key endpoint,
+        # max-normalize to HITS_SCALE
+        def contrib(b: pa.Table) -> pa.Table:
+            c = _i64(b.column("w")) * _i64(b.column("s"))
+            return pa.table({"dst": b.column(in_key),
+                             "c": pa.array(c, pa.int64())})
+
+        raw = ew.join(
+            scores, join_type="inner", num_partitions=join_partitions,
+            on=(out_key,), right_on=("host",), right_suffix="_k",
+        ).map_batches(contrib, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        summed = (
+            raw.union(nodes.map_batches(zero_scores, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+            .groupby("dst").aggregate(Sum("c"))
+            .rename_columns(["dst", "c"]).materialize()
+        )
+        peak = max(int(summed.max("c") or 0), 1)
+
+        def norm(b: pa.Table) -> pa.Table:
+            s = (_i64(b.column("c")) * HITS_SCALE) // peak
+            return pa.table({"host": b.column("dst"),
+                             "s": pa.array(s, pa.int64())})
+
+        return summed.map_batches(norm, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    h = nodes.map_batches(const_scores(HITS_SCALE), batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    a = nodes.map_batches(const_scores(0), batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    for _ in range(iterations):
+        a = half_step(h, "src", "dst")
+        h = half_step(a, "dst", "src")
+    at = pa.concat_tables(a.iter_batches(batch_format="pyarrow"))
+    ht = pa.concat_tables(h.iter_batches(batch_format="pyarrow"))
+    at = at.rename_columns(["host", "authority_c"]).sort_by("host")
+    ht = ht.rename_columns(["host", "hub_c"]).sort_by("host")
+    return at.append_column("hub_c", ht.column("hub_c"))
+
+
+def hits(
+    ew: ray.data.Dataset,
+    iterations: int = 3,
+    driver_limit: int = 500_000,
+    join_partitions: int | None = None,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Fixed-iteration integer HITS over an aggregated weighted edge
+    Dataset (src, dst, w) → (host, authority_c, hub_c) sorted by host —
+    the hub/authority companion to :func:`pagerank` (quality weighting
+    wants BOTH: PageRank finds endorsed hosts, HITS separates directories
+    that point well from content hosts that are pointed at).
+
+    Integer semantics (oracle-pinned, floor divisions on non-negative
+    int64 — numpy ``//`` == DuckDB ``//``), per iteration:
+
+        a_raw(v) = Σ_{u→v} w · h(u);  a = (a_raw · S) // max(a_raw)
+        h_raw(u) = Σ_{u→v} w · a(v);  h = (h_raw · S) // max(h_raw)
+
+    with S = HITS_SCALE = 1e6 and h₀ = S.  The per-half-step max
+    normalization replaces the float L2 norm of classic HITS — it keeps
+    every score in [0, S] so the next multiply is bounded by
+    Σw · S ≤ 2^63 while total edge weight stays under ~9·10¹²; past
+    that a production run shifts HITS_SCALE down, exactly like the
+    PR_SCALE note above.  max(a_raw) > 0 whenever the edge set is
+    non-empty (h starts positive; the argmax-authority node has an
+    in-link, so the following hub max is positive too) — the ``max(·,1)``
+    guards are for the empty graph only.
+
+    Regime split mirrors :func:`pagerank`: vectorized driver scatter-adds
+    under ``driver_limit`` aggregated edges, join-per-half-step
+    distributed above it (or under ``force_distributed``); tests pin the
+    two paths equal."""
+    ew = ew.materialize()
+    n_edges = ew.count()
+    empty_edges = pa.table({"src": pa.array([], pa.string()),
+                            "dst": pa.array([], pa.string()),
+                            "w": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return _hits_numpy(empty_edges, iterations)
+    if not force_distributed and n_edges <= driver_limit:
+        tbl = pa.concat_tables(ew.iter_batches(batch_format="pyarrow"))
+        return _hits_numpy(tbl, iterations).sort_by("host")
+    return _hits_distributed(ew, iterations, join_partitions)

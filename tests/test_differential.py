@@ -115,7 +115,7 @@ BROAD_OPS = [
     "events_hourly", "events_sessions", "events_value_buckets",
     "events_quantiles", "events_user_counts", "events_pivot",
     "conversion_funnel", "latest_event_per_user", "attribution_last_touch",
-    "retention_cohorts", "user_rfm", "data_card",
+    "retention_cohorts", "user_rfm", "data_card", "search_topk",
     "events_rolling",
     "events_json_stats",
 ]
@@ -386,7 +386,7 @@ def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
     assert sum(drv.column("cluster_size").to_pylist()) == docs.num_rows
 
 
-GRAPH_OPS = ["link_graph", "pagerank_hosts", "host_components",
+GRAPH_OPS = ["link_graph", "pagerank_hosts", "hits_hosts", "host_components",
              "host_profiles", "random_walks", "attribution_last_touch",
              "media_dedup", "triangle_count", "edge_negatives", "retention_cohorts",
              "cooccurrence_pairs"]

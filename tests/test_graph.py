@@ -241,3 +241,46 @@ def test_edge_negatives_distributed_equals_driver(tmp_path, ray_session):
     for r in drv.to_pylist():
         assert (r["src"], r["dst"]) not in real
         assert r["src"] != r["dst"]
+
+
+def test_hits_distributed_equals_driver(tmp_path, ray_session):
+    sf = _write_docs(tmp_path, list(range(30)))
+    drv = TD.hits_hosts(sf)
+    dist = TD.hits_hosts(sf, force_distributed=True)
+    assert drv.equals(dist)
+    # max-normalization invariants: scores live in [0, S] and each side
+    # attains its max exactly (the argmax normalizes to S)
+    a = drv.column("authority_c").to_numpy()
+    h = drv.column("hub_c").to_numpy()
+    assert (a >= 0).all() and (h >= 0).all()
+    assert a.max() == G.HITS_SCALE and h.max() == G.HITS_SCALE
+
+
+def test_hits_star_graph(tmp_path, ray_session):
+    # star: many hubs -> one center. The center is the sole authority
+    # (a = S, everyone else 0); every spoke is an equal max hub.
+    import ray.data
+
+    ew = ray.data.from_arrow(pa.table({
+        "src": pa.array(["h%02d" % i for i in range(1, 6)], pa.string()),
+        "dst": pa.array(["h00"] * 5, pa.string()),
+        "w": pa.array([1] * 5, pa.int64())}))
+    out = G.hits(ew, iterations=3)
+    d = dict(zip(out.column("host").to_pylist(),
+                 zip(out.column("authority_c").to_pylist(),
+                     out.column("hub_c").to_pylist())))
+    assert d["h00"] == (G.HITS_SCALE, 0)
+    for i in range(1, 6):
+        assert d["h%02d" % i] == (0, G.HITS_SCALE)
+
+
+def test_hits_empty_graph(ray_session):
+    import ray.data
+
+    ew = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+        "w": pa.array([], pa.int64())}))
+    out = G.hits(ew)
+    assert out.num_rows == 0
+    assert out.schema.names == ["host", "authority_c", "hub_c"]
