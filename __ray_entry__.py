@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer HITS hub/authority scores over the host graph
         # (max-normalized fixed point; PageRank's companion)
         "hits_hosts": TD.hits_hosts,
+        # kNN majority-label classifier readout over the embeddings
+        "knn_label_vote": TD.knn_label_vote,
     }
 
 
@@ -1064,6 +1066,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        # kNN label vote: same exact-ranking mirror as knn_bruteforce,
+        # majority with (votes DESC, label) tie-break
+        "knn_label_vote": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding) AS sim
+                    FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+                    FROM scored),
+                 votes AS (
+                    SELECT t.query_id, e.label, count(*) AS votes
+                    FROM ranked t JOIN embeddings e
+                      ON e.vec_id = t.neighbor_id
+                    WHERE t.rank <= 10 GROUP BY 1, 2)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(label AS INTEGER) AS predicted_label,
+                   CAST(votes AS BIGINT) AS votes
+            FROM votes
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY votes DESC, label) = 1
+            ORDER BY query_id
         """,
         # integer TF-IDF retrieval: w_t = (1000*N) // df_t (BIGINT floor
         # division), score = sum of tf*w — hash-exact, no floats

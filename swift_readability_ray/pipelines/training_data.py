@@ -6665,3 +6665,66 @@ def hits_hosts(sf_dir: str, iterations: int = 3,
                          "hub_c": pa.array([], pa.int64())})
     return G.hits(_weighted_host_edges(sf_dir), iterations=iterations,
                   force_distributed=force_distributed)
+
+
+def knn_label_vote(
+    sf_dir: str, n_queries: int = 4, k: int = 10,
+) -> pa.Table:
+    """kNN classifier readout: for each query vector, the majority label
+    among its exact cosine top-``k`` neighbors → (query_id,
+    predicted_label, votes), ties broken to the smallest label (and
+    neighbor ranking ties to the smallest neighbor_id, the shared ANN
+    tie-break).  This is the eval loop a labeled-embedding pipeline runs
+    to sanity-check an embedding space.
+
+    Scale shape: the neighbor set comes from the same per-block
+    partial-top-k combiner as ``knn_bruteforce`` (driver sees
+    blocks × nq × k rows); neighbor LABELS are fetched by a broadcast
+    ≤ nq·k-key membership filter over the pruned (vec_id, label)
+    columns — never a join of the full embedding table — and the vote
+    itself is over ≤ nq·k driver rows."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "predicted_label": pa.array([], pa.int32()),
+                      "votes": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
+    top = S.knn_bruteforce(ds, queries, query_ids, k=k)
+    if top.num_rows == 0:
+        return empty
+
+    nid = np.unique(top.column("neighbor_id").to_numpy())
+    nid_ref = ray.put(nid)
+
+    def member_labels(batch: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(nid_ref),
+                                batch.column("vec_id").to_numpy())
+        b = batch.filter(pa.array(hit))
+        return pa.table({"vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+                         "label": pc.cast(b.column("label"), pa.int32())})
+
+    lab = _collect(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        ).map_batches(member_labels, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        fallback_schema={"vec_id": pa.int64(), "label": pa.int32()})
+    label_of = dict(zip(lab.column("vec_id").to_pylist(),
+                        lab.column("label").to_pylist()))
+    votes: dict[int, dict[int, int]] = {}
+    for qid, n in zip(top.column("query_id").to_pylist(),
+                      top.column("neighbor_id").to_pylist()):
+        d = votes.setdefault(qid, {})
+        l = label_of[n]
+        d[l] = d.get(l, 0) + 1
+    out_q, out_l, out_v = [], [], []
+    for qid in sorted(votes):
+        lbl, v = min(votes[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+        out_q.append(qid)
+        out_l.append(lbl)
+        out_v.append(v)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "predicted_label": pa.array(out_l, pa.int32()),
+                     "votes": pa.array(out_v, pa.int64())})

@@ -352,7 +352,7 @@ HEAVY_OPS = [
     "sink_roundtrip", "minhash_dedup", "minhash_dedup_docs",
     "neardup_keep_best", "media_dedup",
     "embedding_neardup_lsh", "ivf_topk_full", "ann_persisted_topk_full",
-    "ann_append_topk_full",
+    "ann_append_topk_full", "knn_label_vote",
 ]
 
 
