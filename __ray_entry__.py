@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": TD.hits_hosts,
         # kNN majority-label classifier readout over the embeddings
         "knn_label_vote": TD.knn_label_vote,
+        # tokenizer application: corpus-top-16 vocabulary ids, OOV=-1
+        "vocab_encode": TD.vocab_encode,
+        # host-level quality rollup (integer micro-unit sums)
+        "host_quality": TD.host_quality,
+        # per-source duplication diagnostic (digest groupby)
+        "dedup_rate_by_source": TD.dedup_rate_by_source,
     }
 
 
@@ -1066,6 +1072,36 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        # tokenizer application: rank-by-(count DESC, token) ids over the
+        # corpus's own top-16 vocabulary, OOV -1, 0-based positions
+        "vocab_encode": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            exploded AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) AS pos
+              FROM toks),
+            counts AS (SELECT tok, count(*) AS n FROM exploded GROUP BY 1),
+            vocab AS (
+              SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1
+                               AS BIGINT) AS tid
+              FROM counts QUALIFY tid < 16)
+            SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+                   CAST(e.pos - 1 AS BIGINT) AS pos,
+                   CAST(coalesce(v.tid, -1) AS BIGINT) AS token_id
+            FROM exploded e LEFT JOIN vocab v ON v.tok = e.tok
+            ORDER BY doc_id, pos
+        """,
+        # per-source duplication rate ingredients
+        "dedup_rate_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # kNN label vote: same exact-ranking mirror as knn_bruteforce,
         # majority with (votes DESC, label) tie-break
@@ -2122,6 +2158,23 @@ def _quality_oracles() -> dict[str, str]:
         "quality": "WITH " + cte + """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, quality
             FROM q ORDER BY doc_id
+        """,
+        # host rollup of the SAME quality score, in integer micro-units
+        # (floor(q*1e6 + 0.5) recovers the pinned integer exactly) so the
+        # sum is order-independent; host via the md5 oracle bridge
+        "host_quality": "WITH " + cte + """,
+            h AS (
+              SELECT doc_id,
+                     'h' || lpad(CAST(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 48
+                       AS VARCHAR), 2, '0') AS host
+              FROM documents)
+            SELECT h.host, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(floor(q.quality * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS quality_sum_u
+            FROM q JOIN h ON h.doc_id = q.doc_id
+            GROUP BY 1 ORDER BY 1
         """,
         "quality_tiers": "WITH " + cte + """,
             wl AS (

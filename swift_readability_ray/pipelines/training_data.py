@@ -6728,3 +6728,187 @@ def knn_label_vote(
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "predicted_label": pa.array(out_l, pa.int32()),
                      "votes": pa.array(out_v, pa.int64())})
+
+
+def vocab_encode(sf_dir: str, vocab_size: int = 16) -> pa.Table:
+    """Tokenizer APPLICATION: encode every document against the corpus's
+    own top-``vocab_size`` vocabulary (id = rank by count DESC, token
+    ASC; out-of-vocabulary → -1) → exploded (doc_id, pos, token_id)
+    ordered by (doc_id, pos) — the id-ization step between corpus
+    statistics and tensorization.
+
+    Scale shape: the vocabulary is the word_counts pattern (per-block
+    token-count partials → ONE native groupby-Sum → per-block top-k of
+    the SUMMED table + driver merge — exact because ranking happens
+    after the global sum), then encoding is a second pass with the
+    ≤vocab_size-entry (token → id) array broadcast and a vectorized
+    searchsorted lookup per block; the corpus is tokenized once per
+    pass and never joined."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "token_id": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(_GRAM_TOKEN_RE.findall((t or "").lower()))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"tok": pa.array(toks, pa.string())}).group_by(
+            ["tok"]).aggregate([("tok", "count")]).rename_columns(
+            ["tok", "n"])
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                     rows_per_block=1024)
+    counts = ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("tok").aggregate(Sum("n")).rename_columns(["tok", "n"])
+    sort_keys = [("n", "descending"), ("tok", "ascending")]
+
+    def block_topv(b: pa.Table) -> pa.Table:
+        b = b.set_column(1, "n", pc.cast(b.column("n"), pa.int64()))
+        return b.take(pc.sort_indices(b, sort_keys=sort_keys)[:vocab_size])
+
+    merged = _collect(
+        counts.map_batches(block_topv, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={"tok": pa.string(), "n": pa.int64()})
+    if merged.num_rows == 0:
+        return empty
+    head = merged.take(
+        pc.sort_indices(merged, sort_keys=sort_keys)[:vocab_size])
+    vocab_toks = np.asarray(head.column("tok").combine_chunks())
+    ids_by_rank = np.arange(len(vocab_toks), dtype=np.int64)
+    order = np.argsort(vocab_toks)
+    v_sorted, v_ids = vocab_toks[order], ids_by_rank[order]
+    v_ref = ray.put((v_sorted, v_ids))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vs, vi = ray.get(v_ref)
+        out_d, out_p, out_t = [], [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = np.array(_GRAM_TOKEN_RE.findall((t or "").lower()))
+            if toks.size == 0:
+                continue
+            hit, i = _sorted_member(vs, toks)
+            tid = np.where(hit, vi[i], -1)
+            out_d.append(np.full(toks.size, doc_id, np.int64))
+            out_p.append(np.arange(toks.size, dtype=np.int64))
+            out_t.append(tid)
+        if not out_d:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+            "token_id": pa.array(np.concatenate(out_t), pa.int64())})
+
+    return _collect(
+        ds.map_batches(encode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "pos": pa.int64(),
+                         "token_id": pa.int64()},
+    ).sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+
+
+def host_quality(sf_dir: str) -> pa.Table:
+    """Host-level quality rollup — the signal that weights a crawl
+    frontier: per host, document count and the SUM of per-doc quality
+    scores in integer micro-units → (host, n_docs, quality_sum_u)
+    ordered by host.  Integer micro-units (floor(q·10⁶ + 0.5)) make the
+    sum order-independent, so any partial-combine schedule matches the
+    oracle exactly (float quality sums would drift by ulps).
+
+    Scale shape: one doc pass — per-block (host, count, Σq_u) partials
+    (host key space bounded by the md5-bridge synthesis, as in
+    stages/graph.py) + driver merge."""
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "quality_sum_u": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts, q_u = [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            hosts.append(G.host_name(_md5_bucket(doc_id, G.N_HOSTS)))
+            q_u.append(int(np.floor(
+                T.quality_score(t or "") * 1_000_000 + 0.5)))
+        t = pa.table({"host": pa.array(hosts, pa.string()),
+                      "n_docs": pa.array(np.ones(len(hosts), np.int64)),
+                      "quality_sum_u": pa.array(q_u, pa.int64())})
+        return t.group_by(["host"]).aggregate(
+            [("n_docs", "sum"), ("quality_sum_u", "sum")]).rename_columns(
+            ["host", "n_docs", "quality_sum_u"])
+
+    return _merge_partials(
+        _docs_sized(sf_dir, columns=["doc_id", "text"],
+                    rows_per_block=1024).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"], [("n_docs", "sum"), ("quality_sum_u", "sum")],
+        fallback_schema={"host": pa.string(), "n_docs": pa.int64(),
+                         "quality_sum_u": pa.int64()},
+    ).sort_by("host")
+
+
+def dedup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Per-source duplication diagnostic: total docs vs DISTINCT texts →
+    (source, n_docs, n_distinct) ordered by source — the rate a corpus
+    report quotes per provider before choosing dedup policy.
+
+    Scale shape: text never crosses a shuffle — one map stage reduces
+    each doc to (source, md5); a native groupby on the digest pair
+    collapses duplicates (unbounded cardinality stays distributed), and
+    only bounded (source, count) partials reach the driver; n_docs rides
+    the same digest pass as per-block count partials."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_distinct": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["source", "text"],
+                     rows_per_block=1024)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "md5": pa.array([T.md5_fingerprint(t or "") for t in
+                             batch.column("text").to_pylist()],
+                            pa.string())})
+
+    hashed = ds.map_batches(
+        digest, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source"]).group_by(["source"]).aggregate(
+            [("source", "count")]).rename_columns(["source", "n"])
+        return t.set_column(1, "n", pc.cast(t.column("n"), pa.int64()))
+
+    totals = _merge_partials(
+        hashed.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["source"], [("n", "sum")],
+        fallback_schema={"source": pa.string(), "n": pa.int64()})
+
+    distinct = hashed.groupby(["source", "md5"]).aggregate(Count()
+                                                           ).map_batches(
+        lambda b: count_partial(b.select(["source"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    dmerged = _merge_partials(
+        distinct, ["source"], [("n", "sum")],
+        fallback_schema={"source": pa.string(), "n": pa.int64()})
+
+    totals = totals.sort_by("source")
+    dmerged = dmerged.sort_by("source")
+    return pa.table({
+        "source": totals.column("source"),
+        "n_docs": totals.column("n"),
+        "n_distinct": dmerged.column("n")})

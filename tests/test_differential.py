@@ -116,6 +116,7 @@ BROAD_OPS = [
     "events_quantiles", "events_user_counts", "events_pivot",
     "conversion_funnel", "latest_event_per_user", "attribution_last_touch",
     "retention_cohorts", "user_rfm", "data_card", "search_topk",
+    "vocab_encode", "host_quality", "dedup_rate_by_source",
     "events_rolling",
     "events_json_stats",
 ]
