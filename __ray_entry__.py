@@ -258,6 +258,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality": TD.host_quality,
         # per-source duplication diagnostic (digest groupby)
         "dedup_rate_by_source": TD.dedup_rate_by_source,
+        # Markov transition counts over per-user event sequences
+        "event_transitions": TD.event_transitions,
+        # bigram-LM corpus-fit stats (sum of corpus bigram freqs +
+        # singleton count per doc — the integer KenLM-perplexity proxy)
+        "bigram_typicality": TD.bigram_typicality,
+        # per-source trigram diversity: total vs distinct occurrences
+        "source_diversity": TD.source_diversity,
+        # integer-exact per-type outlier counts (value > 2x type mean,
+        # tested multiplicatively so no division/float ever happens)
+        "events_outliers": TD.events_outliers,
+        # monthly order volume + month-over-month delta (tiny driver lag)
+        "orders_monthly": TD.orders_monthly,
+        # TPC-H Q13 shape: customer order-count distribution incl. the
+        # zero bucket (partial counts -> groupby -> bounded histogram)
+        "q13_order_distribution": TD.q13_order_distribution,
+        # TPC-H Q10 shape: top-k customers by returned-item revenue
+        # (fact re-keys in-batch under the gate; q18's <=k-key fetch)
+        "q10_returned_revenue": TD.q10_returned_revenue,
     }
 
 
@@ -2116,6 +2134,119 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes za ON za.source = p.sa
             LEFT JOIN sizes zb ON zb.source = p.sb
             ORDER BY src_a, src_b
+        """,
+        # Markov transition counts: per user, consecutive event-type pairs
+        # ordered by (ts, event_id)
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # bigram-LM corpus-fit stats: per doc, summed CORPUS frequency of
+        # its adjacent word bigrams + its singleton-bigram count
+        "bigram_typicality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i.i] || ' ' || ts[i.i+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(i)),
+            vocab AS (SELECT bg, count(*) AS freq FROM big GROUP BY bg),
+            s AS (
+              SELECT b.doc_id, count(*) AS n_bigrams, sum(v.freq) AS sum_freq,
+                     sum(CASE WHEN v.freq = 1 THEN 1 ELSE 0 END) AS n_singleton
+              FROM big b JOIN vocab v USING (bg) GROUP BY b.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.sum_freq, 0) AS BIGINT) AS sum_freq,
+                   CAST(coalesce(s.n_singleton, 0) AS BIGINT) AS n_singleton
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY doc_id
+        """,
+        # per-source trigram diversity: total vs distinct occurrences
+        "source_diversity": """
+            WITH toks AS (
+              SELECT source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            tri AS (
+              SELECT source,
+                     ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS tg
+              FROM toks, unnest(generate_series(1, len(ts)-2)) AS i(i))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(count(DISTINCT tg) AS BIGINT) AS n_distinct
+            FROM tri GROUP BY source ORDER BY source
+        """,
+        # integer-exact outlier counts: value_c * n > 2 * sum_c per type
+        "events_outliers": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+              FROM events),
+            s AS (SELECT event_type, count(*) AS n, sum(value_c) AS sum_c
+                  FROM v GROUP BY 1)
+            SELECT v.event_type,
+                   CAST(any_value(s.n) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(CASE WHEN v.value_c * s.n > 2 * s.sum_c
+                                     THEN 1 END), 0) AS BIGINT) AS n_outliers
+            FROM v JOIN s USING (event_type)
+            GROUP BY v.event_type ORDER BY v.event_type
+        """,
+        # monthly order volume with month-over-month delta
+        "orders_monthly": """
+            WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     count(*) AS n_orders,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS revenue_c
+              FROM orders GROUP BY 1)
+            SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(revenue_c AS BIGINT) AS revenue_c,
+                   CAST(n_orders - coalesce(lag(n_orders) OVER (ORDER BY month),
+                                            0) AS BIGINT) AS delta_orders
+            FROM m ORDER BY month
+        """,
+        # TPC-H Q13 shape: order-count distribution incl. zero-order
+        # customers (priority filter stands in for Q13's comment filter)
+        "q13_order_distribution": """
+            WITH co AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS cnt
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+            SELECT CAST(cnt AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM co GROUP BY cnt ORDER BY custdist DESC, c_count DESC
+        """,
+        # TPC-H Q10 shape: top-20 customers by returned-item revenue in
+        # one order-date band (q3's integer cents x discount-percent)
+        "q10_returned_revenue": """
+            WITH rev AS (
+              SELECT o.o_custkey,
+                     sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                       AS BIGINT))) AS revenue_c4
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o.o_custkey)
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+                   CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(r.revenue_c4 AS BIGINT) AS revenue_c4
+            FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+            ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
         """,
     }
     sql.update(_graph_oracles())

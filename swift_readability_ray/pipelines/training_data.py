@@ -6912,3 +6912,605 @@ def dedup_rate_by_source(sf_dir: str) -> pa.Table:
         "source": totals.column("source"),
         "n_docs": totals.column("n"),
         "n_distinct": dmerged.column("n")})
+
+
+def event_transitions(
+    sf_dir: str, driver_limit: int = 1_000_000
+) -> pa.Table:
+    """Markov transition matrix over the event stream: per user, order
+    events by (ts, event_id) and count consecutive (prev_type → next_type)
+    pairs globally → (prev_type, next_type, n) ordered by the pair.  The
+    behavioral-sequence statistic session-model training starts from
+    (next-event prediction targets, funnel structure discovery).
+
+    Scale shape: the only ordering needed is WITHIN one user, so the
+    shuffle key is user_id — per group a vectorized lexsort + one
+    adjacent-shift comparison emits a ≤types²-row partial, and ONE native
+    groupby-Sum combines them (type vocabulary is tiny, the combine is
+    cheap).  Under ``driver_limit`` the whole stream fits one driver
+    lexsort pass with run-boundary slicing (events_sessions' documented
+    fixed-cost trade; the distributed sibling is pinned equal in tests).
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    cols = ["user_id", "ts", "event_id", "event_type"]
+
+    def pair_counts(uid, ts, eid, types) -> pa.Table:
+        """Vectorized adjacent-pair counts over ONE already-grouped or
+        globally lexsorted slice (uid constant or pre-sorted first key)."""
+        uniq, codes = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        if len(u) < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        pair = c[:-1][same] * len(uniq) + c[1:][same]
+        vals, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "prev_type": pa.array(uniq[vals // len(uniq)], pa.string()),
+            "next_type": pa.array(uniq[vals % len(uniq)], pa.string()),
+            "n": pa.array(cnt, pa.int64())})
+
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = _collect(_read_sized(path, columns=cols))
+        out = pair_counts(
+            tbl.column("user_id").to_numpy(),
+            tbl.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            tbl.column("event_id").to_numpy(),
+            np.asarray(tbl.column("event_type").to_pylist(), dtype=object))
+        return out.take(pc.sort_indices(
+            out, sort_keys=[("prev_type", "ascending"),
+                            ("next_type", "ascending")]))
+
+    ds = _read_sized(path, columns=cols)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        return pair_counts(
+            group.column("user_id").to_numpy(),
+            group.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            group.column("event_id").to_numpy(),
+            np.asarray(group.column("event_type").to_pylist(), dtype=object))
+
+    partials = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+    merged = partials.groupby(["prev_type", "next_type"]).aggregate(Sum("n"))
+    out = _collect(merged, fallback_schema={
+        "prev_type": pa.string(), "next_type": pa.string(),
+        "sum(n)": pa.int64()}).rename_columns(
+        ["prev_type", "next_type", "n"])
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("prev_type", "ascending"),
+                        ("next_type", "ascending")]))
+
+
+def _bigram_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-block adjacent-word-bigram frequency partial: ("a b", n) rows —
+    corpus-sized in, bigram-vocabulary-sized out (the bigram sibling of
+    ``_word_count_partial``)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+        c.update(" ".join(p) for p in zip(toks, toks[1:]))
+    return pa.table(
+        {"bg": pa.array(list(c.keys()), pa.string()),
+         "n": pa.array(list(c.values()), pa.int64())}
+    )
+
+
+def bigram_typicality(
+    sf_dir: str, broadcast_limit: int = 2_000_000
+) -> pa.Table:
+    """Bigram-LM corpus-fit signal: per doc, the summed CORPUS frequency
+    of its adjacent word bigrams plus its singleton-bigram count — the
+    integer-exact numerator statistics of a bigram language-model score
+    (high sum_freq = conventional phrasing; high n_singleton = text whose
+    word order appears nowhere else, the KenLM-perplexity proxy CCNet
+    thresholds on, kept in exact integers so the oracle can hash-match).
+
+    Same two-pass broadcast-scoring shape as ``doc_typicality``: (1) the
+    global bigram table from per-block partials (driver merge under the
+    gate, distributed groupby above); (2) the vocabulary broadcast ONCE as
+    sorted parallel arrays, each doc scoring itself in-batch with one
+    vectorized searchsorted — no shuffle ever touches the corpus."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["doc_id", "text"], rows_per_block=1024)
+
+    partials = ds.map_batches(_bigram_count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= broadcast_limit:
+        vocab = _collect(partials, fallback_schema={
+            "bg": pa.string(), "n": pa.int64()}
+        ).group_by(["bg"]).aggregate([("n", "sum")])
+        grams = np.array(vocab.column("bg").to_pylist())
+        counts = vocab.column("n_sum").to_numpy() if vocab.num_rows else \
+            np.array([], np.int64)
+    else:
+        vt = _collect(partials.groupby("bg").aggregate(Sum("n")),
+                      fallback_schema={"bg": pa.string(),
+                                       "sum(n)": pa.int64()})
+        grams = np.array(vt.column("bg").to_pylist())
+        counts = vt.column(1).to_numpy() if vt.num_rows else \
+            np.array([], np.int64)
+    order = np.argsort(grams) if grams.size else np.array([], np.int64)
+    vocab_ref = ray.put((grams[order] if grams.size else grams,
+                         counts[order] if grams.size else counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, freq = ray.get(vocab_ref)
+        out_id, out_n, out_s, out_u = [], [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            s = u = 0
+            nb = max(len(toks) - 1, 0)
+            if nb:
+                bgs = np.array([" ".join(p) for p in zip(toks, toks[1:])])
+                hit, idx = _sorted_member(keys, bgs)
+                # every bigram is in the vocabulary by construction; the
+                # guard keeps probe corpora from crashing the stage
+                f = freq[idx[hit]]
+                s = int(f.sum())
+                u = int((f == 1).sum())
+            out_id.append(doc_id)
+            out_n.append(nb)
+            out_s.append(s)
+            out_u.append(u)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_bigrams": pa.array(out_n, pa.int64()),
+             "sum_freq": pa.array(out_s, pa.int64()),
+             "n_singleton": pa.array(out_u, pa.int64())}
+        )
+
+    return _collect(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "n_bigrams": pa.int64(),
+                         "sum_freq": pa.int64(), "n_singleton": pa.int64()},
+    ).sort_by("doc_id")
+
+
+def source_diversity(sf_dir: str) -> pa.Table:
+    """Per-source lexical-diversity statistic: total vs DISTINCT word
+    trigram occurrences → (source, n_trigrams, n_distinct) ordered by
+    source — the distinct-n diversity measure (a high distinct/total
+    ratio = varied text; boilerplate-heavy sources collapse).
+
+    Scale shape (mirrors ``dedup_rate_by_source``): the corpus pass emits
+    slim (source, trigram-hash) rows — totals from bounded per-block
+    count partials (driver-merged: source cardinality is small), distinct
+    via ONE native two-key groupby whose input was already deduped within
+    each block, so the exchange carries at most the distinct-trigram set,
+    never corpus text.  64-bit md5 trigram keys follow the repo-wide
+    exact-key convention (dup_ngram_stats)."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_trigrams": pa.array([], pa.int64()),
+                      "n_distinct": pa.array([], pa.int64())})
+    path = f"{sf_dir}/documents.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["source", "text"], rows_per_block=1024)
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        """(source, total) count partial + within-block-distinct
+        (source, trigram-hash) rows, tagged by kind."""
+        srcs, tots = [], []
+        d_src, d_key = [], []
+        by_src: dict = {}
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            n = max(len(toks) - 2, 0)
+            if n == 0:
+                continue
+            ent = by_src.setdefault(s, [0, set()])
+            ent[0] += n
+            for j in range(n):
+                ent[1].add(int.from_bytes(
+                    hashlib.md5(" ".join(toks[j:j + 3]).encode()
+                                ).digest()[:8], "big", signed=True))
+        for s, (tot, keys) in by_src.items():
+            srcs.append(s)
+            tots.append(tot)
+            d_src.extend([s] * len(keys))
+            d_key.extend(keys)
+        return pa.table({
+            "source": pa.array(srcs + d_src, pa.string()),
+            "n": pa.array(tots + [0] * len(d_src), pa.int64()),
+            "tg": pa.array([0] * len(srcs) + d_key, pa.int64()),
+            "kind": pa.array([0] * len(srcs) + [1] * len(d_src), pa.int8())})
+
+    tagged = ds.map_batches(tri_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    totals = _merge_partials(
+        tagged.filter(expr="kind == 0"), ["source"], [("n", "sum")],
+        fallback_schema={"source": pa.string(), "n": pa.int64(),
+                         "tg": pa.int64(), "kind": pa.int8()})
+    if totals.num_rows == 0:
+        return empty
+    distinct_rows = tagged.filter(expr="kind == 1").groupby(
+        ["source", "tg"]).aggregate(Count()).map_batches(
+        lambda b: pa.table(
+            {"source": b.column("source"),
+             "n": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    dmerged = _merge_partials(
+        distinct_rows, ["source"], [("n", "sum")],
+        fallback_schema={"source": pa.string(), "n": pa.int64()})
+
+    totals = totals.select(["source", "n"]).sort_by("source")
+    dmerged = dmerged.sort_by("source")
+    return pa.table({
+        "source": totals.column("source"),
+        "n_trigrams": totals.column("n"),
+        "n_distinct": dmerged.column("n")})
+
+
+def events_outliers(sf_dir: str) -> pa.Table:
+    """Per-event-type outlier counts in EXACT integer arithmetic: an event
+    is an outlier when its value exceeds 2× its type's mean — tested as
+    ``value_c · n > 2 · sum_c`` so no division (and no float mean) ever
+    happens, and the answer is order-independent on any engine.
+
+    Scale shape: two streaming passes — (1) per-type (n, sum) from bounded
+    per-block partials (type cardinality is tiny, so the driver merge is
+    the documented `_merge_partials` trade); (2) the per-type stats
+    broadcast via ``ray.put`` as sorted parallel arrays, each block
+    counting its own outliers vectorized; a second bounded partial merge
+    finishes.  The corpus never shuffles."""
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_outliers": pa.array([], pa.int64())})
+    path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["event_type", "value"])
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "s": _cents(batch.column("value"))})
+        return t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum")]).rename_columns(
+            ["event_type", "n", "s"])
+
+    stats = _merge_partials(
+        ds.map_batches(stat_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], [("n", "sum"), ("s", "sum")],
+        fallback_schema={"event_type": pa.string(), "n": pa.int64(),
+                         "s": pa.int64()})
+    if stats.num_rows == 0:
+        return empty
+    stats = stats.sort_by("event_type")
+    types = np.array(stats.column("event_type").to_pylist())
+    n_arr = stats.column("n").to_numpy()
+    s_arr = stats.column("s").to_numpy()
+    stats_ref = ray.put((types, n_arr, s_arr))
+
+    def outlier_partial(batch: pa.Table) -> pa.Table:
+        tys, ns, ss = ray.get(stats_ref)
+        et = np.array(batch.column("event_type").to_pylist())
+        vc = _cents(batch.column("value")).to_numpy()
+        hit, idx = _sorted_member(tys, et)
+        # every type is in the stats by construction
+        out = vc * ns[idx] > 2 * ss[idx]
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "o": pa.array(out.astype(np.int64))})
+        return t.group_by(["event_type"]).aggregate(
+            [("o", "sum")]).rename_columns(["event_type", "o"])
+
+    outl = _merge_partials(
+        ds.map_batches(outlier_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], [("o", "sum")],
+        fallback_schema={"event_type": pa.string(), "o": pa.int64()},
+    ).sort_by("event_type")
+    return pa.table({
+        "event_type": stats.column("event_type"),
+        "n_events": stats.column("n"),
+        "n_outliers": outl.column("o")})
+
+
+def orders_monthly(sf_dir: str) -> pa.Table:
+    """Monthly order volume with month-over-month delta → (month, n_orders,
+    revenue_c, delta_orders) ordered by month — the growth-curve rollup
+    every data card / ingest monitor plots.
+
+    Scale shape: per-block (month → n, cents) partials, driver merge (month
+    cardinality is bounded by the corpus time span), then the lag/delta is
+    a numpy diff over the tiny sorted rollup — the window function never
+    touches distributed data."""
+    empty = pa.table({"month": pa.array([], pa.timestamp("us")),
+                      "n_orders": pa.array([], pa.int64()),
+                      "revenue_c": pa.array([], pa.int64()),
+                      "delta_orders": pa.array([], pa.int64())})
+    path = f"{sf_dir}/orders.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["o_orderdate", "o_totalprice"])
+
+    def month_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "month": pc.floor_temporal(batch.column("o_orderdate"),
+                                       unit="month"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "r": _cents(batch.column("o_totalprice"))})
+        return t.group_by(["month"]).aggregate(
+            [("n", "sum"), ("r", "sum")]).rename_columns(["month", "n", "r"])
+
+    merged = _merge_partials(
+        ds.map_batches(month_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["month"], [("n", "sum"), ("r", "sum")],
+        fallback_schema={"month": pa.timestamp("us"), "n": pa.int64(),
+                         "r": pa.int64()})
+    if merged.num_rows == 0:
+        return empty
+    merged = merged.sort_by("month")
+    n = merged.column("n").to_numpy()
+    return pa.table({
+        "month": merged.column("month"),
+        "n_orders": merged.column("n"),
+        "revenue_c": merged.column("r"),
+        "delta_orders": pa.array(np.diff(n, prepend=0), pa.int64())})
+
+
+def q13_order_distribution(
+    sf_dir: str, exclude_priority: str = "1-URGENT",
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q13 shape: the customer order-count DISTRIBUTION — how many
+    customers placed exactly ``c_count`` orders (excluding one priority
+    class, the stand-in for Q13's comment filter; this schema carries no
+    o_comment), INCLUDING the zero-order customers the left join exposes
+    → (c_count, custdist) ordered by (custdist DESC, c_count DESC).
+
+    Scale shape — two cheap collapses, no wide join:
+      - orders pre-combine per block (custkey → count partials), ONE
+        native groupby-Sum collapses them to ≤|customer| rows;
+      - validity: counted custkeys are membership-filtered against the
+        customer dimension (broadcast sorted keys under the gate, a
+        distributed hash join above it / under ``force_distributed``;
+        tests pin both equal);
+      - the histogram re-groups the per-customer counts by c_count —
+        bounded cardinality (max orders per customer), so the final merge
+        is a `_merge_partials` driver fold of blocks × tiny rows;
+      - the zero bucket is pure arithmetic: |customer| − |counted|.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"c_count": pa.array([], pa.int64()),
+                      "custdist": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/customer.parquet") == 0:
+        return empty
+    customers = _read_sized(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+    n_cust = customers.count()
+
+    def finish(hist: pa.Table, n_with: int) -> pa.Table:
+        n_zero = n_cust - n_with
+        if n_zero > 0:
+            hist = pa.concat_tables([hist, pa.table(
+                {"c_count": pa.array([0], pa.int64()),
+                 "custdist": pa.array([n_zero], pa.int64())})])
+        return hist.take(pc.sort_indices(
+            hist, sort_keys=[("custdist", "descending"),
+                             ("c_count", "descending")]))
+
+    if _footer_rows(f"{sf_dir}/orders.parquet") == 0:
+        return finish(empty, 0)
+
+    orders = _read_sized(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch.column("o_orderpriority"),
+                                      exclude_priority))
+        t = pa.table({"o_custkey": b.column("o_custkey"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["o_custkey"]).aggregate(
+            [("n", "sum")]).rename_columns(["o_custkey", "n"])
+
+    counts = orders.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("o_custkey").aggregate(Sum("n")).rename_columns(
+        ["o_custkey", "n"])
+
+    if not force_distributed and n_cust <= broadcast_limit:
+        ckeys = np.sort(np.concatenate(
+            [b.column("c_custkey").to_numpy()
+             for b in customers.iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]))
+        ck_ref = ray.put(ckeys)
+
+        def member(batch: pa.Table) -> pa.Table:
+            hit, _ = _sorted_member(ray.get(ck_ref),
+                                    batch.column("o_custkey").to_numpy())
+            return batch.filter(pa.array(hit))
+
+        valid = counts.map_batches(member, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        valid = counts.join(
+            customers, join_type="inner",
+            num_partitions=D._default_join_partitions(counts),
+            on=("o_custkey",), right_on=("c_custkey",))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": pc.cast(batch.column("n"), pa.int64()),
+                      "custdist": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["c_count"]).aggregate(
+            [("custdist", "sum")]).rename_columns(["c_count", "custdist"])
+
+    hist = _merge_partials(
+        valid.map_batches(hist_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["c_count"], [("custdist", "sum")],
+        fallback_schema={"c_count": pa.int64(), "custdist": pa.int64()})
+    n_with = int(hist.column("custdist").to_numpy().sum()) if \
+        hist.num_rows else 0
+    return finish(hist, n_with)
+
+
+def q10_returned_revenue(
+    sf_dir: str, date_from: str = "1996-07-01", date_to: str = "1997-01-01",
+    k: int = 20, broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q10 shape: top-``k`` customers by revenue LOST to returned
+    items in one order-date band → (c_custkey, c_name, c_nationkey,
+    revenue_c4) ordered by (revenue_c4 DESC, c_custkey).  Revenue follows
+    the q3 integer discipline: cents × (100 − discount-percent), units of
+    1e-4 dollars, order-independent under any combine schedule.
+
+    Scale shape (one fact pass, q3's join geometry):
+      - lineitem: column-pruned read, returnflag filter, per-block
+        (orderkey → revenue) integer partials;
+      - orders: date-band filter; the surviving (orderkey, custkey) map
+        broadcasts sorted under the gate — the fact then re-keys itself
+        custkey-ward in-batch with one searchsorted, no fact shuffle —
+        else the partials take a distributed hash join (tests pin the
+        paths equal);
+      - ONE native groupby-Sum over custkey, per-block top-k partials,
+        driver merge of blocks × k rows;
+      - the customer fetch is q18's ≤k-key membership filter over the
+        pruned dimension, never a full-dimension join.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "c_nationkey": pa.array([], pa.int64()),
+                      "revenue_c4": pa.array([], pa.int64())})
+    for t in ("lineitem", "orders", "customer"):
+        if _footer_rows(f"{sf_dir}/{t}.parquet") == 0:
+            return empty
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        return batch.filter(m).select(["o_orderkey", "o_custkey"])
+
+    banded = ords.map_batches(band, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if banded.count() == 0:
+        return empty
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"], rows_per_block=8192)
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_c4": pc.multiply(
+                _cents(b.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100),
+                            _cents(b.column("l_discount"))))})
+        return t.group_by(["l_orderkey"]).aggregate(
+            [("rev_c4", "sum")]).rename_columns(["l_orderkey", "rev_c4"])
+
+    partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    if not force_distributed and banded.count() <= broadcast_limit:
+        b_tbl = _collect(banded).sort_by("o_orderkey")
+        okeys = b_tbl.column("o_orderkey").to_numpy()
+        ocust = b_tbl.column("o_custkey").to_numpy()
+        map_ref = ray.put((okeys, ocust))
+
+        def rekey(batch: pa.Table) -> pa.Table:
+            ks, cs = ray.get(map_ref)
+            hit, idx = _sorted_member(
+                ks, batch.column("l_orderkey").to_numpy())
+            b = batch.filter(pa.array(hit))
+            return pa.table({
+                "o_custkey": pa.array(cs[idx[hit]], pa.int64()),
+                "rev_c4": b.column("rev_c4")})
+
+        keyed = partials.map_batches(rekey, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        keyed = partials.join(
+            banded, join_type="inner",
+            num_partitions=D._default_join_partitions(partials),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).select_columns(["o_custkey", "rev_c4"])
+
+    summed = keyed.groupby("o_custkey").aggregate(Sum("rev_c4")
+                                                  ).rename_columns(
+        ["o_custkey", "rev_c4"])
+    sort_keys = [("rev_c4", "descending"), ("o_custkey", "ascending")]
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+                      "rev_c4": pc.cast(b.column("rev_c4"), pa.int64())})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    merged = _collect(
+        summed.map_batches(block_topk, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={"o_custkey": pa.int64(), "rev_c4": pa.int64()})
+    if merged.num_rows == 0:
+        return empty
+    head = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+
+    ck = np.unique(head.column("o_custkey").to_numpy())
+    ck_ref = ray.put(ck)
+
+    def member_cust(batch: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(ck_ref),
+                                batch.column("c_custkey").to_numpy())
+        b = batch.filter(pa.array(hit))
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name"),
+            "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    cust = _collect(
+        _read_sized(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_name", "c_nationkey"]
+                    ).map_batches(member_cust, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        fallback_schema={"c_custkey": pa.int64(), "c_name": pa.string(),
+                         "c_nationkey": pa.int64()})
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     zip(cust.column("c_name").to_pylist(),
+                         cust.column("c_nationkey").to_pylist())))
+    hc = head.column("o_custkey").to_pylist()
+    return pa.table({
+        "c_custkey": pc.cast(head.column("o_custkey"), pa.int64()),
+        "c_name": pa.array([names[c][0] for c in hc], pa.string()),
+        "c_nationkey": pa.array([names[c][1] for c in hc], pa.int64()),
+        "revenue_c4": head.column("rev_c4")})

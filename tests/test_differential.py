@@ -119,6 +119,8 @@ BROAD_OPS = [
     "vocab_encode", "host_quality", "dedup_rate_by_source",
     "events_rolling",
     "events_json_stats",
+    "event_transitions", "bigram_typicality", "source_diversity",
+    "events_outliers",
 ]
 
 
@@ -313,7 +315,8 @@ def _compare_tpch(entry_mod, name: str, sf_dir: str):
 JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
             "customers_without_orders", "q14_promo_revenue",
             "q6_forecast_revenue", "q4_priority_anomalies",
-            "q18_large_orders"]
+            "q18_large_orders", "q13_order_distribution",
+            "q10_returned_revenue", "orders_monthly"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -342,6 +345,41 @@ def test_q4_q18_forced_distributed(tmp_path, ray_session, seed):
                               force_distributed=True)
     assert a18.num_rows > 0
     assert a18.equals(d18)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q13_q10_forced_distributed(tmp_path, ray_session, seed):
+    # the hash-join siblings (above the broadcast gates) pinned equal to
+    # the broadcast-membership paths on randomized tables
+    rng = np.random.RandomState(seed)
+    _rand_tpch(rng, tmp_path, n_cust=8, n_ord=20, n_li=120)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a13 = TD.q13_order_distribution(str(tmp_path))
+    d13 = TD.q13_order_distribution(str(tmp_path), force_distributed=True)
+    assert a13.num_rows > 0
+    assert a13.equals(d13)
+    a10 = TD.q10_returned_revenue(str(tmp_path))
+    d10 = TD.q10_returned_revenue(str(tmp_path), force_distributed=True)
+    assert a10.num_rows > 0
+    assert a10.equals(d10)
+
+
+def test_event_transitions_bigram_distributed_siblings(tmp_path, ray_session):
+    # driver-gate paths == distributed paths (groupby map_groups for the
+    # transition counts; distributed vocab groupby for the bigram scorer)
+    rng = np.random.RandomState(11)
+    pq.write_table(_rand_documents(rng, 12), str(tmp_path / "documents.parquet"))
+    pq.write_table(_rand_events(rng, 60), str(tmp_path / "events.parquet"))
+    from swift_readability_ray.pipelines import training_data as TD
+
+    drv = TD.event_transitions(str(tmp_path))
+    dist = TD.event_transitions(str(tmp_path), driver_limit=0)
+    assert drv.num_rows > 0
+    assert drv.equals(dist)
+    bd = TD.bigram_typicality(str(tmp_path))
+    bb = TD.bigram_typicality(str(tmp_path), broadcast_limit=0)
+    assert bd.equals(bb)
 
 
 # extraction / multimodal / ANN / sink families — heavier per call, so one
