@@ -276,6 +276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q10 shape: top-k customers by returned-item revenue
         # (fact re-keys in-batch under the gate; q18's <=k-key fetch)
         "q10_returned_revenue": TD.q10_returned_revenue,
+        # DAU/WAU engagement: distinct-pair collapse + trailing-window
+        # expansion (exact distinct, no sketch)
+        "events_dau_wau": TD.events_dau_wau,
+        # word2vec positive-pair sampler: top skip-gram pairs (window 2)
+        "skipgram_pairs": TD.skipgram_pairs,
     }
 
 
@@ -2247,6 +2252,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.revenue_c4 AS BIGINT) AS revenue_c4
             FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
             ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+        """,
+        # DAU + trailing-7-day WAU over active days only (exact distinct)
+        "events_dau_wau": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            wau AS (
+              SELECT d.day, count(DISTINCT u.user_id) AS wau
+              FROM days d JOIN ud u
+                ON u.day >= d.day - INTERVAL 6 DAY AND u.day <= d.day
+              GROUP BY d.day),
+            dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+            SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau
+            FROM dau d JOIN wau w USING (day) ORDER BY day
+        """,
+        # top skip-gram pairs within a 2-token forward window
+        "skipgram_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i.i AS i, ts[i.i] AS w
+              FROM toks, unnest(generate_series(1, len(ts))) AS i(i)),
+            pairs AS (
+              SELECT a.w AS w1, b.w AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30
         """,
     }
     sql.update(_graph_oracles())

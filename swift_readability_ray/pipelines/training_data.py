@@ -7086,7 +7086,9 @@ def bigram_typicality(
     ).sort_by("doc_id")
 
 
-def source_diversity(sf_dir: str) -> pa.Table:
+def source_diversity(
+    sf_dir: str, driver_limit: int = 2_000_000
+) -> pa.Table:
     """Per-source lexical-diversity statistic: total vs DISTINCT word
     trigram occurrences → (source, n_trigrams, n_distinct) ordered by
     source — the distinct-n diversity measure (a high distinct/total
@@ -7097,8 +7099,12 @@ def source_diversity(sf_dir: str) -> pa.Table:
     count partials (driver-merged: source cardinality is small), distinct
     via ONE native two-key groupby whose input was already deduped within
     each block, so the exchange carries at most the distinct-trigram set,
-    never corpus text.  64-bit md5 trigram keys follow the repo-wide
-    exact-key convention (dup_ngram_stats)."""
+    never corpus text.  Under ``driver_limit`` footer rows the distinct
+    union folds on the driver instead (np.unique per source over the
+    block-distinct keys — Ray's hash shuffle costs ~7 s of fixed overhead
+    at ANY size, measured on 248k rows; the fallback test pins the paths
+    equal).  64-bit trigram keys follow the repo-wide exact-key
+    convention (dup_ngram_stats)."""
     from ray.data.aggregate import Count
 
     empty = pa.table({"source": pa.array([], pa.string()),
@@ -7111,31 +7117,56 @@ def source_diversity(sf_dir: str) -> pa.Table:
 
     def tri_partial(batch: pa.Table) -> pa.Table:
         """(source, total) count partial + within-block-distinct
-        (source, trigram-hash) rows, tagged by kind."""
+        (source, trigram-hash) rows, tagged by kind.
+
+        Trigram keys are a SplitMix64 chain over 64-bit md5 TOKEN ids —
+        md5 runs once per distinct token per block (vocabulary-sized),
+        then the per-position combine is three vectorized mixing rounds
+        instead of a per-trigram Python md5 (6.8 s → sub-second at
+        sf0.1).  Keys are engine-internal (the oracle counts distinct
+        STRINGS), so only 64-bit collision-freeness matters, not the
+        md5-bridge format."""
+        from ..functions.hashing import splitmix64_mix
+
         srcs, tots = [], []
         d_src, d_key = [], []
+        tok_ids: dict = {}
+        get = tok_ids.get
         by_src: dict = {}
         for s, t in zip(batch.column("source").to_pylist(),
                         batch.column("text").to_pylist()):
             toks = _GRAM_TOKEN_RE.findall((t or "").lower())
-            n = max(len(toks) - 2, 0)
-            if n == 0:
+            n = len(toks) - 2
+            if n <= 0:
                 continue
-            ent = by_src.setdefault(s, [0, set()])
+            vals = []
+            for tok in toks:
+                v = get(tok)
+                if v is None:
+                    v = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big")
+                    tok_ids[tok] = v
+                vals.append(v)
+            ids = np.array(vals, np.uint64)
+            h = splitmix64_mix(
+                splitmix64_mix(splitmix64_mix(ids[:-2]) ^ ids[1:-1])
+                ^ ids[2:])
+            ent = by_src.setdefault(s, [0, []])
             ent[0] += n
-            for j in range(n):
-                ent[1].add(int.from_bytes(
-                    hashlib.md5(" ".join(toks[j:j + 3]).encode()
-                                ).digest()[:8], "big", signed=True))
-        for s, (tot, keys) in by_src.items():
+            ent[1].append(h)
+        for s, (tot, arrs) in by_src.items():
+            keys = np.unique(np.concatenate(arrs)).view(np.int64)
             srcs.append(s)
             tots.append(tot)
             d_src.extend([s] * len(keys))
-            d_key.extend(keys)
+            d_key.append(keys)
+        all_keys = (np.concatenate(d_key) if d_key
+                    else np.array([], np.int64))
         return pa.table({
             "source": pa.array(srcs + d_src, pa.string()),
             "n": pa.array(tots + [0] * len(d_src), pa.int64()),
-            "tg": pa.array([0] * len(srcs) + d_key, pa.int64()),
+            "tg": pa.array(np.concatenate(
+                [np.zeros(len(srcs), np.int64), all_keys])),
             "kind": pa.array([0] * len(srcs) + [1] * len(d_src), pa.int8())})
 
     tagged = ds.map_batches(tri_partial, batch_format="pyarrow",
@@ -7147,15 +7178,26 @@ def source_diversity(sf_dir: str) -> pa.Table:
                          "tg": pa.int64(), "kind": pa.int8()})
     if totals.num_rows == 0:
         return empty
-    distinct_rows = tagged.filter(expr="kind == 1").groupby(
-        ["source", "tg"]).aggregate(Count()).map_batches(
-        lambda b: pa.table(
-            {"source": b.column("source"),
-             "n": pa.array(np.ones(b.num_rows, np.int64))}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    dmerged = _merge_partials(
-        distinct_rows, ["source"], [("n", "sum")],
-        fallback_schema={"source": pa.string(), "n": pa.int64()})
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        pairs = _collect(tagged.filter(expr="kind == 1"))
+        src = np.asarray(pairs.column("source").to_pylist(), dtype=object)
+        tg = pairs.column("tg").to_numpy()
+        uniq_src, codes = np.unique(src, return_inverse=True)
+        dmerged = pa.table({
+            "source": pa.array(uniq_src, pa.string()),
+            "n": pa.array([int(np.unique(tg[codes == c]).size)
+                           for c in range(len(uniq_src))], pa.int64())})
+    else:
+        distinct_rows = tagged.filter(expr="kind == 1").groupby(
+            ["source", "tg"]).aggregate(Count()).map_batches(
+            lambda b: pa.table(
+                {"source": b.column("source"),
+                 "n": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dmerged = _merge_partials(
+            distinct_rows, ["source"], [("n", "sum")],
+            fallback_schema={"source": pa.string(), "n": pa.int64()})
 
     totals = totals.select(["source", "n"]).sort_by("source")
     dmerged = dmerged.sort_by("source")
@@ -7514,3 +7556,200 @@ def q10_returned_revenue(
         "c_name": pa.array([names[c][0] for c in hc], pa.string()),
         "c_nationkey": pa.array([names[c][1] for c in hc], pa.int64()),
         "revenue_c4": head.column("rev_c4")})
+
+
+def events_dau_wau(
+    sf_dir: str, driver_limit: int = 2_000_000
+) -> pa.Table:
+    """Daily / weekly active users: per active day, the distinct-user count
+    that day (DAU) and over the trailing 7-day window (WAU) → (day, dau,
+    wau) ordered by day — the engagement rollup every product dashboard
+    and data card carries.  Only days that appear in the stream are
+    reported.
+
+    Scale shape: the stream collapses to DISTINCT (user, day) pairs first
+    (per-block dedup, then ONE two-key groupby — pairs are bounded by
+    |users|·|days|, far below event count), DAU is a bounded per-day
+    partial merge, and WAU expands each distinct pair to the ≤7 trailing
+    active days it supports (vectorized searchsorted against the
+    broadcast sorted day array) before a second pair-dedup + bounded
+    merge.  Under ``driver_limit`` footer rows the pair dedups fold on
+    the driver instead (the measured ~7 s fixed hash-shuffle cost;
+    fallback test pins the paths equal)."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "dau": pa.array([], pa.int64()),
+                      "wau": pa.array([], pa.int64())})
+    path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    day_us = 86_400_000_000
+    ds = _read_sized(path, columns=["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        day = (batch.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // day_us) * day_us
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        keep = np.ones(len(u), bool)
+        if len(u) > 1:
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"user_id": pa.array(u[keep], pa.int64()),
+                         "day": pa.array(d[keep], pa.int64())})
+
+    blocks = ds.map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _dedup_driver(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        u = tbl.column("user_id").to_numpy()
+        d = tbl.column("day").to_numpy()
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.ones(len(u), bool)
+        if len(u) > 1:
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        return u[keep], d[keep]
+
+    n_rows = _footer_rows(path)
+    gated = n_rows is not None and n_rows <= driver_limit
+    if gated:
+        uid, day = _dedup_driver(_collect(blocks, fallback_schema={
+            "user_id": pa.int64(), "day": pa.int64()}))
+        if len(uid) == 0:
+            return empty
+        days = np.unique(day)
+        # DAU: distinct pairs per day
+        d_idx = np.searchsorted(days, day)
+        dau = np.bincount(d_idx, minlength=len(days)).astype(np.int64)
+        # WAU: each pair supports active days in [day, day+6d]
+        lo = np.searchsorted(days, day)
+        hi = np.searchsorted(days, day + 6 * day_us, side="right")
+        reps = hi - lo
+        w_u = np.repeat(uid, reps)
+        w_d = days[np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi)])] if len(uid) else \
+            np.array([], np.int64)
+        order = np.lexsort((w_d, w_u))
+        w_u, w_d = w_u[order], w_d[order]
+        keep = np.ones(len(w_u), bool)
+        if len(w_u) > 1:
+            keep[1:] = (w_u[1:] != w_u[:-1]) | (w_d[1:] != w_d[:-1])
+        wau = np.bincount(np.searchsorted(days, w_d[keep]),
+                          minlength=len(days)).astype(np.int64)
+        return pa.table({
+            "day": pa.array(days.view("datetime64[us]")),
+            "dau": pa.array(dau), "wau": pa.array(wau)})
+
+    pairs = blocks.groupby(["user_id", "day"]).aggregate(Count()
+                                                         ).select_columns(
+        ["user_id", "day"]).materialize()
+    day_tbl = _collect(
+        pairs.map_batches(
+            lambda b: pa.table({"day": pa.array(
+                np.unique(b.column("day").to_numpy()), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True))
+    days = np.unique(day_tbl.column("day").to_numpy())
+    days_ref = ray.put(days)
+
+    def dau_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("day"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["day"]).aggregate([("n", "sum")]
+                                             ).rename_columns(["day", "n"])
+
+    dau_t = _merge_partials(
+        pairs.map_batches(dau_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["day"], [("n", "sum")],
+        fallback_schema={"day": pa.int64(), "n": pa.int64()}
+    ).sort_by("day")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        dd = ray.get(days_ref)
+        uid = batch.column("user_id").to_numpy()
+        day = batch.column("day").to_numpy()
+        lo = np.searchsorted(dd, day)
+        hi = np.searchsorted(dd, day + 6 * day_us, side="right")
+        reps = hi - lo
+        w_u = np.repeat(uid, reps)
+        w_d = dd[np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi)])] if len(uid) else \
+            np.array([], np.int64)
+        return pa.table({"user_id": pa.array(w_u, pa.int64()),
+                         "day": pa.array(w_d, pa.int64())})
+
+    wau_pairs = pairs.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby(["user_id", "day"]).aggregate(Count())
+    wau_t = _merge_partials(
+        wau_pairs.map_batches(dau_partial, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["day"], [("n", "sum")],
+        fallback_schema={"day": pa.int64(), "n": pa.int64()}
+    ).sort_by("day")
+    return pa.table({
+        "day": pa.array(dau_t.column("day").to_numpy().view("datetime64[us]")),
+        "dau": pc.cast(dau_t.column("n"), pa.int64()),
+        "wau": pc.cast(wau_t.column("n"), pa.int64())})
+
+
+def skipgram_pairs(
+    sf_dir: str, window: int = 2, k: int = 30
+) -> pa.Table:
+    """Top-``k`` word2vec-style skip-gram pairs: ordered (w1, w2) token
+    pairs within a ``window``-token forward window, counted over the
+    corpus → (w1, w2, n) by (n DESC, w1, w2) — the positive-pair sampler
+    an embedding trainer feeds from (cooccurrence_pairs' doc-level
+    sibling, restricted to local context).
+
+    Scale shape: per-block Counters over zip-shifted token streams emit
+    vocabulary²-bounded partials (corpus-sized in, pair-vocabulary out),
+    ONE native two-key groupby-Sum combines them, and per-block top-k
+    partials mean only blocks × k rows ever reach the driver.  Pair
+    cardinality is unbounded, so there is NO driver gate — the groupby
+    stays distributed at every scale (word_counts' discipline)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    path = f"{sf_dir}/documents.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["text"], rows_per_block=1024)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            for off in range(1, window + 1):
+                c.update(zip(toks, toks[off:]))
+        if not c:
+            return empty
+        w1, w2 = zip(*c.keys())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    summed = ds.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby(["w1", "w2"]).aggregate(Sum("n")).rename_columns(
+        ["w1", "w2", "n"])
+    sort_keys = [("n", "descending"), ("w1", "ascending"),
+                 ("w2", "ascending")]
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        t = pa.table({"w1": b.column("w1"), "w2": b.column("w2"),
+                      "n": pc.cast(b.column("n"), pa.int64())})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    merged = _collect(
+        summed.map_batches(block_topk, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={"w1": pa.string(), "w2": pa.string(),
+                         "n": pa.int64()})
+    return merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])

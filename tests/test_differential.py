@@ -120,7 +120,7 @@ BROAD_OPS = [
     "events_rolling",
     "events_json_stats",
     "event_transitions", "bigram_typicality", "source_diversity",
-    "events_outliers",
+    "events_outliers", "events_dau_wau", "skipgram_pairs",
 ]
 
 
@@ -380,6 +380,13 @@ def test_event_transitions_bigram_distributed_siblings(tmp_path, ray_session):
     bd = TD.bigram_typicality(str(tmp_path))
     bb = TD.bigram_typicality(str(tmp_path), broadcast_limit=0)
     assert bd.equals(bb)
+    sd = TD.source_diversity(str(tmp_path))
+    sdd = TD.source_diversity(str(tmp_path), driver_limit=0)
+    assert sd.equals(sdd)
+    wd = TD.events_dau_wau(str(tmp_path))
+    wdd = TD.events_dau_wau(str(tmp_path), driver_limit=0)
+    assert wd.num_rows > 0
+    assert wd.equals(wdd)
 
 
 # extraction / multimodal / ANN / sink families — heavier per call, so one
