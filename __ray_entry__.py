@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": TD.events_dau_wau,
         # word2vec positive-pair sampler: top skip-gram pairs (window 2)
         "skipgram_pairs": TD.skipgram_pairs,
+        # provenance diagnostic: 8-token prefix fingerprints shared
+        # between source pairs (bitmask fold, vocab_overlap's machinery)
+        "cross_source_contamination": TD.cross_source_contamination,
+        # TPC-H Q16 shape: distinct suppliers per part (brand, type)
+        # class, derived from lineitem pairs (no partsupp in this schema)
+        "q16_part_suppliers": TD.q16_part_suppliers,
     }
 
 
@@ -2285,6 +2291,34 @@ def oracle_sql() -> dict[str, str]:
                 ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2)
             SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30
+        """,
+        # distinct 8-token document prefixes shared between source pairs
+        "cross_source_contamination": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            pref AS (
+              SELECT DISTINCT source, array_to_string(ts[1:8], ' ') AS p
+              FROM toks WHERE len(ts) >= 8)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM pref a JOIN pref b ON a.p = b.p AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # TPC-H Q16 shape: distinct suppliers per (brand, type), supplier-
+        # part pairs derived from lineitem, one part class excluded
+        "q16_part_suppliers": """
+            WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (
+              SELECT p.p_brand, p.p_type, sp.l_suppkey
+              FROM sp JOIN part p ON sp.l_partkey = p.p_partkey
+              WHERE p.p_type <> 'PROMO')
+            SELECT p_brand, p_type,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM j GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20
         """,
     }
     sql.update(_graph_oracles())

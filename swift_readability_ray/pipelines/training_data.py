@@ -7753,3 +7753,245 @@ def skipgram_pairs(
         fallback_schema={"w1": pa.string(), "w2": pa.string(),
                          "n": pa.int64()})
     return merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+
+
+def cross_source_contamination(sf_dir: str) -> pa.Table:
+    """Template / boilerplate leakage between source shards: for every
+    source pair, the number of distinct 8-token document PREFIXES present
+    in both → (src_a, src_b, n_shared) for pairs with n_shared > 0,
+    ordered by the pair — the provenance diagnostic that catches one
+    provider mirroring another (exact-dup contamination collapses to the
+    same digest; templated contamination shares openings long before full
+    texts match).
+
+    Scale shape (vocab_overlap's bitmask fold over a per-DOC key): one
+    64-bit prefix fingerprint per document, block-distinct (key, source)
+    pairs fold the source axis into a bitmask via bit-split + dedup +
+    Sum==OR (two bounded-key groupbys, never corpus text), then per-batch
+    pair-intersection tallies driver-merge — S² rows per block for a
+    bounded source dimension."""
+    from ray.data.aggregate import Count, Sum
+
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_shared": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["text", "source"], rows_per_block=1024)
+
+    sources = sorted(set(pa.concat_tables(
+        _docs_sized(sf_dir, columns=["source"]).iter_batches(
+            batch_format="pyarrow")
+    ).column("source").to_pylist()))
+    if len(sources) > 62:
+        raise ValueError("cross_source_contamination bitmask supports <=62 "
+                         "sources; shard the source dimension first")
+    sid = {s: i for i, s in enumerate(sources)}
+
+    def prefix_bits(batch: pa.Table) -> pa.Table:
+        seen: dict[int, int] = {}
+        for t, s in zip(batch.column("text").to_pylist(),
+                        batch.column("source").to_pylist()):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            if len(toks) < 8:
+                continue
+            h = int.from_bytes(
+                hashlib.md5(" ".join(toks[:8]).encode()).digest()[:8],
+                "big", signed=True)
+            seen[h] = seen.get(h, 0) | (1 << sid[s])
+        return pa.table({"k": pa.array(list(seen), pa.int64()),
+                         "mask": pa.array(list(seen.values()), pa.int64())})
+
+    def bit_rows(batch: pa.Table) -> pa.Table:
+        ks, bits = [], []
+        for k, m in zip(batch.column("k").to_pylist(),
+                        batch.column("mask").to_pylist()):
+            mm = m
+            while mm:
+                b = mm & (-mm)
+                ks.append(k)
+                bits.append(b)
+                mm ^= b
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "bit": pa.array(bits, pa.int64())})
+
+    masks = ds.map_batches(
+        prefix_bits, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        bit_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["k", "bit"]).aggregate(Count()).map_batches(
+        lambda b: b.select(["k", "bit"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("k").aggregate(Sum("bit")).map_batches(
+        lambda b: pa.table({"mask": pc.cast(b.column("sum(bit)"),
+                                            pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    S = len(sources)
+
+    def tally(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("mask").combine_chunks(), np.int64)
+        rows_a, rows_b, shared = [], [], []
+        for i in range(S):
+            for j in range(i + 1, S):
+                rows_a.append(sources[i])
+                rows_b.append(sources[j])
+                shared.append(int((((m >> i) & (m >> j)) & 1).sum()))
+        return pa.table({"src_a": pa.array(rows_a, pa.string()),
+                         "src_b": pa.array(rows_b, pa.string()),
+                         "n_shared": pa.array(shared, pa.int64())})
+
+    merged = _merge_partials(
+        masks.map_batches(tally, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src_a", "src_b"], [("n_shared", "sum")],
+        fallback_schema={"src_a": pa.string(), "src_b": pa.string(),
+                         "n_shared": pa.int64()})
+    merged = merged.filter(pc.greater(merged.column("n_shared"), 0))
+    return merged.take(pc.sort_indices(
+        merged, sort_keys=[("src_a", "ascending"), ("src_b", "ascending")]))
+
+
+def q16_part_suppliers(
+    sf_dir: str, exclude_type: str = "PROMO", k: int = 20,
+    driver_limit: int = 2_000_000, broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q16 shape: distinct supplier counts per part (brand, type)
+    class — supplier-part relationships derived from lineitem (this
+    schema carries no partsupp), one part class excluded → top-``k``
+    (p_brand, p_type, supplier_cnt) by (cnt DESC, brand, type).
+
+    Scale shape: lineitem collapses to DISTINCT (partkey, suppkey) pairs
+    FIRST (per-block dedup, then a driver lexsort fold under
+    ``driver_limit`` footer rows / a two-key groupby above it); the part
+    dimension broadcasts its (partkey → brand, type) map under
+    ``broadcast_limit`` (hash join fallback pinned equal); the final
+    distinct-(brand, type, supplier) count re-deduplicates after the
+    re-key — bounded by the pair set, never the fact table."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_type": pa.array([], pa.string()),
+                      "supplier_cnt": pa.array([], pa.int64())})
+    for t in ("lineitem", "part"):
+        if _footer_rows(f"{sf_dir}/{t}.parquet") == 0:
+            return empty
+
+    li = _read_sized(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_suppkey"], rows_per_block=8192)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        order = np.lexsort((sk, pk))
+        p, s = pk[order], sk[order]
+        keep = np.ones(len(p), bool)
+        if len(p) > 1:
+            keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        return pa.table({"l_partkey": pa.array(p[keep], pa.int64()),
+                         "l_suppkey": pa.array(s[keep], pa.int64())})
+
+    blocks = li.map_batches(pair_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_rows = _footer_rows(f"{sf_dir}/lineitem.parquet")
+    gated = (not force_distributed and n_rows is not None
+             and n_rows <= driver_limit)
+    if gated:
+        t = _collect(blocks, fallback_schema={"l_partkey": pa.int64(),
+                                              "l_suppkey": pa.int64()})
+        pk = t.column("l_partkey").to_numpy()
+        sk = t.column("l_suppkey").to_numpy()
+        order = np.lexsort((sk, pk))
+        p, s = pk[order], sk[order]
+        keep = np.ones(len(p), bool)
+        if len(p) > 1:
+            keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        pairs = pa.table({"l_partkey": pa.array(p[keep], pa.int64()),
+                          "l_suppkey": pa.array(s[keep], pa.int64())})
+        pairs_ds = ray.data.from_arrow(pairs)
+    else:
+        pairs_ds = blocks.groupby(
+            ["l_partkey", "l_suppkey"]).aggregate(Count()).select_columns(
+            ["l_partkey", "l_suppkey"])
+
+    part = _read_sized(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand", "p_type"])
+    p_small = (not force_distributed
+               and part.count() <= broadcast_limit)
+    if p_small:
+        pt = _collect(part).sort_by("p_partkey")
+        pt = pt.filter(pc.not_equal(pt.column("p_type"), exclude_type))
+        pkeys = pt.column("p_partkey").to_numpy()
+        brands = np.array(pt.column("p_brand").to_pylist(), dtype=object)
+        types = np.array(pt.column("p_type").to_pylist(), dtype=object)
+        dim_ref = ray.put((pkeys, brands, types))
+
+        def rekey(batch: pa.Table) -> pa.Table:
+            ks, br, ty = ray.get(dim_ref)
+            hit, idx = _sorted_member(
+                ks, batch.column("l_partkey").to_numpy())
+            b = batch.filter(pa.array(hit))
+            return pa.table({
+                "p_brand": pa.array(br[idx[hit]], pa.string()),
+                "p_type": pa.array(ty[idx[hit]], pa.string()),
+                "l_suppkey": b.column("l_suppkey")})
+
+        keyed = pairs_ds.map_batches(rekey, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        part_f = part.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("p_type"),
+                                            exclude_type)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        keyed = pairs_ds.join(
+            part_f, join_type="inner",
+            num_partitions=D._default_join_partitions(pairs_ds),
+            on=("l_partkey",), right_on=("p_partkey",),
+        ).select_columns(["p_brand", "p_type", "l_suppkey"])
+
+    def class_partial(batch: pa.Table) -> pa.Table:
+        """Block-distinct (brand, type, suppkey) rows."""
+        return batch.group_by(
+            ["p_brand", "p_type", "l_suppkey"]).aggregate([]).select(
+            ["p_brand", "p_type", "l_suppkey"])
+
+    tri = keyed.map_batches(class_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if gated:
+        t = _collect(tri, fallback_schema={
+            "p_brand": pa.string(), "p_type": pa.string(),
+            "l_suppkey": pa.int64()})
+        dedup = t.group_by(["p_brand", "p_type", "l_suppkey"]).aggregate([])
+        counts = dedup.group_by(["p_brand", "p_type"]).aggregate(
+            [("l_suppkey", "count")]).rename_columns(
+            ["p_brand", "p_type", "supplier_cnt"])
+    else:
+        dd = tri.groupby(
+            ["p_brand", "p_type", "l_suppkey"]).aggregate(Count())
+
+        def cnt_partial(batch: pa.Table) -> pa.Table:
+            t2 = pa.table({"p_brand": batch.column("p_brand"),
+                           "p_type": batch.column("p_type"),
+                           "supplier_cnt": pa.array(
+                               np.ones(batch.num_rows, np.int64))})
+            return t2.group_by(["p_brand", "p_type"]).aggregate(
+                [("supplier_cnt", "sum")]).rename_columns(
+                ["p_brand", "p_type", "supplier_cnt"])
+
+        counts = _merge_partials(
+            dd.map_batches(cnt_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["p_brand", "p_type"], [("supplier_cnt", "sum")],
+            fallback_schema={"p_brand": pa.string(), "p_type": pa.string(),
+                             "supplier_cnt": pa.int64()})
+    if counts.num_rows == 0:
+        return empty
+    counts = pa.table({
+        "p_brand": counts.column("p_brand"),
+        "p_type": counts.column("p_type"),
+        "supplier_cnt": pc.cast(counts.column("supplier_cnt"), pa.int64())})
+    return counts.take(pc.sort_indices(
+        counts, sort_keys=[("supplier_cnt", "descending"),
+                           ("p_brand", "ascending"),
+                           ("p_type", "ascending")])[:k])

@@ -121,6 +121,7 @@ BROAD_OPS = [
     "events_json_stats",
     "event_transitions", "bigram_typicality", "source_diversity",
     "events_outliers", "events_dau_wau", "skipgram_pairs",
+    "cross_source_contamination",
 ]
 
 
@@ -316,7 +317,8 @@ JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
             "customers_without_orders", "q14_promo_revenue",
             "q6_forecast_revenue", "q4_priority_anomalies",
             "q18_large_orders", "q13_order_distribution",
-            "q10_returned_revenue", "orders_monthly"]
+            "q10_returned_revenue", "orders_monthly",
+            "q16_part_suppliers"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -363,6 +365,10 @@ def test_q13_q10_forced_distributed(tmp_path, ray_session, seed):
     d10 = TD.q10_returned_revenue(str(tmp_path), force_distributed=True)
     assert a10.num_rows > 0
     assert a10.equals(d10)
+    a16 = TD.q16_part_suppliers(str(tmp_path))
+    d16 = TD.q16_part_suppliers(str(tmp_path), force_distributed=True)
+    assert a16.num_rows > 0
+    assert a16.equals(d16)
 
 
 def test_event_transitions_bigram_distributed_siblings(tmp_path, ray_session):
