@@ -287,6 +287,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q16 shape: distinct suppliers per part (brand, type)
         # class, derived from lineitem pairs (no partsupp in this schema)
         "q16_part_suppliers": TD.q16_part_suppliers,
+        # TPC-H Q7 shape: cross-nation shipping volume per (supp, cust,
+        # year) — q5's 6-table sibling with the != nation predicate
+        "q7_nation_volume": TD.q7_nation_volume,
+        # TPC-H Q15 shape: per-supplier revenue, every max-tied winner
+        "q15_top_supplier": TD.q15_top_supplier,
+        # TPC-H Q17 shape: below-20%-of-part-average quantity revenue,
+        # correlated AVG made integer-exact (qty_c·5·cnt < sum_qty_c)
+        "q17_small_qty_revenue": TD.q17_small_qty_revenue,
+        # TPC-H Q19 shape: disjunctive brand/size/qty clause revenue,
+        # the OR folded into the broadcast part dim as quantity bands
+        "q19_disjunctive_revenue": TD.q19_disjunctive_revenue,
+        # TPC-H Q22 shape: above-average-balance customers with no
+        # orders, per nation (anti-join + integer-exact scalar AVG)
+        "q22_sales_opportunity": TD.q22_sales_opportunity,
     }
 
 
@@ -2319,6 +2333,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM j GROUP BY 1, 2
             ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20
+        """,
+        # TPC-H Q7: volume between two nations either direction, per ship
+        # year; integer cent x cent revenue like q3/q5
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q15: per-supplier revenue over a quarter, all max ties
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS total_revenue_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   r.total_revenue_c4
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_c4 = (SELECT max(total_revenue_c4)
+                                        FROM rev)
+            ORDER BY s_suppkey
+        """,
+        # TPC-H Q17: small-quantity revenue for one brand; the correlated
+        # 20%-of-average predicate in integers (qty_c*5*cnt < sum_qty_c)
+        "q17_small_qty_revenue": """
+            WITH bp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#1'),
+            st AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+                     count(*) AS cnt
+              FROM lineitem JOIN bp ON l_partkey = p_partkey
+              GROUP BY 1)
+            SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                     AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+            WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * st.cnt
+                  < st.sq
+        """,
+        # TPC-H Q19: disjunctive brand/size/quantity clause revenue
+        "q19_disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+                     0) AS BIGINT) AS revenue_c4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 100 AND 1100)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 1000 AND 2000)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 2000 AND 3000)
+        """,
+        # TPC-H Q22: above-positive-average balance, DORMANT (no order
+        # since 2000-01-01), per nation; scalar AVG integer-exact
+        # (bal_c * cnt > sum_c)
+        "q22_sales_opportunity": """
+            WITH pos AS (
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                     count(*) AS c
+              FROM customer
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+            sel AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer, pos
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.c > pos.s)
+            SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            FROM sel
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = sel.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
     }
     sql.update(_graph_oracles())

@@ -7995,3 +7995,605 @@ def q16_part_suppliers(
         counts, sort_keys=[("supplier_cnt", "descending"),
                            ("p_brand", "ascending"),
                            ("p_type", "ascending")])[:k])
+
+
+def _years_of_us(sd_us: np.ndarray) -> np.ndarray:
+    """Calendar year of int64 epoch-microsecond timestamps, matching
+    DuckDB ``year(ts)`` for post-1970 dates (all TPC-H dates are)."""
+    return (sd_us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
+_Q7_SCHEMA = {"snk": pa.int64(), "cnk": pa.int64(),
+              "l_year": pa.int64(), "revenue_c4": pa.int64()}
+
+
+def q7_nation_volume(
+    sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01", date_hi: str = "1998-01-01",
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q7 shape: shipping volume BETWEEN two nations — revenue per
+    (supplier nation, customer nation, ship year) where one end is
+    ``nation_a`` and the other ``nation_b`` (both directions, never
+    same-nation), for a two-year ship-date window → (supp_nation,
+    cust_nation, l_year, revenue_c4) in integer cent×cent units, ordered
+    by the three keys.
+
+    Scale shape mirrors q5 (the 6-table sibling with the cross-nation
+    instead of same-nation predicate): nation is a constant catalog dim;
+    supplier and customer broadcast as sorted key→nation arrays; orders
+    pre-filter to customers OF THE TWO NATIONS (a tiny fraction) and
+    broadcast under the footer gate, so lineitem never shuffles — one
+    map_batches with two searchsorted lookups and a bounded
+    (2 pairs × years) per-block rollup.  Above the gate (or forced) the
+    orders×lineitem leg is a distributed hash join on o_orderkey with
+    the nation filter pushed BEFORE the shuffle; paths pinned equal."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    name_to_key = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue_c4": pa.array([], pa.int64())})
+    if nation_a not in name_to_key or nation_b not in name_to_key:
+        return empty
+    ka = int(name_to_key[nation_a])
+    kb = int(name_to_key[nation_b])
+    if ka == kb:
+        return empty
+    pair_keys = np.array(sorted({ka, kb}), np.int64)
+    key_to_name = {ka: nation_a, kb: nation_b}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).sort_by(
+        "s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).sort_by(
+        "c_custkey")
+    c_keys = cust.column("c_custkey").to_numpy()
+    c_nat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+
+    def rollup(snk, cnk, yr, rev) -> pa.Table:
+        t = pa.table({"snk": pa.array(snk, pa.int64()),
+                      "cnk": pa.array(cnk, pa.int64()),
+                      "l_year": pa.array(yr, pa.int64()),
+                      "revenue_c4": pa.array(rev, pa.int64())})
+        return t.group_by(["snk", "cnk", "l_year"]).aggregate(
+            [("revenue_c4", "sum")]).rename_columns(
+            ["snk", "cnk", "l_year", "revenue_c4"])
+
+    def li_partial_factory(ord_keys, ord_cnat):
+        ok_ref, on_ref = ray.put(ord_keys), ray.put(ord_cnat)
+        sk_ref, sn_ref = ray.put(s_keys), ray.put(s_nat)
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            okeys, onat = ray.get(ok_ref), ray.get(on_ref)
+            skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+            sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy()
+            o_hit, oi = _sorted_member(
+                okeys, batch.column("l_orderkey").to_numpy())
+            s_hit, si = _sorted_member(
+                skeys, batch.column("l_suppkey").to_numpy())
+            keep = (sd >= lo) & (sd < hi) & o_hit & s_hit
+            if keep.any():
+                sn = snat[si] if skeys.size else np.zeros(len(keep), np.int64)
+                cn = onat[oi] if okeys.size else np.zeros(len(keep), np.int64)
+                keep &= np.isin(sn, pair_keys) & (sn != cn)
+            if not keep.any():
+                return pa.table({n: pa.array([], t)
+                                 for n, t in _Q7_SCHEMA.items()})
+            price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+            disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
+            return rollup(sn[keep], cn[keep], _years_of_us(sd[keep]),
+                          price_c * (100 - disc_c))
+
+        return li_partial
+
+    ck_ref, cn_ref = ray.put(c_keys), ray.put(c_nat)
+
+    def order_filter(b: pa.Table) -> pa.Table:
+        ckeys, cnat = ray.get(ck_ref), ray.get(cn_ref)
+        ck = b.column("o_custkey").to_numpy()
+        c_hit, ci = _sorted_member(ckeys, ck)
+        keep = c_hit
+        if keep.any():
+            keep &= np.isin(cnat[ci], pair_keys)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "cnat": pa.array(cnat[ci][keep]
+                             if ckeys.size else np.array([], np.int64),
+                             pa.int64())})
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ot = _collect(
+            ords.map_batches(order_filter, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64(), "cnat": pa.int64()})
+        if ot.num_rows == 0:
+            return empty
+        ot = ot.sort_by("o_orderkey")
+        partial = li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("cnat").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return _q7_finish(partial, key_to_name)
+
+    of = ords.map_batches(order_filter, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_of = of.count()
+    if n_of == 0:
+        return empty
+    if n_of <= 16:
+        # pathologically thin join side (the schema-less empty-block
+        # gotcha): collect it and take the broadcast math
+        ot = pa.concat_tables(
+            of.iter_batches(batch_format="pyarrow")).sort_by("o_orderkey")
+        partial = li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("cnat").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return _q7_finish(partial, key_to_name)
+    sk_ref, sn_ref = ray.put(s_keys), ray.put(s_nat)
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64())
+        m = pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
+        b = b.filter(m)
+        sd_k = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "l_year": pa.array(_years_of_us(sd_k), pa.int64()),
+            "price_c": _cents(b.column("l_extendedprice")),
+            "disc_c": _cents(b.column("l_discount"))})
+
+    slim = li.map_batches(li_slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = slim.join(
+        of, join_type="inner",
+        num_partitions=D._default_join_partitions(slim),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+        s_hit, si = _sorted_member(skeys, b.column("l_suppkey").to_numpy())
+        cn = b.column("cnat").to_numpy()
+        keep = s_hit
+        if keep.any():
+            sn = snat[si] if skeys.size else np.zeros(len(keep), np.int64)
+            keep = keep & np.isin(sn, pair_keys) & (sn != cn)
+        if not keep.any():
+            return pa.table({n: pa.array([], t)
+                             for n, t in _Q7_SCHEMA.items()})
+        rev = (b.column("price_c").to_numpy()[keep]
+               * (100 - b.column("disc_c").to_numpy()[keep]))
+        return rollup(sn[keep], cn[keep],
+                      b.column("l_year").to_numpy()[keep], rev)
+
+    partial = joined.map_batches(rev_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return _q7_finish(partial, key_to_name)
+
+
+def _q7_finish(partial, key_to_name: dict) -> pa.Table:
+    """Bounded (2 pairs × years) partial merge + name map + Q7 order."""
+    merged = _merge_partials(partial, ["snk", "cnk", "l_year"],
+                             [("revenue_c4", "sum")],
+                             fallback_schema=_Q7_SCHEMA)
+    out = pa.table({
+        "supp_nation": pa.array(
+            [key_to_name[k] for k in merged.column("snk").to_pylist()],
+            pa.string()),
+        "cust_nation": pa.array(
+            [key_to_name[k] for k in merged.column("cnk").to_pylist()],
+            pa.string()),
+        "l_year": merged.column("l_year"),
+        "revenue_c4": merged.column("revenue_c4")})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")]))
+
+
+def q15_top_supplier(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01",
+    driver_limit: int = 2_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q15 shape: the top supplier(s) — per-supplier revenue over a
+    three-month ship-date window, then EVERY supplier tied at the maximum
+    → (s_suppkey, s_name, total_revenue_c4) ordered by suppkey, revenue
+    in integer cent×cent units.
+
+    Scale shape: lineitem pre-combines per-block (suppkey → revenue)
+    partials so the shuffle side is bounded by the supplier cardinality,
+    never the fact table.  Under ``driver_limit`` supplier footer rows
+    the partials driver-merge (supplier is a catalog dim); above it (or
+    forced) a native groupby-sum collapses them and only per-block maxima
+    plus the tied winners ever reach the driver.  Winner names come from
+    a driver-side parquet read filtered to the (tiny) winner key set."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_revenue_c4": pa.array([], pa.int64())})
+    if (_footer_rows(f"{sf_dir}/lineitem.parquet") == 0
+            or _footer_rows(f"{sf_dir}/supplier.parquet") == 0):
+        return empty
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        if not keep.any():
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "total_revenue_c4": pa.array([], pa.int64())})
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+        disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
+        t = pa.table({
+            "l_suppkey": pa.array(
+                batch.column("l_suppkey").to_numpy()[keep], pa.int64()),
+            "total_revenue_c4": pa.array(price_c * (100 - disc_c),
+                                         pa.int64())})
+        return t.group_by(["l_suppkey"]).aggregate(
+            [("total_revenue_c4", "sum")]).rename_columns(
+            ["l_suppkey", "total_revenue_c4"])
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"], rows_per_block=8192)
+    partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_sup = _footer_rows(f"{sf_dir}/supplier.parquet")
+    fb = {"l_suppkey": pa.int64(), "total_revenue_c4": pa.int64()}
+    if not force_distributed and (n_sup is not None
+                                  and n_sup <= driver_limit):
+        per_sup = _merge_partials(partials, ["l_suppkey"],
+                                  [("total_revenue_c4", "sum")],
+                                  fallback_schema=fb)
+        if per_sup.num_rows == 0:
+            return empty
+        rev = per_sup.column("total_revenue_c4").to_numpy()
+        winners = per_sup.filter(pa.array(rev == rev.max()))
+    else:
+        from ray.data.aggregate import Sum
+
+        per_sup = partials.groupby("l_suppkey").aggregate(
+            Sum("total_revenue_c4", alias_name="total_revenue_c4"))
+        # per-block maxima → driver max → filter ties (tiny result)
+        blocks = [b for b in per_sup.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not blocks:
+            return empty
+        mx = max(int(pc.max(b.column("total_revenue_c4")).as_py())
+                 for b in blocks)
+        winners = pa.concat_tables(
+            [b.filter(pc.equal(b.column("total_revenue_c4"), mx))
+             for b in blocks])
+    if winners.num_rows == 0:
+        return empty
+    wkeys = np.sort(winners.column("l_suppkey").to_numpy().astype(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).sort_by("s_suppkey")
+    hit, _ = _sorted_member(wkeys, sup.column("s_suppkey").to_numpy())
+    sup = sup.filter(pa.array(hit))
+    out = sup.join(
+        pa.table({"s_suppkey": pc.cast(winners.column("l_suppkey"),
+                                       pa.int64()),
+                  "total_revenue_c4": pc.cast(
+                      winners.column("total_revenue_c4"), pa.int64())}),
+        keys=["s_suppkey"], join_type="inner")
+    out = pa.table({"s_suppkey": pc.cast(out.column("s_suppkey"), pa.int64()),
+                    "s_name": out.column("s_name"),
+                    "total_revenue_c4": out.column("total_revenue_c4")})
+    return out.sort_by("s_suppkey")
+
+
+def q17_small_qty_revenue(
+    sf_dir: str, brand: str = "Brand#1",
+) -> pa.Table:
+    """TPC-H Q17 shape: revenue locked in SMALL-quantity orders — for
+    parts of one brand, the lineitems whose quantity is below 20% of
+    that part's average quantity → one row (revenue_c, n_items),
+    revenue as the integer-cent extendedprice sum.
+
+    The correlated AVG is made hash-exact by comparing in integers:
+    ``qty < 0.2 · (sum/cnt)  ⇔  qty_c · 5 · cnt < sum_qty_c`` (quantity
+    in half-up cents), so no float division exists on either side.
+
+    Scale shape: TWO shuffle-free passes over lineitem.  Pass 1 rolls up
+    per-part (sum_qty_c, cnt) partials for the brand's parts only
+    (membership via the broadcast sorted key array; the brand subset is
+    1/25 of the part catalog dim, driver-merge bounded).  The thresholds
+    broadcast back; pass 2 filters and emits one-row partial sums."""
+    import pyarrow.parquet as pq
+
+    out_zero = pa.table({"revenue_c": pa.array([0], pa.int64()),
+                         "n_items": pa.array([0], pa.int64())})
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    part = part.filter(pc.equal(part.column("p_brand"), brand))
+    if part.num_rows == 0 or _footer_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return out_zero
+    bkeys = np.sort(part.column("p_partkey").to_numpy().astype(np.int64))
+    bk_ref = ray.put(bkeys)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(bk_ref)
+        pk = batch.column("l_partkey").to_numpy()
+        hit, _ = _sorted_member(ks, pk)
+        if not hit.any():
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "sum_qty_c": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        qty_c = _cents(batch.column("l_quantity")).to_numpy()[hit]
+        t = pa.table({"l_partkey": pa.array(pk[hit], pa.int64()),
+                      "sum_qty_c": pa.array(qty_c, pa.int64()),
+                      "cnt": pa.array(np.ones(int(hit.sum()), np.int64))})
+        return t.group_by(["l_partkey"]).aggregate(
+            [("sum_qty_c", "sum"), ("cnt", "sum")]).rename_columns(
+            ["l_partkey", "sum_qty_c", "cnt"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _read_sized(f"{sf_dir}/lineitem.parquet", columns=li_cols,
+                     rows_per_block=8192)
+    stats = _merge_partials(
+        li.map_batches(qty_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_partkey"], [("sum_qty_c", "sum"), ("cnt", "sum")],
+        fallback_schema={"l_partkey": pa.int64(), "sum_qty_c": pa.int64(),
+                         "cnt": pa.int64()})
+    if stats.num_rows == 0:
+        return out_zero
+    stats = stats.sort_by("l_partkey")
+    st_ref = ray.put((stats.column("l_partkey").to_numpy(),
+                      stats.column("sum_qty_c").to_numpy(),
+                      stats.column("cnt").to_numpy()))
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        ks, sq, cnt = ray.get(st_ref)
+        hit, i = _sorted_member(ks, batch.column("l_partkey").to_numpy())
+        qty_c = _cents(batch.column("l_quantity")).to_numpy()
+        keep = hit & (qty_c * 5 * cnt[i] < sq[i])
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+        return pa.table({
+            "revenue_c": pa.array([int(price_c.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = _collect(
+        li.map_batches(small_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"revenue_c": pa.int64(), "n_items": pa.int64()})
+    return pa.table({
+        "revenue_c": pa.array(
+            [int(pc.sum(parts.column("revenue_c")).as_py() or 0)],
+            pa.int64()),
+        "n_items": pa.array(
+            [int(pc.sum(parts.column("n_items")).as_py() or 0)],
+            pa.int64())})
+
+
+Q19_CLAUSES = (("Brand#1", 1, 15, 1, 11),
+               ("Brand#2", 1, 25, 10, 20),
+               ("Brand#3", 1, 35, 20, 30))
+
+
+def q19_disjunctive_revenue(
+    sf_dir: str,
+    clauses: tuple = Q19_CLAUSES,
+) -> pa.Table:
+    """TPC-H Q19 shape: disjunctive multi-clause predicate revenue —
+    each clause is (brand, size_lo, size_hi, qty_lo, qty_hi); a lineitem
+    counts when its part matches a clause's brand+size band AND its
+    quantity the clause's band → one row (revenue_c4, n_items), revenue
+    in integer cent×cent units.
+
+    Scale shape: the OR-of-ANDs folds into the broadcast part dim — each
+    part precomputes its quantity band (in cents; an empty band for
+    parts matching no clause), so lineitem is ONE shuffle-free
+    map_batches with a searchsorted lookup and two integer compares; no
+    join materializes (brands are disjoint per clause in canonical Q19,
+    so one band per part suffices; a part matching several clauses takes
+    the widest-union semantics ONLY if bands overlap — we keep the
+    first matching clause, matching the SQL's OR via disjoint brands)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"]).sort_by(
+        "p_partkey")
+    out_zero = pa.table({"revenue_c4": pa.array([0], pa.int64()),
+                         "n_items": pa.array([0], pa.int64())})
+    if part.num_rows == 0 or _footer_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return out_zero
+    pk = part.column("p_partkey").to_numpy()
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    size = part.column("p_size").to_numpy().astype(np.int64)
+    qlo_c = np.full(len(pk), 1, np.int64)   # empty band: lo>hi
+    qhi_c = np.zeros(len(pk), np.int64)
+    for b, slo, shi, ql, qh in clauses:
+        m = (brand == b) & (size >= slo) & (size <= shi)
+        qlo_c[m] = ql * 100
+        qhi_c[m] = qh * 100
+    sel = qlo_c <= qhi_c
+    if not sel.any():
+        return out_zero
+    dim_ref = ray.put((pk[sel], qlo_c[sel], qhi_c[sel]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, lo_c, hi_c = ray.get(dim_ref)
+        hit, i = _sorted_member(ks, batch.column("l_partkey").to_numpy())
+        qty_c = _cents(batch.column("l_quantity")).to_numpy()
+        keep = hit & (qty_c >= lo_c[i]) & (qty_c <= hi_c[i])
+        if not keep.any():
+            return pa.table({"revenue_c4": pa.array([0], pa.int64()),
+                             "n_items": pa.array([0], pa.int64())})
+        price_c = _cents(batch.column("l_extendedprice")).to_numpy()[keep]
+        disc_c = _cents(batch.column("l_discount")).to_numpy()[keep]
+        return pa.table({
+            "revenue_c4": pa.array([int((price_c * (100 - disc_c)).sum())],
+                                   pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"], rows_per_block=8192)
+    parts = _collect(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"revenue_c4": pa.int64(), "n_items": pa.int64()})
+    return pa.table({
+        "revenue_c4": pa.array(
+            [int(pc.sum(parts.column("revenue_c4")).as_py() or 0)],
+            pa.int64()),
+        "n_items": pa.array(
+            [int(pc.sum(parts.column("n_items")).as_py() or 0)],
+            pa.int64())})
+
+
+def q22_sales_opportunity(
+    sf_dir: str, since: str = "2000-01-01",
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q22 shape: the global-sales-opportunity anti-join — customers
+    whose account balance beats the average POSITIVE balance and who have
+    placed no order since ``since`` (dormant high-value accounts; the
+    driver corpus gives every customer SOME order, so the canonical
+    never-ordered predicate would be vacuous), rolled up per nation
+    (this schema carries no phone country code; c_nationkey plays that
+    role) → (cntrycode, numcust, totacctbal_c) ordered by cntrycode,
+    balances in half-up integer cents.
+
+    The correlated scalar AVG is integer-exact: ``bal > sum/cnt ⇔
+    bal_c · cnt > sum_c``.  Scale shape: pass 1 over customer folds
+    one-row (sum_pos_c, n_pos) partials; under the orders footer gate
+    the DISTINCT order custkeys broadcast and each customer block
+    anti-filters with a searchsorted miss + per-nation rollup (bounded
+    25-nation partials).  Above the gate (or forced), the selected
+    customers LEFT ANTI hash-join the distinct order keys and the same
+    bounded rollup runs shuffle-side."""
+    empty = pa.table({"cntrycode": pa.array([], pa.int64()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_c": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/customer.parquet") == 0:
+        return empty
+    cust = _read_sized(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal_c = _cents(b.column("c_acctbal")).to_numpy()
+        pos = bal_c > 0
+        return pa.table({
+            "sum_pos_c": pa.array([int(bal_c[pos].sum())], pa.int64()),
+            "n_pos": pa.array([int(pos.sum())], pa.int64())})
+
+    pos = _collect(
+        cust.map_batches(pos_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        fallback_schema={"sum_pos_c": pa.int64(), "n_pos": pa.int64()})
+    sum_c = int(pc.sum(pos.column("sum_pos_c")).as_py() or 0)
+    n_pos = int(pc.sum(pos.column("n_pos")).as_py() or 0)
+    if n_pos == 0:
+        return empty
+
+    def rollup(nk, bal) -> pa.Table:
+        t = pa.table({"cntrycode": pa.array(nk.astype(np.int64), pa.int64()),
+                      "numcust": pa.array(np.ones(len(nk), np.int64)),
+                      "totacctbal_c": pa.array(bal, pa.int64())})
+        return t.group_by(["cntrycode"]).aggregate(
+            [("numcust", "sum"), ("totacctbal_c", "sum")]).rename_columns(
+            ["cntrycode", "numcust", "totacctbal_c"])
+
+    fb = {"cntrycode": pa.int64(), "numcust": pa.int64(),
+          "totacctbal_c": pa.int64()}
+    since_us = np.datetime64(since, "us")
+
+    def recent(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b.column("o_orderdate"), pa.scalar(since_us))
+        return b.filter(m).select(["o_custkey"])
+
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ords = _read_sized(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate"], rows_per_block=8192,
+        ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+        okeys = np.unique(np.concatenate(
+            [b.column("o_custkey").to_numpy()
+             for b in ords.iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]))
+        ok_ref = ray.put(okeys)
+
+        def anti_partial(b: pa.Table) -> pa.Table:
+            ks = ray.get(ok_ref)
+            bal_c = _cents(b.column("c_acctbal")).to_numpy()
+            ck = b.column("c_custkey").to_numpy()
+            has_ord, _ = _sorted_member(ks, ck)
+            keep = (bal_c * n_pos > sum_c) & ~has_ord
+            if not keep.any():
+                return pa.table({n: pa.array([], t) for n, t in fb.items()})
+            return rollup(b.column("c_nationkey").to_numpy()[keep],
+                          bal_c[keep])
+
+        merged = _merge_partials(
+            cust.map_batches(anti_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["cntrycode"], [("numcust", "sum"), ("totacctbal_c", "sum")],
+            fallback_schema=fb)
+        return merged.sort_by("cntrycode")
+
+    def select_cust(b: pa.Table) -> pa.Table:
+        bal_c = _cents(b.column("c_acctbal")).to_numpy()
+        keep = bal_c * n_pos > sum_c
+        return pa.table({
+            "c_custkey": b.column("c_custkey").filter(pa.array(keep)),
+            "cntrycode": pa.array(
+                b.column("c_nationkey").to_numpy()[keep].astype(np.int64),
+                pa.int64()),
+            "bal_c": pa.array(bal_c[keep], pa.int64())})
+
+    sel = cust.map_batches(select_cust, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    if sel.count() == 0:
+        return empty
+    from ray.data.aggregate import Count
+
+    okeys_ds = _read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        rows_per_block=8192,
+    ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True
+                  ).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("o_custkey")}).group_by(
+            ["o_custkey"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    left = sel.join(
+        okeys_ds.groupby("o_custkey").aggregate(Count()).select_columns(
+            ["o_custkey"]),
+        join_type="left_anti",
+        num_partitions=D._default_join_partitions(sel),
+        on=("c_custkey",), right_on=("o_custkey",))
+    merged = _merge_partials(
+        left.map_batches(
+            lambda b: rollup(b.column("cntrycode").to_numpy(),
+                             b.column("bal_c").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["cntrycode"], [("numcust", "sum"), ("totacctbal_c", "sum")],
+        fallback_schema=fb)
+    return merged.sort_by("cntrycode")

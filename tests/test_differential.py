@@ -240,8 +240,10 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
     o_cust = rng.randint(1, max(n_cust // 2, 2) + 1, n_ord).astype(np.int64)
     # straddle q3's o_orderdate < 1998-01-01 cutoff so the fuzz CUTS
     # (the old 2017 base made the q3 comparison empty-vs-empty)
+    # 0..1400d spans 1996-2000: q3's 1998 cutoff, q4/q5's 1996 window AND
+    # q22's since-2000 dormancy predicate all cut
     o_base = int(np.datetime64("1996-06-01", "us").astype(np.int64))
-    odate = o_base + rng.randint(0, 1100, n_ord).astype(np.int64) * 86_400_000_000
+    odate = o_base + rng.randint(0, 1400, n_ord).astype(np.int64) * 86_400_000_000
     pq.write_table(pa.table(
         {"o_orderkey": pa.array(ord_keys, pa.int64()),
          "o_custkey": pa.array(o_cust, pa.int64()),
@@ -256,7 +258,8 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
     pq.write_table(pa.table(
         {"p_partkey": pa.array(pk, pa.int64()),
          "p_name": pa.array(["part%d" % k for k in pk], pa.string()),
-         "p_brand": pa.array(["B%d" % (k % 5) for k in pk], pa.string()),
+         "p_brand": pa.array(["Brand#%d" % (k % 5) for k in pk],
+                             pa.string()),
          "p_type": pa.array(rng.choice(
              ["PROMO", "STANDARD", "ECONOMY"], 50).tolist(), pa.string()),
          "p_size": pa.array(rng.randint(1, 50, 50), pa.int32()),
@@ -288,6 +291,45 @@ def _rand_tpch(rng: np.random.RandomState, tmp_path, n_cust=8, n_ord=20, n_li=40
         str(tmp_path / "lineitem.parquet"))
 
 
+def _rand_tpch_full(rng: np.random.RandomState, tmp_path, **kw):
+    """_rand_tpch plus the region/nation/supplier catalog dims, with the
+    NATION_x / Brand#x naming the q7/q17/q19 defaults target.  A couple
+    of supplier and customer nationkeys are pinned to nations 1 and 2 so
+    q7's cross-nation pair ALWAYS cuts regardless of seed."""
+    _rand_tpch(rng, tmp_path, **kw)
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array(range(5), pa.int64()),
+         "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                             "MIDDLE EAST"])}),
+        str(tmp_path / "region.parquet"))
+    nk = np.arange(25, dtype=np.int64)
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(nk, pa.int64()),
+         "n_name": pa.array(["NATION_%d" % k for k in nk]),
+         "n_regionkey": pa.array(nk % 5, pa.int64())}),
+        str(tmp_path / "nation.parquet"))
+    n_sup = 9  # lineitem draws l_suppkey from 1..9
+    sk = np.arange(1, n_sup + 1, dtype=np.int64)
+    s_nat = rng.randint(0, 25, n_sup).astype(np.int64)
+    s_nat[0], s_nat[1] = 1, 2
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array(sk, pa.int64()),
+         "s_name": pa.array(["Supplier#%d" % k for k in sk]),
+         "s_nationkey": pa.array(s_nat, pa.int64()),
+         "s_acctbal": pa.array(np.round(rng.rand(n_sup) * 5000, 2),
+                               pa.float64())}),
+        str(tmp_path / "supplier.parquet"))
+    # re-pin two customers into nations 1/2 so the q7 customer side cuts
+    ct = pq.read_table(str(tmp_path / "customer.parquet"))
+    cn = ct.column("c_nationkey").to_numpy().copy()
+    if len(cn) >= 2:
+        cn[0], cn[1] = 1, 2
+    ct = ct.set_column(ct.schema.get_field_index("c_nationkey"),
+                       "c_nationkey", pa.array(cn, ct.schema.field(
+                           "c_nationkey").type))
+    pq.write_table(ct, str(tmp_path / "customer.parquet"))
+
+
 def _compare_tpch(entry_mod, name: str, sf_dir: str):
     import duckdb
 
@@ -298,7 +340,8 @@ def _compare_tpch(entry_mod, name: str, sf_dir: str):
     con = duckdb.connect()
     import os
 
-    for t in ("customer", "orders", "lineitem", "part"):
+    for t in ("customer", "orders", "lineitem", "part", "supplier",
+              "nation", "region"):
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -328,6 +371,41 @@ def test_differential_tpch_joins(tmp_path, ray_session, seed, name):
     # without lineitems, duplicate keys, date-cutoff edges
     _rand_tpch(np.random.RandomState(seed), tmp_path)
     _compare_tpch(_entry(), name, str(tmp_path))
+
+
+# shapes needing the full region/nation/supplier catalog (q7/q15) or the
+# Brand#x naming (q17/q19); q22 rides along for the 1400-day order span
+FULL_OPS = ["q7_nation_volume", "q15_top_supplier",
+            "q17_small_qty_revenue", "q19_disjunctive_revenue",
+            "q22_sales_opportunity"]
+
+
+@pytest.mark.parametrize("seed", [19, 43])
+@pytest.mark.parametrize("name", FULL_OPS)
+def test_differential_tpch_full_dims(tmp_path, ray_session, seed, name):
+    _rand_tpch_full(np.random.RandomState(seed), tmp_path)
+    _compare_tpch(_entry(), name, str(tmp_path))
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q7_q15_q22_forced_distributed(tmp_path, ray_session, seed):
+    # distributed hash-join / groupby siblings pinned equal to the
+    # broadcast paths on randomized full-dim tables
+    rng = np.random.RandomState(seed)
+    _rand_tpch_full(rng, tmp_path, n_cust=8, n_ord=40, n_li=120)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a7 = TD.q7_nation_volume(str(tmp_path))
+    d7 = TD.q7_nation_volume(str(tmp_path), force_distributed=True)
+    assert a7.num_rows > 0
+    assert a7.equals(d7)
+    a15 = TD.q15_top_supplier(str(tmp_path))
+    d15 = TD.q15_top_supplier(str(tmp_path), force_distributed=True)
+    assert a15.num_rows > 0
+    assert a15.equals(d15)
+    a22 = TD.q22_sales_opportunity(str(tmp_path))
+    d22 = TD.q22_sales_opportunity(str(tmp_path), force_distributed=True)
+    assert a22.equals(d22)
 
 
 @pytest.mark.parametrize("seed", [19])
@@ -614,7 +692,7 @@ def test_every_oracled_query_is_fuzzed():
         "retention_cohorts",         # GRAPH_OPS + dual-path test
     }
     fuzzed = (set(BROAD_OPS) | set(NEW_OPS) | set(HEAVY_OPS)
-              | set(GRAPH_OPS) | set(JOIN_OPS) | DEDICATED)
+              | set(GRAPH_OPS) | set(JOIN_OPS) | set(FULL_OPS) | DEDICATED)
     m = _entry()
     missing = set(m.oracle_sql()) - fuzzed
     assert not missing, f"oracled queries with no fuzz surface: {missing}"
