@@ -301,6 +301,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q22 shape: above-average-balance customers with no
         # orders, per nation (anti-join + integer-exact scalar AVG)
         "q22_sales_opportunity": TD.q22_sales_opportunity,
+        # TPC-H Q8 shape: national market share per order year, kept as
+        # integer (nation_rev_c4, total_rev_c4) — no float quotient
+        "q8_market_share": TD.q8_market_share,
+        # TPC-H Q9 shape: product profit by nation/year; p_retailprice
+        # plays ps_supplycost (no partsupp in this schema)
+        "q9_product_profit": TD.q9_product_profit,
+        # TPC-H Q11 shape: important parts by shipped-value share,
+        # integer-exact fraction predicate (value·den > total·num)
+        "q11_important_parts": TD.q11_important_parts,
+        # TPC-H Q12 shape: late lines per linestatus split by order
+        # priority (no shipmode column; lateness vs o_orderdate+60d)
+        "q12_late_shipment_priority": TD.q12_late_shipment_priority,
+        # TPC-H Q21 shape: suppliers who kept multi-supplier orders
+        # waiting (sole latest shipper; no commit/receipt dates)
+        "q21_waiting_suppliers": TD.q21_waiting_suppliers,
     }
 
 
@@ -2434,6 +2449,109 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = sel.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q8: national market share — numerator and denominator
+        # revenue per order year, integer cent×cent (share = n/t
+        # downstream, never a float in the hashed result)
+        "q8_market_share": """
+            WITH asia AS (
+              SELECT n_nationkey FROM nation JOIN region
+                ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS nation_rev_c4,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS total_rev_c4
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN asia ON c.c_nationkey = asia.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q9: profit by nation/year for '%red%' parts; retail
+        # price is the unit-cost proxy, both terms in 1e-4 dollars
+        "q9_product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                     * CAST(round(l.l_quantity * 100) AS BIGINT))
+                     AS BIGINT) AS profit_c4
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+        """,
+        # TPC-H Q11: parts whose shipped value from NATION_1 suppliers
+        # exceeds 1/1000 of that nation's total (integer predicate)
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l.l_partkey,
+                     CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                   AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100)
+                                     AS BIGINT))) AS BIGINT) AS value_c4
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name = 'NATION_1'
+              GROUP BY 1),
+            t AS (SELECT sum(value_c4) AS tot FROM v)
+            SELECT CAST(v.l_partkey AS BIGINT) AS l_partkey, v.value_c4
+            FROM v, t
+            WHERE v.value_c4 * 1000 > t.tot * 1
+            ORDER BY v.value_c4 DESC, v.l_partkey
+        """,
+        # TPC-H Q12: lines shipped >60d after order date, per
+        # linestatus, split high/low order priority
+        "q12_late_shipment_priority": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                     AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q21: sole latest shipper on multi-supplier 'F' orders;
+        # numwait desc, name asc, top 10 (total order — s_name unique)
+        "q21_waiting_suppliers": """
+            WITH f AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            p AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS msd
+                  FROM f GROUP BY 1, 2),
+            m AS (SELECT l_orderkey, max(msd) AS omax,
+                         count(*) AS nsupp
+                  FROM p GROUP BY 1),
+            w AS (SELECT p.l_orderkey, p.l_suppkey
+                  FROM p JOIN m USING (l_orderkey)
+                  WHERE p.msd = m.omax AND m.nsupp >= 2),
+            solo AS (SELECT l_orderkey, min(l_suppkey) AS win
+                     FROM w GROUP BY 1 HAVING count(*) = 1)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM solo JOIN supplier s ON solo.win = s.s_suppkey
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
         """,
     }
     sql.update(_graph_oracles())

@@ -8597,3 +8597,767 @@ def q22_sales_opportunity(
         ["cntrycode"], [("numcust", "sum"), ("totacctbal_c", "sum")],
         fallback_schema=fb)
     return merged.sort_by("cntrycode")
+
+
+_Q8_SCHEMA = {"o_year": pa.int64(), "nation_rev_c4": pa.int64(),
+              "total_rev_c4": pa.int64()}
+
+
+def q8_market_share(
+    sf_dir: str, region: str = "ASIA", p_type: str = "PROMO",
+    nation: str = "NATION_2", date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01", broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q8 shape: national market share — of all revenue from
+    ``p_type`` parts ordered by customers of ``region`` in a two-year
+    o_orderdate window, the share supplied by ``nation``, per order
+    year.  Division stays OUT of the engine: → (o_year, nation_rev_c4,
+    total_rev_c4) integer cent×cent sums ordered by year; the share is
+    nation/total, computable losslessly downstream (the driver compare
+    hashes integers, never float quotients).
+
+    Scale shape (q7's 8-table sibling): nation/region are constant
+    catalog dims; part (type-filtered keys) and supplier (key→is-target
+    flag) broadcast as sorted arrays; orders pre-filter to the window
+    AND region customers — a small fraction — and broadcast under the
+    footer gate so lineitem streams ONCE with three searchsorted
+    lookups and a bounded (2 years × 2 sums) per-block rollup.  Above
+    the gate (or forced) the orders leg is a distributed hash join on
+    o_orderkey with the region/date filter pushed before the shuffle;
+    paths pinned equal in tests."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    empty = pa.table({n: pa.array([], t) for n, t in _Q8_SCHEMA.items()})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    rkeys = [r["r_regionkey"] for r in reg if r["r_name"] == region]
+    tkeys = [r["n_nationkey"] for r in nat if r["n_name"] == nation]
+    if not rkeys or not tkeys:
+        return empty
+    region_nations = np.array(sorted(
+        r["n_nationkey"] for r in nat if r["n_regionkey"] == rkeys[0]),
+        np.int64)
+    target = int(tkeys[0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = np.sort(part.filter(pc.equal(part.column("p_type"), p_type))
+                 .column("p_partkey").to_numpy())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).sort_by(
+        "s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_is_target = (sup.column("s_nationkey").to_numpy().astype(np.int64)
+                   == target)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).sort_by(
+        "c_custkey")
+    c_keys = cust.column("c_custkey").to_numpy()
+    c_in_region = np.isin(
+        cust.column("c_nationkey").to_numpy().astype(np.int64),
+        region_nations)
+    if pk.size == 0 or not c_in_region.any():
+        return empty
+
+    pk_ref = ray.put(pk)
+    sk_ref, st_ref = ray.put(s_keys), ray.put(s_is_target)
+    ck_ref, cr_ref = ray.put(c_keys), ray.put(c_in_region)
+
+    def order_filter(b: pa.Table) -> pa.Table:
+        ckeys, creg = ray.get(ck_ref), ray.get(cr_ref)
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
+        hit, ci = _sorted_member(ckeys, b.column("o_custkey").to_numpy())
+        keep = (od >= lo) & (od < hi) & hit
+        if keep.any():
+            keep &= creg[ci]
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "o_year": pa.array(_years_of_us(od[keep]), pa.int64())})
+
+    def rollup(yr, rev, is_t) -> pa.Table:
+        t = pa.table({
+            "o_year": pa.array(yr, pa.int64()),
+            "nation_rev_c4": pa.array(np.where(is_t, rev, 0), pa.int64()),
+            "total_rev_c4": pa.array(rev, pa.int64())})
+        return t.group_by(["o_year"]).aggregate(
+            [("nation_rev_c4", "sum"), ("total_rev_c4", "sum")]
+        ).rename_columns(["o_year", "nation_rev_c4", "total_rev_c4"])
+
+    def li_partial_factory(ord_keys, ord_year):
+        ok_ref, oy_ref = ray.put(ord_keys), ray.put(ord_year)
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            okeys, oyear = ray.get(ok_ref), ray.get(oy_ref)
+            pks = ray.get(pk_ref)
+            skeys, stgt = ray.get(sk_ref), ray.get(st_ref)
+            p_hit, _ = _sorted_member(pks, b.column("l_partkey").to_numpy())
+            o_hit, oi = _sorted_member(okeys,
+                                       b.column("l_orderkey").to_numpy())
+            s_hit, si = _sorted_member(skeys,
+                                       b.column("l_suppkey").to_numpy())
+            keep = p_hit & o_hit & s_hit
+            if not keep.any():
+                return pa.table({n: pa.array([], t)
+                                 for n, t in _Q8_SCHEMA.items()})
+            rev = (_cents(b.column("l_extendedprice")).to_numpy()[keep]
+                   * (100 - _cents(b.column("l_discount")).to_numpy()[keep]))
+            return rollup(oyear[oi[keep]], rev, stgt[si[keep]])
+
+        return li_partial
+
+    def finish(partial) -> pa.Table:
+        return _merge_partials(
+            partial, ["o_year"],
+            [("nation_rev_c4", "sum"), ("total_rev_c4", "sum")],
+            fallback_schema=_Q8_SCHEMA).sort_by("o_year")
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ot = _collect(
+            ords.map_batches(order_filter, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            fallback_schema={"o_orderkey": pa.int64(), "o_year": pa.int64()})
+        if ot.num_rows == 0:
+            return empty
+        ot = ot.sort_by("o_orderkey")
+        return finish(li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("o_year").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    of = ords.map_batches(order_filter, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_of = of.count()
+    if n_of == 0:
+        return empty
+    if n_of <= 16:
+        # pathologically thin join side (schema-less empty-block gotcha):
+        # collect it and take the broadcast math
+        ot = pa.concat_tables(
+            of.iter_batches(batch_format="pyarrow")).sort_by("o_orderkey")
+        return finish(li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("o_year").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        skeys, stgt = ray.get(sk_ref), ray.get(st_ref)
+        p_hit, _ = _sorted_member(pks, b.column("l_partkey").to_numpy())
+        s_hit, si = _sorted_member(skeys, b.column("l_suppkey").to_numpy())
+        keep = p_hit & s_hit
+        rev = (_cents(b.column("l_extendedprice")).to_numpy()
+               * (100 - _cents(b.column("l_discount")).to_numpy()))
+        is_t = (stgt[si][keep] if skeys.size
+                else np.zeros(int(keep.sum()), bool))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").filter(pa.array(keep)),
+            "rev_c4": pa.array(rev[keep], pa.int64()),
+            "is_target": pa.array(is_t, pa.bool_())})
+
+    slim = li.map_batches(li_slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = slim.join(
+        of, join_type="inner",
+        num_partitions=D._default_join_partitions(slim),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        return rollup(b.column("o_year").to_numpy(),
+                      b.column("rev_c4").to_numpy(),
+                      b.column("is_target").to_numpy(zero_copy_only=False))
+
+    return finish(joined.map_batches(rev_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+_Q9_SCHEMA = {"nk": pa.int64(), "o_year": pa.int64(),
+              "profit_c4": pa.int64()}
+
+
+def q9_product_profit(
+    sf_dir: str, name_like: str = "red",
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q9 shape: product-type profit by nation and order year for
+    parts whose name contains ``name_like`` → (nation, o_year,
+    profit_c4) ordered by nation asc, year desc.  This schema carries no
+    partsupp, so the canonical ``ps_supplycost`` is replaced by the part
+    catalog's ``p_retailprice`` as the per-unit cost proxy: profit =
+    price_c·(100−disc_c) − retail_c·qty_c, both terms in the same
+    integer 10⁻⁴-dollar units (cents × cent-quantities), so the sum is
+    exact and hash-stable against the oracle.
+
+    Scale shape: part (name-filtered key→retail_c) and supplier
+    (key→nationkey) broadcast sorted; Q9 has NO order predicate, so the
+    orders leg is the full (o_orderkey → o_year) map — broadcast under
+    the footer gate, a distributed hash join on o_orderkey above it
+    (part/supplier filters pushed before the shuffle); bounded
+    (25 nations × years) per-block rollups either way."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"nation": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "profit_c4": pa.array([], pa.int64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    key_to_name = {r["n_nationkey"]: r["n_name"] for r in nat}
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"]
+                         ).sort_by("p_partkey")
+    pm = pc.match_substring(part.column("p_name"), name_like)
+    part = part.filter(pm)
+    pk = part.column("p_partkey").to_numpy()
+    p_ret = _cents(part.column("p_retailprice")).to_numpy()
+    if pk.size == 0 or not key_to_name:
+        return empty
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).sort_by(
+        "s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
+
+    pk_ref, pr_ref = ray.put(pk), ray.put(p_ret)
+    sk_ref, sn_ref = ray.put(s_keys), ray.put(s_nat)
+
+    def rollup(nk, yr, amt) -> pa.Table:
+        t = pa.table({"nk": pa.array(nk, pa.int64()),
+                      "o_year": pa.array(yr, pa.int64()),
+                      "profit_c4": pa.array(amt, pa.int64())})
+        return t.group_by(["nk", "o_year"]).aggregate(
+            [("profit_c4", "sum")]).rename_columns(
+            ["nk", "o_year", "profit_c4"])
+
+    def li_partial_factory(ord_keys, ord_year):
+        ok_ref, oy_ref = ray.put(ord_keys), ray.put(ord_year)
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            okeys, oyear = ray.get(ok_ref), ray.get(oy_ref)
+            pks, pret = ray.get(pk_ref), ray.get(pr_ref)
+            skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+            p_hit, pi = _sorted_member(pks, b.column("l_partkey").to_numpy())
+            o_hit, oi = _sorted_member(okeys,
+                                       b.column("l_orderkey").to_numpy())
+            s_hit, si = _sorted_member(skeys,
+                                       b.column("l_suppkey").to_numpy())
+            keep = p_hit & o_hit & s_hit
+            if not keep.any():
+                return pa.table({n: pa.array([], t)
+                                 for n, t in _Q9_SCHEMA.items()})
+            amt = (_cents(b.column("l_extendedprice")).to_numpy()[keep]
+                   * (100 - _cents(b.column("l_discount")).to_numpy()[keep])
+                   - pret[pi[keep]]
+                   * _cents(b.column("l_quantity")).to_numpy()[keep])
+            return rollup(snat[si[keep]], oyear[oi[keep]], amt)
+
+        return li_partial
+
+    def finish(partial) -> pa.Table:
+        merged = _merge_partials(partial, ["nk", "o_year"],
+                                 [("profit_c4", "sum")],
+                                 fallback_schema=_Q9_SCHEMA)
+        out = pa.table({
+            "nation": pa.array(
+                [key_to_name.get(k, "") for k in
+                 merged.column("nk").to_pylist()], pa.string()),
+            "o_year": merged.column("o_year"),
+            "profit_c4": merged.column("profit_c4")})
+        return out.take(pc.sort_indices(
+            out, sort_keys=[("nation", "ascending"),
+                            ("o_year", "descending")]))
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def order_year(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pa.array(_years_of_us(od), pa.int64())})
+
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"],
+                       rows_per_block=8192
+                       ).map_batches(order_year, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ot = _collect(ords, fallback_schema={"o_orderkey": pa.int64(),
+                                             "o_year": pa.int64()})
+        if ot.num_rows == 0:
+            return empty
+        ot = ot.sort_by("o_orderkey")
+        return finish(li.map_batches(
+            li_partial_factory(ot.column("o_orderkey").to_numpy(),
+                               ot.column("o_year").to_numpy()),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        pks, pret = ray.get(pk_ref), ray.get(pr_ref)
+        skeys, snat = ray.get(sk_ref), ray.get(sn_ref)
+        p_hit, pi = _sorted_member(pks, b.column("l_partkey").to_numpy())
+        s_hit, si = _sorted_member(skeys, b.column("l_suppkey").to_numpy())
+        keep = p_hit & s_hit
+        amt = (_cents(b.column("l_extendedprice")).to_numpy()
+               * (100 - _cents(b.column("l_discount")).to_numpy()))
+        if keep.any():
+            amt = amt[keep] - (pret[pi[keep]]
+                               * _cents(b.column("l_quantity")
+                                        ).to_numpy()[keep])
+            nk = snat[si[keep]]
+        else:
+            amt = np.array([], np.int64)
+            nk = np.array([], np.int64)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").filter(pa.array(keep)),
+            "nk": pa.array(nk, pa.int64()),
+            "amt_c4": pa.array(amt, pa.int64())})
+
+    slim = li.map_batches(li_slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ofull = ords.materialize()
+    if ofull.count() == 0:
+        return empty
+    joined = slim.join(
+        ofull, join_type="inner",
+        num_partitions=D._default_join_partitions(slim),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    partial = joined.map_batches(
+        lambda b: rollup(b.column("nk").to_numpy(),
+                         b.column("o_year").to_numpy(),
+                         b.column("amt_c4").to_numpy()),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return finish(partial)
+
+
+def q11_important_parts(
+    sf_dir: str, nation: str = "NATION_1", frac_num: int = 1,
+    frac_den: int = 1000, driver_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q11 shape: important stock — parts whose shipped value from
+    ``nation``'s suppliers exceeds ``frac_num/frac_den`` of that
+    nation's total shipped value → (l_partkey, value_c4) ordered by
+    value desc, partkey asc.  No partsupp in this schema, so "value" is
+    the lineitem extended value price_c·(100−disc_c); the fraction
+    predicate is integer-exact (value·den > total·num — no float
+    quotient ever materializes).
+
+    Scale shape: the nation's supplier keys broadcast (tiny); ONE
+    lineitem pass folds per-block (partkey → value) partials.  Under
+    the part-catalog footer gate the partials driver-merge (group
+    cardinality ≤ catalog); above it (or forced) a native
+    groupby-Sum shuffles only the thin (partkey, value) pairs.  The
+    WINNER set is bounded by construction — at most frac_den/frac_num
+    parts can each hold more than num/den of the total — so collecting
+    winners to the driver is scale-safe at any corpus size."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "value_c4": pa.array([], pa.int64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    tkeys = [r["n_nationkey"] for r in nat if r["n_name"] == nation]
+    if not tkeys:
+        return empty
+    target = int(tkeys[0])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(sup.filter(pc.equal(
+        pc.cast(sup.column("s_nationkey"), pa.int64()),
+        target)).column("s_suppkey").to_numpy())
+    if sk.size == 0:
+        return empty
+    sk_ref = ray.put(sk)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        skeys = ray.get(sk_ref)
+        s_hit, _ = _sorted_member(skeys, b.column("l_suppkey").to_numpy())
+        if not s_hit.any():
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "value_c4": pa.array([], pa.int64())})
+        val = (_cents(b.column("l_extendedprice")).to_numpy()[s_hit]
+               * (100 - _cents(b.column("l_discount")).to_numpy()[s_hit]))
+        t = pa.table({
+            "l_partkey": b.column("l_partkey").filter(pa.array(s_hit)),
+            "value_c4": pa.array(val, pa.int64())})
+        return t.group_by(["l_partkey"]).aggregate(
+            [("value_c4", "sum")]).rename_columns(
+            ["l_partkey", "value_c4"])
+
+    partial = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_parts = _footer_rows(f"{sf_dir}/part.parquet")
+    if not force_distributed and (n_parts is not None
+                                  and n_parts <= driver_limit):
+        merged = _merge_partials(
+            partial, ["l_partkey"], [("value_c4", "sum")],
+            fallback_schema={"l_partkey": pa.int64(),
+                             "value_c4": pa.int64()})
+        vals = merged.column("value_c4").to_numpy()
+        total = int(vals.sum())
+        keep = vals * frac_den > total * frac_num
+        out = merged.filter(pa.array(keep))
+    else:
+        from ray.data.aggregate import Sum
+
+        g = partial.groupby("l_partkey").aggregate(
+            Sum("value_c4", alias_name="value_c4")).materialize()
+        if g.count() == 0:
+            return empty
+        total = int(g.sum("value_c4") or 0)
+
+        def winners(b: pa.Table) -> pa.Table:
+            v = b.column("value_c4").to_numpy()
+            return b.filter(pa.array(v * frac_den > total * frac_num))
+
+        out = _collect(
+            g.map_batches(winners, batch_format="pyarrow",
+                          zero_copy_batch=True),
+            fallback_schema={"l_partkey": pa.int64(),
+                             "value_c4": pa.int64()})
+    out = pa.table({"l_partkey": pc.cast(out.column("l_partkey"),
+                                         pa.int64()),
+                    "value_c4": out.column("value_c4")})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("value_c4", "descending"),
+                        ("l_partkey", "ascending")]))
+
+
+_Q12_SCHEMA = {"l_linestatus": pa.string(), "high_line_count": pa.int64(),
+               "low_line_count": pa.int64()}
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_late_shipment_priority(
+    sf_dir: str, late_days: int = 60,
+    broadcast_limit: int = 5_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q12 shape: shipping-delay priority accounting — lines
+    shipped more than ``late_days`` after their order date, counted per
+    line status split into high-priority (1-URGENT / 2-HIGH) vs other
+    orders → (l_linestatus, high_line_count, low_line_count) ordered by
+    status.  This schema has no l_shipmode/commitdate/receiptdate, so
+    the canonical mode split becomes the l_linestatus split and the
+    late predicate is l_shipdate > o_orderdate + late_days.
+
+    Scale shape: under the orders footer gate the (o_orderkey →
+    orderdate, is_high) map broadcasts sorted and lineitem streams once
+    with a searchsorted lookup + bounded (≤3 statuses) per-block
+    rollup; above it (or forced) a distributed hash join on o_orderkey
+    with the same rollup shuffle-side; paths pinned equal."""
+    late_us = int(late_days) * 86_400_000_000
+    empty = pa.table({n: pa.array([], t) for n, t in _Q12_SCHEMA.items()})
+
+    def order_slim(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        is_high = pc.is_in(b.column("o_orderpriority"),
+                           value_set=pa.array(_HIGH_PRIORITIES))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "od_us": od,
+                         "is_high": is_high})
+
+    def rollup(status, is_high) -> pa.Table:
+        hi = is_high.astype(np.int64)
+        t = pa.table({"l_linestatus": status,
+                      "high_line_count": pa.array(hi, pa.int64()),
+                      "low_line_count": pa.array(1 - hi, pa.int64())})
+        return t.group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        ).rename_columns(["l_linestatus", "high_line_count",
+                          "low_line_count"])
+
+    def finish(partial) -> pa.Table:
+        return _merge_partials(
+            partial, ["l_linestatus"],
+            [("high_line_count", "sum"), ("low_line_count", "sum")],
+            fallback_schema=_Q12_SCHEMA).sort_by("l_linestatus")
+
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_linestatus"],
+        rows_per_block=8192)
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"], rows_per_block=8192
+                       ).map_batches(order_slim, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ot = _collect(ords, fallback_schema={
+            "o_orderkey": pa.int64(), "od_us": pa.int64(),
+            "is_high": pa.bool_()})
+        if ot.num_rows == 0:
+            return empty
+        ot = ot.sort_by("o_orderkey")
+        okeys = ot.column("o_orderkey").to_numpy()
+        od = ot.column("od_us").to_numpy()
+        ohigh = ot.column("is_high").to_numpy(zero_copy_only=False)
+        ok_ref, od_ref, oh_ref = (ray.put(okeys), ray.put(od),
+                                  ray.put(ohigh))
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            ks, ods, highs = (ray.get(ok_ref), ray.get(od_ref),
+                              ray.get(oh_ref))
+            sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+            hit, oi = _sorted_member(ks, b.column("l_orderkey").to_numpy())
+            keep = hit
+            if keep.any():
+                keep &= sd > ods[oi] + late_us
+            if not keep.any():
+                return pa.table({n: pa.array([], t)
+                                 for n, t in _Q12_SCHEMA.items()})
+            return rollup(b.column("l_linestatus").filter(pa.array(keep)),
+                          highs[oi[keep]])
+
+        return finish(li.map_batches(li_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+    ofull = ords.materialize()
+    if ofull.count() == 0:
+        return empty
+    joined = li.join(
+        ofull, join_type="inner",
+        num_partitions=D._default_join_partitions(li),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        keep = sd > b.column("od_us").to_numpy() + late_us
+        if not keep.any():
+            return pa.table({n: pa.array([], t)
+                             for n, t in _Q12_SCHEMA.items()})
+        return rollup(
+            b.column("l_linestatus").filter(pa.array(keep)),
+            b.column("is_high").to_numpy(zero_copy_only=False)[keep])
+
+    return finish(joined.map_batches(late_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+def _q21_driver_tail(ok: np.ndarray, sk: np.ndarray,
+                     msd: np.ndarray) -> np.ndarray:
+    """Per-order waiting-supplier decision over collected (orderkey,
+    suppkey, max_shipdate) pairs → winner suppkey per eligible order
+    (≥2 distinct suppliers, exactly ONE at the order-max shipdate).
+    Pure vectorized numpy: lexsort + reduceat segment reductions."""
+    if ok.size == 0:
+        return np.array([], np.int64)
+    order = np.lexsort((sk, ok))
+    ok, sk, msd = ok[order], sk[order], msd[order]
+    u, f, c = np.unique(ok, return_index=True, return_counts=True)
+    omax = np.maximum.reduceat(msd, f)
+    at_max = msd == np.repeat(omax, c)
+    n_at = np.add.reduceat(at_max, f)
+    eligible = (c >= 2) & (n_at == 1)
+    if not eligible.any():
+        return np.array([], np.int64)
+    idx_at = np.flatnonzero(at_max)
+    pos = np.searchsorted(ok[idx_at], u[eligible])
+    return sk[idx_at][pos]
+
+
+def q21_waiting_suppliers(
+    sf_dir: str, status: str = "F", k: int = 10,
+    broadcast_limit: int = 5_000_000, pair_driver_limit: int = 2048,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — for each
+    ``status`` order with ≥2 distinct suppliers, the supplier whose
+    lines hold the STRICTLY latest ship date (unique at the order max)
+    is charged one wait; → top-``k`` (s_name, numwait) ordered by
+    numwait desc, name asc.  This schema has no commit/receipt dates,
+    so "kept waiting" is last-to-ship-and-sole-laggard rather than the
+    canonical receipt>commit predicate; the multi-supplier EXISTS and
+    the sole-laggard NOT EXISTS survive exactly.
+
+    Scale shape: the status-filtered order keys broadcast under the
+    orders footer gate (hash semi-join above it); ONE lineitem pass
+    folds per-block (orderkey, suppkey) → max-shipdate partials.  Under
+    ``pair_driver_limit`` the pair table collects and a lexsort +
+    reduceat driver tail decides winners; above it the pairs shuffle
+    through a native composite groupby-Max, the per-order (omax, nsupp)
+    map broadcasts (or hash-joins past ``broadcast_limit``), and two
+    thin groupbys (sole-laggard test, per-supplier wait count) finish
+    distributed — the partitioning key is l_orderkey throughout."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max, Min
+
+    empty = pa.table({"s_name": pa.array([], pa.string()),
+                      "numwait": pa.array([], pa.int64())})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).sort_by(
+        "s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    if s_keys.size == 0:
+        return empty
+
+    def finish(win_sk: np.ndarray) -> pa.Table:
+        if win_sk.size == 0:
+            return empty
+        wk, wc = np.unique(win_sk, return_counts=True)
+        hit, si = _sorted_member(s_keys, wk)
+        names = sup.column("s_name").take(pa.array(si[hit])).to_pylist()
+        out = pa.table({"s_name": pa.array(names, pa.string()),
+                        "numwait": pa.array(wc[hit], pa.int64())})
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[("numwait", "descending"),
+                            ("s_name", "ascending")]))
+        return out.slice(0, k)
+
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderstatus"],
+                       rows_per_block=8192)
+
+    def f_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("o_orderstatus"), status)
+        return pa.table({"o_orderkey": b.column("o_orderkey").filter(m)})
+
+    fkeys_ds = ords.map_batches(f_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    li = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        rows_per_block=8192)
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+    pair_fb = {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+               "msd": pa.int64()}
+
+    def pair_rollup(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_suppkey": b.column("l_suppkey"),
+                      "msd": pc.cast(b.column("l_shipdate"), pa.int64())})
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("msd", "max")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "msd"])
+
+    if n_ords is not None and n_ords <= broadcast_limit:
+        fk = np.sort(np.concatenate(
+            [b.column("o_orderkey").to_numpy()
+             for b in fkeys_ds.iter_batches(batch_format="pyarrow")]
+            + [np.array([], np.int64)]))
+        if fk.size == 0:
+            return empty
+        fk_ref = ray.put(fk)
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            hit, _ = _sorted_member(ray.get(fk_ref),
+                                    b.column("l_orderkey").to_numpy())
+            if not hit.any():
+                return pa.table({n: pa.array([], t)
+                                 for n, t in pair_fb.items()})
+            return pair_rollup(b.filter(pa.array(hit)))
+
+        pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        fmat = fkeys_ds.materialize()
+        if fmat.count() == 0:
+            return empty
+        joined = li.join(
+            fmat, join_type="inner",
+            num_partitions=D._default_join_partitions(li),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        pairs = joined.map_batches(pair_rollup, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    if not force_distributed:
+        pt = _merge_partials(pairs, ["l_orderkey", "l_suppkey"],
+                             [("msd", "max")], fallback_schema=pair_fb)
+        if pt.num_rows == 0 or pt.num_rows <= pair_driver_limit:
+            return finish(_q21_driver_tail(
+                pt.column("l_orderkey").to_numpy(),
+                pt.column("l_suppkey").to_numpy(),
+                pt.column("msd").to_numpy()))
+        # fall through: pair cardinality beyond the driver budget
+        pairs = ray.data.from_arrow(pt)
+
+    P = pairs.groupby(["l_orderkey", "l_suppkey"]).aggregate(
+        Max("msd", alias_name="msd")).materialize()
+    n_pairs = P.count()
+    if n_pairs == 0:
+        return empty
+    if force_distributed and n_pairs <= pair_driver_limit:
+        # thin-pair guard for the forced path: the downstream joins /
+        # broadcasts would ride schema-less empty blocks — take the
+        # driver tail, already pinned equal to the distributed math
+        pt = _collect(P, fallback_schema=pair_fb)
+        return finish(_q21_driver_tail(
+            pt.column("l_orderkey").to_numpy(),
+            pt.column("l_suppkey").to_numpy(),
+            pt.column("msd").to_numpy()))
+    M = P.groupby("l_orderkey").aggregate(
+        Max("msd", alias_name="omax"),
+        Count(alias_name="nsupp")).materialize()
+
+    if M.count() <= broadcast_limit:
+        mt = _collect(M, fallback_schema={
+            "l_orderkey": pa.int64(), "omax": pa.int64(),
+            "nsupp": pa.int64()}).sort_by("l_orderkey")
+        mk_ref = ray.put(mt.column("l_orderkey").to_numpy())
+        mx_ref = ray.put(mt.column("omax").to_numpy())
+        mn_ref = ray.put(mt.column("nsupp").to_numpy())
+
+        def w_filter(b: pa.Table) -> pa.Table:
+            mk, mx, mn = (ray.get(mk_ref), ray.get(mx_ref),
+                          ray.get(mn_ref))
+            hit, mi = _sorted_member(mk, b.column("l_orderkey").to_numpy())
+            keep = hit
+            if keep.any():
+                keep &= ((b.column("msd").to_numpy() == mx[mi])
+                         & (mn[mi] >= 2))
+            return b.filter(pa.array(keep)).select(
+                ["l_orderkey", "l_suppkey"])
+
+        W = P.map_batches(w_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    else:
+        Mr = M.map_batches(
+            lambda b: b.rename_columns(["m_orderkey", "omax", "nsupp"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = P.join(
+            Mr, join_type="inner",
+            num_partitions=D._default_join_partitions(P),
+            on=("l_orderkey",), right_on=("m_orderkey",))
+
+        def w_filter_j(b: pa.Table) -> pa.Table:
+            keep = ((b.column("msd").to_numpy()
+                     == b.column("omax").to_numpy())
+                    & (b.column("nsupp").to_numpy() >= 2))
+            return b.filter(pa.array(keep)).select(
+                ["l_orderkey", "l_suppkey"])
+
+        W = joined.map_batches(w_filter_j, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    W2 = W.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_at"), Min("l_suppkey", alias_name="win"))
+    winners = W2.map_batches(
+        lambda b: b.filter(pc.equal(b.column("n_at"), 1)).select(["win"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = _collect(
+        winners.groupby("win").aggregate(Count(alias_name="numwait")),
+        fallback_schema={"win": pa.int64(), "numwait": pa.int64()})
+    if counts.num_rows == 0:
+        return empty
+    return finish(np.repeat(counts.column("win").to_numpy(),
+                            counts.column("numwait").to_numpy()))

@@ -319,6 +319,15 @@ def _rand_tpch_full(rng: np.random.RandomState, tmp_path, **kw):
          "s_acctbal": pa.array(np.round(rng.rand(n_sup) * 5000, 2),
                                pa.float64())}),
         str(tmp_path / "supplier.parquet"))
+    # color-word part names so q9's '%red%' name filter cuts
+    pt = pq.read_table(str(tmp_path / "part.parquet"))
+    pkeys = pt.column("p_partkey").to_pylist()
+    colors = ["red", "blue", "green", "plain", "shiny"]
+    pt = pt.set_column(
+        pt.schema.get_field_index("p_name"), "p_name",
+        pa.array(["%s part%d" % (colors[k % 5], k) for k in pkeys],
+                 pa.string()))
+    pq.write_table(pt, str(tmp_path / "part.parquet"))
     # re-pin two customers into nations 1/2 so the q7 customer side cuts
     ct = pq.read_table(str(tmp_path / "customer.parquet"))
     cn = ct.column("c_nationkey").to_numpy().copy()
@@ -377,7 +386,9 @@ def test_differential_tpch_joins(tmp_path, ray_session, seed, name):
 # Brand#x naming (q17/q19); q22 rides along for the 1400-day order span
 FULL_OPS = ["q7_nation_volume", "q15_top_supplier",
             "q17_small_qty_revenue", "q19_disjunctive_revenue",
-            "q22_sales_opportunity"]
+            "q22_sales_opportunity", "q8_market_share",
+            "q9_product_profit", "q11_important_parts",
+            "q12_late_shipment_priority", "q21_waiting_suppliers"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -406,6 +417,55 @@ def test_q7_q15_q22_forced_distributed(tmp_path, ray_session, seed):
     a22 = TD.q22_sales_opportunity(str(tmp_path))
     d22 = TD.q22_sales_opportunity(str(tmp_path), force_distributed=True)
     assert a22.equals(d22)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q8_q9_q12_forced_distributed(tmp_path, ray_session, seed):
+    # the round-4 join siblings pinned equal to the broadcast paths
+    rng = np.random.RandomState(seed)
+    _rand_tpch_full(rng, tmp_path, n_cust=8, n_ord=40, n_li=160)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a8 = TD.q8_market_share(str(tmp_path))
+    d8 = TD.q8_market_share(str(tmp_path), force_distributed=True)
+    assert a8.num_rows > 0
+    assert a8.equals(d8)
+    a9 = TD.q9_product_profit(str(tmp_path))
+    d9 = TD.q9_product_profit(str(tmp_path), force_distributed=True)
+    assert a9.num_rows > 0
+    assert a9.equals(d9)
+    a12 = TD.q12_late_shipment_priority(str(tmp_path))
+    d12 = TD.q12_late_shipment_priority(str(tmp_path),
+                                        force_distributed=True)
+    assert a12.num_rows > 0
+    assert a12.equals(d12)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q11_q21_forced_distributed(tmp_path, ray_session, seed):
+    # q11's native groupby-Sum sibling and q21's full distributed chain
+    # (composite groupby pairs → per-order map → sole-laggard groupby)
+    # pinned equal to the driver paths
+    rng = np.random.RandomState(seed)
+    _rand_tpch_full(rng, tmp_path, n_cust=8, n_ord=40, n_li=160)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a11 = TD.q11_important_parts(str(tmp_path))
+    d11 = TD.q11_important_parts(str(tmp_path), force_distributed=True)
+    assert a11.num_rows > 0
+    assert a11.equals(d11)
+    a21 = TD.q21_waiting_suppliers(str(tmp_path))
+    # pair_driver_limit=0 defeats the thin-pair guard so the groupby +
+    # broadcast (omax, nsupp) chain actually runs
+    d21 = TD.q21_waiting_suppliers(str(tmp_path), force_distributed=True,
+                                   pair_driver_limit=0)
+    assert a21.num_rows > 0
+    assert a21.equals(d21)
+    # broadcast_limit=0 additionally forces the P×M hash-join branch
+    # and the distributed F-key semi-join
+    j21 = TD.q21_waiting_suppliers(str(tmp_path), force_distributed=True,
+                                   pair_driver_limit=0, broadcast_limit=0)
+    assert a21.equals(j21)
 
 
 @pytest.mark.parametrize("seed", [19])
