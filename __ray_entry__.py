@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q21 shape: suppliers who kept multi-supplier orders
         # waiting (sole latest shipper; no commit/receipt dates)
         "q21_waiting_suppliers": TD.q21_waiting_suppliers,
+        # MassiveText/CCNet-style global sentence-level exact dedup:
+        # every distinct sentence survives only at its first corpus
+        # occurrence; documents rebuilt from kept sentences
+        "sentence_dedup": TD.sentence_dedup,
     }
 
 
@@ -2552,6 +2556,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
             FROM solo JOIN supplier s ON solo.win = s.s_suppkey
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+        """,
+        # global sentence dedup: 3-word-chunk sentencization, keep each
+        # distinct sentence only at min (doc_id, idx), rebuild docs
+        "sentence_dedup": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            sents AS (
+              SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS idx,
+                     string_agg(word, ' ' ORDER BY i) AS sent
+              FROM words GROUP BY 1, 2),
+            ranked AS (
+              SELECT doc_id, idx, sent,
+                     row_number() OVER (PARTITION BY sent
+                                        ORDER BY doc_id, idx) AS rn
+              FROM sents),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+                    FROM sents GROUP BY 1),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(sent, ' ' ORDER BY idx) AS text_dedup,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY 1)
+            SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+                   t.n_sents, coalesce(r.n_kept, 0) AS n_kept
+            FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY t.doc_id
         """,
     }
     sql.update(_graph_oracles())

@@ -9361,3 +9361,190 @@ def q21_waiting_suppliers(
         return empty
     return finish(np.repeat(counts.column("win").to_numpy(),
                             counts.column("numwait").to_numpy()))
+
+
+def _sent_chunks(text: str, w: int) -> list[str]:
+    """Deterministic sentencization: consecutive ``w``-word chunks of the
+    space-split text (DuckDB ``string_split(text, ' ')`` semantics — an
+    empty text yields ONE empty word, hence one empty sentence)."""
+    words = (text or "").split(" ")
+    return [" ".join(words[j:j + w]) for j in range(0, len(words), w)]
+
+
+def _sent_keys(sents: list[str]) -> np.ndarray:
+    """64-bit md5-prefix keys of sentence strings (engine-internal — the
+    oracle groups on the sentence TEXT itself, so the key only needs to
+    be collision-free in practice, not SQL-bridged)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big",
+                        signed=True) for s in sents], np.int64)
+
+
+def sentence_dedup(
+    sf_dir: str, sent_words: int = 3, broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Global sentence-level exact dedup (the MassiveText / CCNet
+    repeated-passage filter): every distinct sentence survives only at
+    its FIRST corpus occurrence — min (doc_id, idx) — and each document
+    is rebuilt from its kept sentences → (doc_id, text_dedup, n_sents,
+    n_kept) ordered by doc_id.  The synthetic corpus is unpunctuated,
+    so a "sentence" is a consecutive ``sent_words``-word chunk of the
+    space-split text (19% of chunks are corpus-duplicates at the
+    default width on the driver tables — the filter genuinely cuts).
+
+    Scale shape: pass 1 streams documents into per-doc-DEDUPED
+    (sentence-key, doc_id, idx) occurrence triples — first-idx-per-doc
+    is decided inside the batch, so the shuffle never carries within-doc
+    repeats.  Under the documents footer gate the winner map (key →
+    winning doc, idx) is folded on the driver (one lexsort) and
+    broadcast for a second rebuild pass — zero shuffles.  Above the
+    gate (or forced) winners come from a native groupby-Min on the key
+    and a key-join filters occurrences CARRYING SENTENCE TEXT, then a
+    groupby(doc_id).map_groups rebuild — the standard 2-shuffle cost of
+    paragraph dedup (shuffle by content key, shuffle back by doc);
+    thin-side guards collapse degenerate inputs to the driver math."""
+    w = int(sent_words)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text_dedup": pa.array([], pa.string()),
+                      "n_sents": pa.array([], pa.int64()),
+                      "n_kept": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    docs = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                       rows_per_block=1024)
+
+    def occurrences(b: pa.Table, with_text: bool) -> pa.Table:
+        out_k, out_d, out_i, out_s = [], [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            sents = _sent_chunks(txt, w)
+            keys = _sent_keys(sents)
+            seen = {}
+            for idx, k in enumerate(keys):
+                if int(k) not in seen:
+                    seen[int(k)] = idx
+            for k, idx in seen.items():
+                out_k.append(k)
+                out_d.append(did)
+                out_i.append(idx)
+                if with_text:
+                    out_s.append(sents[idx])
+        cols = {"skey": pa.array(out_k, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "idx": pa.array(out_i, pa.int64())}
+        if with_text:
+            cols["sent"] = pa.array(out_s, pa.string())
+        return pa.table(cols)
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        occ = _collect(
+            docs.map_batches(lambda b: occurrences(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True),
+            fallback_schema={"skey": pa.int64(), "doc_id": pa.int64(),
+                             "idx": pa.int64()})
+        if occ.num_rows == 0:
+            return empty
+        k = occ.column("skey").to_numpy()
+        d = occ.column("doc_id").to_numpy()
+        i = occ.column("idx").to_numpy()
+        order = np.lexsort((i, d, k))
+        k, d, i = k[order], d[order], i[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        wk, wd, wi = k[first], d[first], i[first]
+        wk_ref, wd_ref, wi_ref = ray.put(wk), ray.put(wd), ray.put(wi)
+
+        def rebuild(b: pa.Table) -> pa.Table:
+            wks, wds, wis = (ray.get(wk_ref), ray.get(wd_ref),
+                             ray.get(wi_ref))
+            out_d, out_t, out_n, out_kept = [], [], [], []
+            for did, txt in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+                sents = _sent_chunks(txt, w)
+                keys = _sent_keys(sents)
+                pos = np.searchsorted(wks, keys)
+                pos = np.clip(pos, 0, max(len(wks) - 1, 0))
+                keep = ((wks[pos] == keys) & (wds[pos] == did)
+                        & (wis[pos] == np.arange(len(keys))))
+                out_d.append(did)
+                out_t.append(" ".join(
+                    s for s, m in zip(sents, keep) if m))
+                out_n.append(len(sents))
+                out_kept.append(int(keep.sum()))
+            return pa.table({
+                "doc_id": pa.array(out_d, pa.int64()),
+                "text_dedup": pa.array(out_t, pa.string()),
+                "n_sents": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64())})
+
+        out = _collect(
+            docs.map_batches(rebuild, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            fallback_schema={"doc_id": pa.int64(),
+                             "text_dedup": pa.string(),
+                             "n_sents": pa.int64(),
+                             "n_kept": pa.int64()})
+        return out.sort_by("doc_id")
+
+    from ray.data.aggregate import Min
+
+    occ_ds = docs.map_batches(lambda b: occurrences(b, True),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if occ_ds.count() == 0:
+        return empty
+    w1 = occ_ds.groupby("skey").aggregate(
+        Min("doc_id", alias_name="wdoc")).materialize()
+    wr = w1.map_batches(
+        lambda b: b.rename_columns(["wkey", "wdoc"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = occ_ds.join(
+        wr, join_type="inner",
+        num_partitions=D._default_join_partitions(occ_ds),
+        on=("skey",), right_on=("wkey",))
+    kept = joined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("doc_id"),
+                                    b.column("wdoc"))).select(
+            ["doc_id", "idx", "sent"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rebuild_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by("idx")
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()],
+                               pa.int64()),
+            "text_dedup": pa.array(
+                [" ".join(g.column("sent").to_pylist())], pa.string()),
+            "n_kept": pa.array([g.num_rows], pa.int64())})
+
+    rebuilt = kept.groupby("doc_id").map_groups(
+        rebuild_group, batch_format="pyarrow")
+
+    def totals(b: pa.Table) -> pa.Table:
+        n = [len(_sent_chunks(t, w))
+             for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "n_sents": pa.array(n, pa.int64())})
+
+    tot = _collect(
+        docs.map_batches(totals, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "n_sents": pa.int64()}
+    ).sort_by("doc_id")
+    rb = _collect(rebuilt, fallback_schema={
+        "doc_id": pa.int64(), "text_dedup": pa.string(),
+        "n_kept": pa.int64()}).sort_by("doc_id")
+    hit, ri = _sorted_member(rb.column("doc_id").to_numpy(),
+                             tot.column("doc_id").to_numpy())
+    texts = rb.column("text_dedup").to_pylist()
+    kept_n = rb.column("n_kept").to_numpy()
+    return pa.table({
+        "doc_id": tot.column("doc_id"),
+        "text_dedup": pa.array(
+            [texts[p] if h else "" for h, p in zip(hit, ri)], pa.string()),
+        "n_sents": tot.column("n_sents"),
+        "n_kept": pa.array(np.where(hit, kept_n[ri] if len(kept_n) else 0,
+                                    0), pa.int64())})

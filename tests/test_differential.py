@@ -121,6 +121,7 @@ BROAD_OPS = [
     "events_json_stats",
     "event_transitions", "bigram_typicality", "source_diversity",
     "events_outliers", "events_dau_wau", "skipgram_pairs",
+    "sentence_dedup",
     "cross_source_contamination",
 ]
 
@@ -466,6 +467,25 @@ def test_q11_q21_forced_distributed(tmp_path, ray_session, seed):
     j21 = TD.q21_waiting_suppliers(str(tmp_path), force_distributed=True,
                                    pair_driver_limit=0, broadcast_limit=0)
     assert a21.equals(j21)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_sentence_dedup_forced_distributed(tmp_path, ray_session, seed):
+    # the 2-shuffle distributed rebuild (groupby-Min winners + key join +
+    # per-doc map_groups) pinned equal to the broadcast-winner path on
+    # randomized docs incl. empty texts and cross-doc duplicate chunks
+    rng = np.random.RandomState(seed)
+    pq.write_table(_rand_documents(rng, 14),
+                   str(tmp_path / "documents.parquet"))
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a = TD.sentence_dedup(str(tmp_path))
+    d = TD.sentence_dedup(str(tmp_path), force_distributed=True)
+    assert a.num_rows == 14
+    # the filter must CUT on this corpus, not pass everything through
+    assert (sum(a.column("n_kept").to_pylist())
+            < sum(a.column("n_sents").to_pylist()))
+    assert a.equals(d)
 
 
 @pytest.mark.parametrize("seed", [19])
