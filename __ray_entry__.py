@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q21 shape: suppliers who kept multi-supplier orders
         # waiting (sole latest shipper; no commit/receipt dates)
         "q21_waiting_suppliers": TD.q21_waiting_suppliers,
+        # TPC-H Q2 shape: per-part minimum-balance supplier in a region
+        # (s_acctbal plays ps_supplycost; shipped-evidence plays partsupp)
+        "q2_min_acctbal_supplier": TD.q2_min_acctbal_supplier,
+        # TPC-H Q20 shape: suppliers shipping >50% of a matching part's
+        # windowed volume (dominance replaces the availqty predicate)
+        "q20_dominant_suppliers": TD.q20_dominant_suppliers,
         # MassiveText/CCNet-style global sentence-level exact dedup:
         # every distinct sentence survives only at its first corpus
         # occurrence; documents rebuilt from kept sentences
@@ -2556,6 +2562,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
             FROM solo JOIN supplier s ON solo.win = s.s_suppkey
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+        """,
+        # TPC-H Q2: min-acctbal supplier per size-band part among the
+        # region's shippers, every tie kept, canonical Q2 sort
+        "q2_min_acctbal_supplier": """
+            WITH asia AS (
+              SELECT n_nationkey, n_name FROM nation JOIN region
+                ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (
+              SELECT ps.l_partkey AS p_partkey, s.s_name, a.n_name,
+                     CAST(round(s.s_acctbal * 100) AS BIGINT)
+                       AS s_acctbal_c
+              FROM ps
+              JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+              JOIN asia a ON s.s_nationkey = a.n_nationkey
+              JOIN part p ON ps.l_partkey = p.p_partkey
+              WHERE p.p_size BETWEEN 10 AND 25),
+            m AS (SELECT p_partkey, min(s_acctbal_c) AS mn
+                  FROM j GROUP BY 1)
+            SELECT j.s_acctbal_c, j.s_name, j.n_name,
+                   CAST(j.p_partkey AS BIGINT) AS p_partkey
+            FROM j JOIN m ON j.p_partkey = m.p_partkey
+                         AND j.s_acctbal_c = m.mn
+            ORDER BY j.s_acctbal_c DESC, j.n_name, j.s_name, j.p_partkey
+            LIMIT 100
+        """,
+        # TPC-H Q20: suppliers with >50% of a '%red%' part's 1996
+        # shipped quantity (integer dominance: q_c*2 > total_c)
+        "q20_dominant_suppliers": """
+            WITH lp AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                       AS q_c
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE '%red%'
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, sum(q_c) AS tot_c
+                   FROM lp GROUP BY 1)
+            SELECT DISTINCT s.s_name
+            FROM lp JOIN pt ON lp.l_partkey = pt.l_partkey
+            JOIN supplier s ON lp.l_suppkey = s.s_suppkey
+            WHERE lp.q_c * 2 > pt.tot_c
+            ORDER BY s_name
         """,
         # global sentence dedup: 3-word-chunk sentencization, keep each
         # distinct sentence only at min (doc_id, idx), rebuild docs

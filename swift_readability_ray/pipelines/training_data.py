@@ -9552,3 +9552,277 @@ def sentence_dedup(
         "n_sents": tot.column("n_sents"),
         "n_kept": pa.array(np.where(hit, kept_n[ri] if len(kept_n) else 0,
                                     0), pa.int64())})
+
+
+def q2_min_acctbal_supplier(
+    sf_dir: str, region: str = "ASIA", size_lo: int = 10,
+    size_hi: int = 25, k: int = 100, pair_driver_limit: int = 4_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q2 shape: the minimum-cost supplier per part — for parts in
+    a size band, among ``region``'s suppliers with lineitem evidence of
+    shipping the part, every supplier tied at the part's MINIMUM account
+    balance (no partsupp in this schema, so s_acctbal plays
+    ps_supplycost and shipped-evidence plays the partsupp relation) →
+    top-``k`` (s_acctbal_c, s_name, n_name, p_partkey) ordered by
+    balance desc, nation, supplier, part — the canonical Q2 sort.
+
+    Scale shape: part (size-band keys) and supplier (key → balance,
+    nation, in-region flag) broadcast sorted; ONE lineitem pass folds
+    per-block DISTINCT (partkey, suppkey) pairs (q16's collapse — the
+    shuffle never carries repeats).  Under ``pair_driver_limit``
+    lineitem rows the pair set driver-merges and a lexsort/reduceat
+    tail picks per-part minima; above it (or forced) the pairs ride a
+    native two-key groupby, per-part minima come from a second
+    groupby-Min, and the tie filter joins back via broadcast of the
+    bounded (part → min) map."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"s_acctbal_c": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string()),
+                      "p_partkey": pa.array([], pa.int64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    rkeys = [r["r_regionkey"] for r in reg if r["r_name"] == region]
+    if not rkeys:
+        return empty
+    region_nations = {r["n_nationkey"] for r in nat
+                      if r["n_regionkey"] == rkeys[0]}
+    key_to_nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"])
+    sz = pc.cast(part.column("p_size"), pa.int64())
+    pk = np.sort(part.filter(
+        pc.and_(pc.greater_equal(sz, size_lo),
+                pc.less_equal(sz, size_hi))).column(
+        "p_partkey").to_numpy())
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).sort_by("s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    s_bal = _cents(sup.column("s_acctbal")).to_numpy()
+    s_in_region = np.isin(s_nat, np.array(sorted(region_nations),
+                                          np.int64))
+    if pk.size == 0 or not s_in_region.any():
+        return empty
+    pk_ref = ray.put(pk)
+    sk_ref, sr_ref = ray.put(s_keys), ray.put(s_in_region)
+    pair_fb = {"l_partkey": pa.int64(), "l_suppkey": pa.int64()}
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        skeys, sreg = ray.get(sk_ref), ray.get(sr_ref)
+        p_hit, _ = _sorted_member(pks, b.column("l_partkey").to_numpy())
+        s_hit, si = _sorted_member(skeys, b.column("l_suppkey").to_numpy())
+        keep = p_hit & s_hit
+        if keep.any():
+            keep &= sreg[si]
+        if not keep.any():
+            return pa.table({n: pa.array([], t)
+                             for n, t in pair_fb.items()})
+        return b.filter(pa.array(keep)).select(
+            ["l_partkey", "l_suppkey"]).group_by(
+            ["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"], rows_per_block=8192
+    ).map_batches(pair_partial, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def finish(pkey: np.ndarray, skey: np.ndarray) -> pa.Table:
+        if pkey.size == 0:
+            return empty
+        _, si = _sorted_member(s_keys, skey)  # all hits by construction
+        bal = s_bal[si]
+        order = np.lexsort((skey, pkey))
+        pkey, skey, bal = pkey[order], skey[order], bal[order]
+        u, f, c = np.unique(pkey, return_index=True, return_counts=True)
+        pmin = np.minimum.reduceat(bal, f)
+        keep = bal == np.repeat(pmin, c)
+        pkey, skey, bal = pkey[keep], skey[keep], bal[keep]
+        _, si = _sorted_member(s_keys, skey)
+        names = sup.column("s_name").take(pa.array(si)).to_pylist()
+        nnames = [key_to_nname.get(int(nk), "") for nk in s_nat[si]]
+        out = pa.table({"s_acctbal_c": pa.array(bal, pa.int64()),
+                        "s_name": pa.array(names, pa.string()),
+                        "n_name": pa.array(nnames, pa.string()),
+                        "p_partkey": pa.array(pkey, pa.int64())})
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[("s_acctbal_c", "descending"),
+                            ("n_name", "ascending"),
+                            ("s_name", "ascending"),
+                            ("p_partkey", "ascending")]))
+        return out.slice(0, k)
+
+    n_li = _footer_rows(f"{sf_dir}/lineitem.parquet")
+    if not force_distributed and (n_li is not None
+                                  and n_li <= pair_driver_limit):
+        pt = _collect(pairs, fallback_schema=pair_fb)
+        pt = pt.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return finish(pt.column("l_partkey").to_numpy(),
+                      pt.column("l_suppkey").to_numpy())
+
+    from ray.data.aggregate import Count, Min
+
+    P = pairs.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Count(alias_name="n_")).materialize()
+    if P.count() == 0:
+        return empty
+
+    def attach_bal(b: pa.Table) -> pa.Table:
+        _, si = _sorted_member(s_keys, b.column("l_suppkey").to_numpy())
+        return b.append_column("bal_c", pa.array(s_bal[si], pa.int64()))
+
+    Pb = P.map_batches(attach_bal, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    M = _collect(
+        Pb.groupby("l_partkey").aggregate(Min("bal_c", alias_name="mn")),
+        fallback_schema={"l_partkey": pa.int64(), "mn": pa.int64()}
+    ).sort_by("l_partkey")
+    mk_ref = ray.put(M.column("l_partkey").to_numpy())
+    mn_ref = ray.put(M.column("mn").to_numpy())
+
+    def tie_filter(b: pa.Table) -> pa.Table:
+        mk, mn = ray.get(mk_ref), ray.get(mn_ref)
+        hit, mi = _sorted_member(mk, b.column("l_partkey").to_numpy())
+        keep = hit & (b.column("bal_c").to_numpy() == mn[mi])
+        return b.filter(pa.array(keep)).select(
+            ["l_partkey", "l_suppkey"])
+
+    kept = _collect(
+        Pb.map_batches(tie_filter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema=pair_fb)
+    return finish(kept.column("l_partkey").to_numpy(),
+                  kept.column("l_suppkey").to_numpy())
+
+
+def q20_dominant_suppliers(
+    sf_dir: str, name_like: str = "red", date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01", nation: str | None = None,
+    pair_driver_limit: int = 4_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """TPC-H Q20 shape: suppliers sitting on a dominant share — shipped
+    MORE THAN HALF of some matching part's total shipped quantity in
+    the date window (no partsupp availqty in this schema, so the
+    canonical excess-stock predicate becomes shipped-share dominance;
+    the >50% test is integer-exact, qty_c·2 > total_c) → distinct
+    (s_name) ordered by name; ``nation`` optionally restricts the
+    answer set (the totals always span all suppliers).
+
+    Scale shape: name-filtered part keys broadcast; ONE lineitem pass
+    folds per-block (partkey, suppkey) → quantity partials.  Under
+    ``pair_driver_limit`` lineitem rows the partials driver-merge and a
+    lexsort/reduceat tail computes part totals + the dominance mask;
+    above it (or forced) a native two-key groupby-Sum builds the pair
+    table and the bounded (part → total) map broadcasts for the
+    filter."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"s_name": pa.array([], pa.string())})
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pk = np.sort(part.filter(pc.match_substring(
+        part.column("p_name"), name_like)).column("p_partkey").to_numpy())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"]
+                        ).sort_by("s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    if pk.size == 0 or s_keys.size == 0:
+        return empty
+    allowed = None
+    if nation is not None:
+        nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        nk = [r["n_nationkey"] for r in nat if r["n_name"] == nation]
+        if not nk:
+            return empty
+        allowed = (sup.column("s_nationkey").to_numpy().astype(np.int64)
+                   == int(nk[0]))
+    pk_ref = ray.put(pk)
+    pair_fb = {"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+               "q_c": pa.int64()}
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        p_hit, _ = _sorted_member(pks, b.column("l_partkey").to_numpy())
+        keep = p_hit & (sd >= lo) & (sd < hi)
+        if not keep.any():
+            return pa.table({n: pa.array([], t)
+                             for n, t in pair_fb.items()})
+        kb = b.filter(pa.array(keep))
+        t = pa.table({"l_partkey": kb.column("l_partkey"),
+                      "l_suppkey": kb.column("l_suppkey"),
+                      "q_c": _cents(kb.column("l_quantity"))})
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("q_c", "sum")]).rename_columns(
+            ["l_partkey", "l_suppkey", "q_c"])
+
+    pairs = _read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        rows_per_block=8192
+    ).map_batches(qty_partial, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def finish(pkey, skey, q) -> pa.Table:
+        if pkey.size == 0:
+            return empty
+        order = np.lexsort((skey, pkey))
+        pkey, skey, q = pkey[order], skey[order], q[order]
+        u, f, c = np.unique(pkey, return_index=True, return_counts=True)
+        tot = np.add.reduceat(q, f)
+        dominant = q * 2 > np.repeat(tot, c)
+        wk = np.unique(skey[dominant])
+        hit, si = _sorted_member(s_keys, wk)
+        if allowed is not None and hit.any():
+            hit &= allowed[si]
+        names = sorted(sup.column("s_name").take(
+            pa.array(si[hit])).to_pylist())
+        return pa.table({"s_name": pa.array(names, pa.string())})
+
+    n_li = _footer_rows(f"{sf_dir}/lineitem.parquet")
+    if not force_distributed and (n_li is not None
+                                  and n_li <= pair_driver_limit):
+        pt = _merge_partials(pairs, ["l_partkey", "l_suppkey"],
+                             [("q_c", "sum")], fallback_schema=pair_fb)
+        return finish(pt.column("l_partkey").to_numpy(),
+                      pt.column("l_suppkey").to_numpy(),
+                      pt.column("q_c").to_numpy())
+
+    from ray.data.aggregate import Sum
+
+    P = pairs.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Sum("q_c", alias_name="q_c")).materialize()
+    if P.count() == 0:
+        return empty
+    M = _collect(
+        P.groupby("l_partkey").aggregate(Sum("q_c", alias_name="tot")),
+        fallback_schema={"l_partkey": pa.int64(), "tot": pa.int64()}
+    ).sort_by("l_partkey")
+    mk_ref = ray.put(M.column("l_partkey").to_numpy())
+    mt_ref = ray.put(M.column("tot").to_numpy())
+
+    def dom_filter(b: pa.Table) -> pa.Table:
+        mk, mt = ray.get(mk_ref), ray.get(mt_ref)
+        hit, mi = _sorted_member(mk, b.column("l_partkey").to_numpy())
+        keep = hit & (b.column("q_c").to_numpy() * 2 > mt[mi])
+        return b.filter(pa.array(keep)).select(["l_suppkey"])
+
+    kept = _collect(
+        P.map_batches(dom_filter, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        fallback_schema={"l_suppkey": pa.int64()})
+    wk = np.unique(kept.column("l_suppkey").to_numpy())
+    hit, si = _sorted_member(s_keys, wk)
+    if allowed is not None and hit.any():
+        hit &= allowed[si]
+    names = sorted(sup.column("s_name").take(
+        pa.array(si[hit])).to_pylist())
+    return pa.table({"s_name": pa.array(names, pa.string())})

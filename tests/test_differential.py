@@ -389,7 +389,8 @@ FULL_OPS = ["q7_nation_volume", "q15_top_supplier",
             "q17_small_qty_revenue", "q19_disjunctive_revenue",
             "q22_sales_opportunity", "q8_market_share",
             "q9_product_profit", "q11_important_parts",
-            "q12_late_shipment_priority", "q21_waiting_suppliers"]
+            "q12_late_shipment_priority", "q21_waiting_suppliers",
+            "q2_min_acctbal_supplier", "q20_dominant_suppliers"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -467,6 +468,24 @@ def test_q11_q21_forced_distributed(tmp_path, ray_session, seed):
     j21 = TD.q21_waiting_suppliers(str(tmp_path), force_distributed=True,
                                    pair_driver_limit=0, broadcast_limit=0)
     assert a21.equals(j21)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_q2_q20_forced_distributed(tmp_path, ray_session, seed):
+    # the two-key-groupby siblings (pair collapse above the lineitem
+    # gate) pinned equal to the driver lexsort/reduceat tails
+    rng = np.random.RandomState(seed)
+    _rand_tpch_full(rng, tmp_path, n_cust=8, n_ord=40, n_li=160)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a2 = TD.q2_min_acctbal_supplier(str(tmp_path))
+    d2 = TD.q2_min_acctbal_supplier(str(tmp_path), force_distributed=True)
+    assert a2.num_rows > 0
+    assert a2.equals(d2)
+    a20 = TD.q20_dominant_suppliers(str(tmp_path))
+    d20 = TD.q20_dominant_suppliers(str(tmp_path), force_distributed=True)
+    assert a20.num_rows > 0
+    assert a20.equals(d20)
 
 
 @pytest.mark.parametrize("seed", [7, 23])
