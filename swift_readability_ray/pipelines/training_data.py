@@ -9181,6 +9181,27 @@ def q21_waiting_suppliers(
     broadcast_limit: int = 5_000_000, pair_driver_limit: int = 4_000_000,
     force_distributed: bool = False,
 ) -> pa.Table:
+    """TPC-H Q21 shape — see ``_q21_impl``.  This wrapper pins the
+    session's shuffle strategy to HASH_SHUFFLE for the datasets the
+    query creates (``repartition(keys=...)`` requires it; the default
+    sort-based strategy rejects key repartitioning) and restores the
+    previous strategy on exit."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _q21_impl(sf_dir, status, k, broadcast_limit,
+                         pair_driver_limit, force_distributed)
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _q21_impl(
+    sf_dir: str, status: str, k: int, broadcast_limit: int,
+    pair_driver_limit: int, force_distributed: bool,
+) -> pa.Table:
     """TPC-H Q21 shape: suppliers who kept orders waiting — for each
     ``status`` order with ≥2 distinct suppliers, the supplier whose
     lines hold the STRICTLY latest ship date (unique at the order max)
@@ -9194,13 +9215,12 @@ def q21_waiting_suppliers(
     orders footer gate (hash semi-join above it); ONE lineitem pass
     folds per-block (orderkey, suppkey) → max-shipdate partials.  Under
     ``pair_driver_limit`` lineitem rows the pair table collects and a
-    lexsort + reduceat driver tail decides winners; above it the pairs shuffle
-    through a native composite groupby-Max, the per-order (omax, nsupp)
-    map broadcasts (or hash-joins past ``broadcast_limit``), and two
-    thin groupbys (sole-laggard test, per-supplier wait count) finish
-    distributed — the partitioning key is l_orderkey throughout."""
+    lexsort + reduceat driver tail decides winners; above it ONE hash
+    repartition by l_orderkey co-locates each order and the identical
+    vectorized tail runs per block, folding straight into bounded
+    per-supplier wait partials — a single shuffle, with the decision
+    math shared verbatim between the two paths."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Max, Min
 
     empty = pa.table({"s_name": pa.array([], pa.string()),
                       "numwait": pa.array([], pa.int64())})
@@ -9295,76 +9315,39 @@ def q21_waiting_suppliers(
             pt.column("l_suppkey").to_numpy(),
             pt.column("msd").to_numpy()))
 
-    P = pairs.groupby(["l_orderkey", "l_suppkey"]).aggregate(
-        Max("msd", alias_name="msd")).materialize()
-    n_pairs = P.count()
-    if n_pairs == 0:
+    # ONE hash shuffle: repartition the per-block pair partials by
+    # l_orderkey — every row of an order lands in exactly one block, so
+    # the whole sole-laggard decision runs vectorized INSIDE each block
+    # (batch_size=None keeps blocks intact).  Replaces the previous
+    # 3-shuffle chain (composite groupby-Max → per-order map → two thin
+    # groupbys): 28 s → single-shuffle on the 6.6M-pair 11× table.
+    hashed = pairs.repartition(
+        num_blocks=D._default_join_partitions(pairs),
+        keys=["l_orderkey"])
+    part_fb = {"l_suppkey": pa.int64(), "numwait": pa.int64()}
+
+    def block_decide(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({n: pa.array([], t)
+                             for n, t in part_fb.items()})
+        t = b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("msd", "max")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "msd"])
+        win = _q21_driver_tail(t.column("l_orderkey").to_numpy(),
+                               t.column("l_suppkey").to_numpy(),
+                               t.column("msd").to_numpy())
+        wk, wc = np.unique(win, return_counts=True)
+        return pa.table({"l_suppkey": pa.array(wk, pa.int64()),
+                         "numwait": pa.array(wc, pa.int64())})
+
+    merged = _merge_partials(
+        hashed.map_batches(block_decide, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["l_suppkey"], [("numwait", "sum")], fallback_schema=part_fb)
+    if merged.num_rows == 0:
         return empty
-    if force_distributed and n_pairs <= pair_driver_limit:
-        # thin-pair guard for the forced path: the downstream joins /
-        # broadcasts would ride schema-less empty blocks — take the
-        # driver tail, already pinned equal to the distributed math
-        pt = _collect(P, fallback_schema=pair_fb)
-        return finish(_q21_driver_tail(
-            pt.column("l_orderkey").to_numpy(),
-            pt.column("l_suppkey").to_numpy(),
-            pt.column("msd").to_numpy()))
-    M = P.groupby("l_orderkey").aggregate(
-        Max("msd", alias_name="omax"),
-        Count(alias_name="nsupp")).materialize()
-
-    if M.count() <= broadcast_limit:
-        mt = _collect(M, fallback_schema={
-            "l_orderkey": pa.int64(), "omax": pa.int64(),
-            "nsupp": pa.int64()}).sort_by("l_orderkey")
-        mk_ref = ray.put(mt.column("l_orderkey").to_numpy())
-        mx_ref = ray.put(mt.column("omax").to_numpy())
-        mn_ref = ray.put(mt.column("nsupp").to_numpy())
-
-        def w_filter(b: pa.Table) -> pa.Table:
-            mk, mx, mn = (ray.get(mk_ref), ray.get(mx_ref),
-                          ray.get(mn_ref))
-            hit, mi = _sorted_member(mk, b.column("l_orderkey").to_numpy())
-            keep = hit
-            if keep.any():
-                keep &= ((b.column("msd").to_numpy() == mx[mi])
-                         & (mn[mi] >= 2))
-            return b.filter(pa.array(keep)).select(
-                ["l_orderkey", "l_suppkey"])
-
-        W = P.map_batches(w_filter, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    else:
-        Mr = M.map_batches(
-            lambda b: b.rename_columns(["m_orderkey", "omax", "nsupp"]),
-            batch_format="pyarrow", zero_copy_batch=True)
-        joined = P.join(
-            Mr, join_type="inner",
-            num_partitions=D._default_join_partitions(P),
-            on=("l_orderkey",), right_on=("m_orderkey",))
-
-        def w_filter_j(b: pa.Table) -> pa.Table:
-            keep = ((b.column("msd").to_numpy()
-                     == b.column("omax").to_numpy())
-                    & (b.column("nsupp").to_numpy() >= 2))
-            return b.filter(pa.array(keep)).select(
-                ["l_orderkey", "l_suppkey"])
-
-        W = joined.map_batches(w_filter_j, batch_format="pyarrow",
-                               zero_copy_batch=True)
-
-    W2 = W.groupby("l_orderkey").aggregate(
-        Count(alias_name="n_at"), Min("l_suppkey", alias_name="win"))
-    winners = W2.map_batches(
-        lambda b: b.filter(pc.equal(b.column("n_at"), 1)).select(["win"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    counts = _collect(
-        winners.groupby("win").aggregate(Count(alias_name="numwait")),
-        fallback_schema={"win": pa.int64(), "numwait": pa.int64()})
-    if counts.num_rows == 0:
-        return empty
-    return finish(np.repeat(counts.column("win").to_numpy(),
-                            counts.column("numwait").to_numpy()))
+    return finish(np.repeat(merged.column("l_suppkey").to_numpy(),
+                            merged.column("numwait").to_numpy()))
 
 
 def _sent_chunks(text: str, w: int) -> list[str]:
