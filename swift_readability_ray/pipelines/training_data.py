@@ -6337,16 +6337,44 @@ def q18_large_orders(
             "l_orderkey": b.column("l_orderkey"),
             "total_qty": pc.cast(b.column("sum(q)"), pa.int64())})
 
-    survivors = li.map_batches(
-        qty_partial, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("l_orderkey").aggregate(Sum("q")).map_batches(
-        having, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    if survivors.count() == 0:
-        return empty
+    partials = li.map_batches(
+        qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+    n_li = _footer_rows(f"{sf_dir}/lineitem.parquet")
+    s_tbl = None
+    if not force_distributed and (n_li is not None
+                                  and n_li <= 4_000_000):
+        # HAVING over driver-merged partials: the distributed Aggregate
+        # costs ~10 ms/block of sort/combine regardless of block size
+        # (the _merge_partials rule), and the partial table is ≤ one row
+        # per (block, orderkey) — a single pyarrow group_by at the gate
+        # (measured: 3.5 s → 0.9 s for q18 at sf0.1)
+        pt = _collect(partials, fallback_schema={
+            "l_orderkey": pa.int64(), "q": pa.float64()})
+        pt = pt.group_by("l_orderkey").aggregate(
+            [("q", "sum")]).rename_columns(["l_orderkey", "q"])
+        keep = pc.greater(pt.column("q"), qty_threshold)
+        s_tbl = pa.table({
+            "l_orderkey": pt.column("l_orderkey").filter(keep),
+            "total_qty": pc.cast(pt.column("q").filter(keep),
+                                 pa.int64())})
+        if s_tbl.num_rows == 0:
+            return empty
+        if s_tbl.num_rows > broadcast_limit:
+            s_tbl = None  # too many survivors to broadcast: join path
+    if s_tbl is None:
+        survivors = partials.groupby("l_orderkey").aggregate(
+            Sum("q")).map_batches(
+            having, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        if survivors.count() == 0:
+            return empty
 
     sort_keys = [("price_c", "descending"), ("o_orderkey", "ascending")]
-    if not force_distributed and survivors.count() <= broadcast_limit:
-        s_tbl = _collect(survivors).sort_by("l_orderkey")
+    if s_tbl is not None or (not force_distributed
+                             and survivors.count() <= broadcast_limit):
+        if s_tbl is None:
+            s_tbl = _collect(survivors)
+        s_tbl = s_tbl.sort_by("l_orderkey")
         keys = s_tbl.column("l_orderkey").to_numpy()
         qty = s_tbl.column("total_qty").to_numpy()
         k_ref = ray.put(keys)
