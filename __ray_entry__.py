@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q20 shape: suppliers shipping >50% of a matching part's
         # windowed volume (dominance replaces the availqty predicate)
         "q20_dominant_suppliers": TD.q20_dominant_suppliers,
+        # DoReMi-style source-mixture table: per-source quality mass
+        # and integer ppm sampling weights (floor division, no floats)
+        "mixture_weights": TD.mixture_weights,
         # MassiveText/CCNet-style global sentence-level exact dedup:
         # every distinct sentence survives only at its first corpus
         # occurrence; documents rebuilt from kept sentences
@@ -2696,6 +2699,22 @@ def _quality_oracles() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS quality_sum_u
             FROM q JOIN h ON h.doc_id = q.doc_id
             GROUP BY 1 ORDER BY 1
+        """,
+        # per-source quality-mass mixture weights in integer ppm —
+        # floor division against the corpus total, zero-total guarded
+        "mixture_weights": "WITH " + cte + """,
+            s AS (
+              SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CAST(floor(q.quality * 1000000 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS quality_sum_u
+              FROM q JOIN documents d ON q.doc_id = d.doc_id
+              GROUP BY 1),
+            tot AS (SELECT sum(quality_sum_u) AS t FROM s)
+            SELECT s.source, s.n_docs, s.quality_sum_u,
+                   CAST(CASE WHEN tot.t > 0
+                        THEN s.quality_sum_u * 1000000 // tot.t
+                        ELSE 0 END AS BIGINT) AS weight_ppm
+            FROM s, tot ORDER BY s.source
         """,
         "quality_tiers": "WITH " + cte + """,
             wl AS (

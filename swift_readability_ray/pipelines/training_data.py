@@ -9837,3 +9837,49 @@ def q20_dominant_suppliers(
     names = sorted(sup.column("s_name").take(
         pa.array(si[hit])).to_pylist())
     return pa.table({"s_name": pa.array(names, pa.string())})
+
+
+def mixture_weights(sf_dir: str) -> pa.Table:
+    """DoReMi-style source-mixture table: per training source, the doc
+    count, the SUM of per-doc quality scores in integer micro-units, and
+    the resulting sampling weight in parts-per-million (quality-mass
+    proportional: weight_ppm = quality_sum·10⁶ // corpus total — floor
+    division, so the table is integer-exact and the ppm column sums to
+    ≤ 10⁶) → (source, n_docs, quality_sum_u, weight_ppm) ordered by
+    source.  This is the artifact a mixture-sampled training run
+    consumes: one bounded row per source, no float ratio ever hashed.
+
+    Scale shape mirrors host_quality: ONE doc pass folds per-block
+    (source, count, Σq_u) partials (source key space is the provider
+    catalog — bounded), driver merge, then the ppm normalization is
+    driver arithmetic over the bounded table."""
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "quality_sum_u": pa.array([], pa.int64()),
+                      "weight_ppm": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_u = [int(np.floor(T.quality_score(t or "") * 1_000_000 + 0.5))
+               for t in batch.column("text").to_pylist()]
+        t = pa.table({"source": batch.column("source"),
+                      "n_docs": pa.array(np.ones(len(q_u), np.int64)),
+                      "quality_sum_u": pa.array(q_u, pa.int64())})
+        return t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("quality_sum_u", "sum")]).rename_columns(
+            ["source", "n_docs", "quality_sum_u"])
+
+    merged = _merge_partials(
+        _docs_sized(sf_dir, columns=["text", "source"],
+                    rows_per_block=1024).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_docs", "sum"), ("quality_sum_u", "sum")],
+        fallback_schema={"source": pa.string(), "n_docs": pa.int64(),
+                         "quality_sum_u": pa.int64()})
+    qs = merged.column("quality_sum_u").to_numpy()
+    tot = int(qs.sum())
+    ppm = (qs * 1_000_000 // tot if tot > 0
+           else np.zeros(len(qs), np.int64))
+    return merged.append_column(
+        "weight_ppm", pa.array(ppm, pa.int64())).sort_by("source")

@@ -121,7 +121,7 @@ BROAD_OPS = [
     "events_json_stats",
     "event_transitions", "bigram_typicality", "source_diversity",
     "events_outliers", "events_dau_wau", "skipgram_pairs",
-    "sentence_dedup",
+    "sentence_dedup", "mixture_weights",
     "cross_source_contamination",
 ]
 
