@@ -8677,6 +8677,11 @@ def q8_market_share(
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"]).sort_by(
         "s_suppkey")
+    # the oracle INNER-joins supplier→nation: a supplier with an unknown
+    # nationkey contributes to NEITHER revenue sum
+    known = np.array(sorted(r["n_nationkey"] for r in nat), np.int64)
+    sup = sup.filter(pa.array(np.isin(
+        sup.column("s_nationkey").to_numpy().astype(np.int64), known)))
     s_keys = sup.column("s_suppkey").to_numpy()
     s_is_target = (sup.column("s_nationkey").to_numpy().astype(np.int64)
                    == target)
@@ -8852,6 +8857,10 @@ def q9_product_profit(
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"]).sort_by(
         "s_suppkey")
+    # oracle INNER-joins supplier→nation: drop unknown nationkeys
+    sup = sup.filter(pa.array(np.isin(
+        sup.column("s_nationkey").to_numpy().astype(np.int64),
+        np.array(sorted(key_to_name), np.int64))))
     s_keys = sup.column("s_suppkey").to_numpy()
     s_nat = sup.column("s_nationkey").to_numpy().astype(np.int64)
 

@@ -313,6 +313,9 @@ def _rand_tpch_full(rng: np.random.RandomState, tmp_path, **kw):
     sk = np.arange(1, n_sup + 1, dtype=np.int64)
     s_nat = rng.randint(0, 25, n_sup).astype(np.int64)
     s_nat[0], s_nat[1] = 1, 2
+    # one supplier with a nationkey MISSING from the nation catalog — the
+    # supplier→nation inner joins (q7/q8/q9/q11) must drop its lines
+    s_nat[-1] = 77
     pq.write_table(pa.table(
         {"s_suppkey": pa.array(sk, pa.int64()),
          "s_name": pa.array(["Supplier#%d" % k for k in sk]),
