@@ -7403,30 +7403,36 @@ def q13_order_distribution(
         return t.group_by(["o_custkey"]).aggregate(
             [("n", "sum")]).rename_columns(["o_custkey", "n"])
 
-    counts = orders.map_batches(
-        count_partial, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("o_custkey").aggregate(Sum("n")).rename_columns(
-        ["o_custkey", "n"])
+    partials = orders.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     if not force_distributed and n_cust <= broadcast_limit:
+        # custkey cardinality ≤ the customer catalog: driver-merge the
+        # per-block count partials and fold the histogram in numpy —
+        # the distributed Aggregate's ~10 ms/block sort/combine cost
+        # dominated this query at bench scale (q18/q21/q10 finding)
+        pt = _merge_partials(partials, ["o_custkey"], [("n", "sum")],
+                             fallback_schema={"o_custkey": pa.int64(),
+                                              "n": pa.int64()})
         ckeys = np.sort(np.concatenate(
             [b.column("c_custkey").to_numpy()
              for b in customers.iter_batches(batch_format="pyarrow")]
             + [np.array([], np.int64)]))
-        ck_ref = ray.put(ckeys)
+        hit, _ = _sorted_member(ckeys, pt.column("o_custkey").to_numpy())
+        n_arr = pt.column("n").to_numpy()[hit]
+        cc, cd = np.unique(n_arr, return_counts=True)
+        hist = pa.table({"c_count": pa.array(cc.astype(np.int64),
+                                             pa.int64()),
+                         "custdist": pa.array(cd.astype(np.int64),
+                                              pa.int64())})
+        return finish(hist, int(hit.sum()))
 
-        def member(batch: pa.Table) -> pa.Table:
-            hit, _ = _sorted_member(ray.get(ck_ref),
-                                    batch.column("o_custkey").to_numpy())
-            return batch.filter(pa.array(hit))
-
-        valid = counts.map_batches(member, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    else:
-        valid = counts.join(
-            customers, join_type="inner",
-            num_partitions=D._default_join_partitions(counts),
-            on=("o_custkey",), right_on=("c_custkey",))
+    counts = partials.groupby("o_custkey").aggregate(
+        Sum("n")).rename_columns(["o_custkey", "n"])
+    valid = counts.join(
+        customers, join_type="inner",
+        num_partitions=D._default_join_partitions(counts),
+        on=("o_custkey",), right_on=("c_custkey",))
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"c_count": pc.cast(batch.column("n"), pa.int64()),
@@ -7525,9 +7531,14 @@ def q10_returned_revenue(
             hit, idx = _sorted_member(
                 ks, batch.column("l_orderkey").to_numpy())
             b = batch.filter(pa.array(hit))
+            # per-block custkey pre-combine: the downstream merge (driver
+            # or distributed) only ever sees ≤ distinct-custkeys-per-block
             return pa.table({
                 "o_custkey": pa.array(cs[idx[hit]], pa.int64()),
-                "rev_c4": b.column("rev_c4")})
+                "rev_c4": b.column("rev_c4")}).group_by(
+                ["o_custkey"]).aggregate([("rev_c4", "sum")]
+                                         ).rename_columns(
+                ["o_custkey", "rev_c4"])
 
         keyed = partials.map_batches(rekey, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -7538,23 +7549,42 @@ def q10_returned_revenue(
             on=("l_orderkey",), right_on=("o_orderkey",),
         ).select_columns(["o_custkey", "rev_c4"])
 
-    summed = keyed.groupby("o_custkey").aggregate(Sum("rev_c4")
-                                                  ).rename_columns(
-        ["o_custkey", "rev_c4"])
     sort_keys = [("rev_c4", "descending"), ("o_custkey", "ascending")]
+    n_cust = _footer_rows(f"{sf_dir}/customer.parquet")
+    if not force_distributed and (n_cust is not None
+                                  and n_cust <= broadcast_limit):
+        # custkey cardinality is bounded by the customer catalog — under
+        # the gate the (custkey, rev) partials driver-merge (the ~10 ms/
+        # block distributed Aggregate cost dominates this query at bench
+        # scale, same finding as q18/q21)
+        merged = _merge_partials(
+            keyed, ["o_custkey"], [("rev_c4", "sum")],
+            fallback_schema={"o_custkey": pa.int64(),
+                             "rev_c4": pa.int64()})
+        if merged.num_rows == 0:
+            return empty
+        head = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+    else:
+        summed = keyed.groupby("o_custkey").aggregate(Sum("rev_c4")
+                                                      ).rename_columns(
+            ["o_custkey", "rev_c4"])
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        t = pa.table({"o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
-                      "rev_c4": pc.cast(b.column("rev_c4"), pa.int64())})
-        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+        def block_topk(b: pa.Table) -> pa.Table:
+            t = pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                               pa.int64()),
+                          "rev_c4": pc.cast(b.column("rev_c4"),
+                                            pa.int64())})
+            return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
 
-    merged = _collect(
-        summed.map_batches(block_topk, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        fallback_schema={"o_custkey": pa.int64(), "rev_c4": pa.int64()})
-    if merged.num_rows == 0:
-        return empty
-    head = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+        merged = _collect(
+            summed.map_batches(block_topk, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            fallback_schema={"o_custkey": pa.int64(),
+                             "rev_c4": pa.int64()})
+        if merged.num_rows == 0:
+            return empty
+        head = merged.take(pc.sort_indices(merged,
+                                           sort_keys=sort_keys)[:k])
 
     ck = np.unique(head.column("o_custkey").to_numpy())
     ck_ref = ray.put(ck)
@@ -7920,6 +7950,19 @@ def q16_part_suppliers(
         return pa.table({"l_partkey": pa.array(p[keep], pa.int64()),
                          "l_suppkey": pa.array(s[keep], pa.int64())})
 
+    def finish_counts(counts: pa.Table) -> pa.Table:
+        if counts.num_rows == 0:
+            return empty
+        counts = pa.table({
+            "p_brand": counts.column("p_brand"),
+            "p_type": counts.column("p_type"),
+            "supplier_cnt": pc.cast(counts.column("supplier_cnt"),
+                                    pa.int64())})
+        return counts.take(pc.sort_indices(
+            counts, sort_keys=[("supplier_cnt", "descending"),
+                               ("p_brand", "ascending"),
+                               ("p_type", "ascending")])[:k])
+
     blocks = li.map_batches(pair_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
     n_rows = _footer_rows(f"{sf_dir}/lineitem.parquet")
@@ -7937,6 +7980,34 @@ def q16_part_suppliers(
             keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
         pairs = pa.table({"l_partkey": pa.array(p[keep], pa.int64()),
                           "l_suppkey": pa.array(s[keep], pa.int64())})
+        n_parts = _footer_rows(f"{sf_dir}/part.parquet")
+        if n_parts is not None and n_parts <= broadcast_limit:
+            # both sides fit the driver budgets: finish WITHOUT any
+            # further Ray hops (the from_arrow → rekey → collect round
+            # trip cost ~1.5 s of q16's 1.7 s at sf0.1)
+            import pyarrow.parquet as _pq
+
+            dim = _pq.read_table(
+                f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_brand", "p_type"]
+            ).sort_by("p_partkey")
+            dim = dim.filter(pc.not_equal(dim.column("p_type"),
+                                          exclude_type))
+            hit, idx = _sorted_member(
+                dim.column("p_partkey").to_numpy(),
+                pairs.column("l_partkey").to_numpy())
+            tri = pa.table({
+                "p_brand": dim.column("p_brand").take(
+                    pa.array(idx[hit])),
+                "p_type": dim.column("p_type").take(pa.array(idx[hit])),
+                "l_suppkey": pairs.column("l_suppkey").filter(
+                    pa.array(hit))})
+            dedup = tri.group_by(
+                ["p_brand", "p_type", "l_suppkey"]).aggregate([])
+            return finish_counts(dedup.group_by(
+                ["p_brand", "p_type"]).aggregate(
+                [("l_suppkey", "count")]).rename_columns(
+                ["p_brand", "p_type", "supplier_cnt"]))
         pairs_ds = ray.data.from_arrow(pairs)
     else:
         pairs_ds = blocks.groupby(
@@ -8013,16 +8084,7 @@ def q16_part_suppliers(
             ["p_brand", "p_type"], [("supplier_cnt", "sum")],
             fallback_schema={"p_brand": pa.string(), "p_type": pa.string(),
                              "supplier_cnt": pa.int64()})
-    if counts.num_rows == 0:
-        return empty
-    counts = pa.table({
-        "p_brand": counts.column("p_brand"),
-        "p_type": counts.column("p_type"),
-        "supplier_cnt": pc.cast(counts.column("supplier_cnt"), pa.int64())})
-    return counts.take(pc.sort_indices(
-        counts, sort_keys=[("supplier_cnt", "descending"),
-                           ("p_brand", "ascending"),
-                           ("p_type", "ascending")])[:k])
+    return finish_counts(counts)
 
 
 def _years_of_us(sd_us: np.ndarray) -> np.ndarray:
