@@ -22,12 +22,22 @@ except ImportError:
 
 
 def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Read a documents table (Lance if available/URI, else Parquet).
+    """Read a documents table — format by extension: Lance (if the
+    package is available), Parquet (default), CSV, or JSON-lines.
 
-    ``columns`` prunes at the read so only needed columns leave storage.
+    ``columns`` prunes at the read for the columnar formats so only
+    needed columns leave storage; the row-oriented formats (CSV/JSONL)
+    must parse whole records, so pruning happens immediately after the
+    read — still before anything crosses a shuffle.
     """
     if (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))) and HAVE_LANCE:
         return ray.data.read_lance(path, columns=columns, **kwargs)
+    if path.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith((".jsonl", ".json")):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

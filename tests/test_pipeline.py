@@ -692,3 +692,36 @@ def test_span_bytes_prefix_sum_matches_naive():
                   "spans": pa.array(rows, pa.list_(SPAN))})
     got = _span_bytes(t).column("payload_bytes").to_pylist()
     assert got == [5, 0, 2]
+
+
+def test_read_documents_formats_roundtrip(ray_session, tmp_path):
+    # §2.1 source formats: the same documents table read via parquet,
+    # CSV and JSON-lines yields identical rows; `columns` prunes on all
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.sources.io import read_documents
+
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma", ""], pa.string()),
+        "source": pa.array(["s0", "s1", "s0"], pa.string())})
+    pq.write_table(tbl, str(tmp_path / "docs.parquet"))
+    pacsv.write_csv(tbl, str(tmp_path / "docs.csv"))
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in tbl.to_pylist():
+            import json as _json
+
+            f.write(_json.dumps(r) + "\n")
+
+    def rows(path, columns=None):
+        ds = read_documents(str(path), columns=columns)
+        out = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+        return out
+
+    base = rows(tmp_path / "docs.parquet")
+    assert rows(tmp_path / "docs.csv") == base
+    assert rows(tmp_path / "docs.jsonl") == base
+    pruned = rows(tmp_path / "docs.csv", columns=["doc_id", "text"])
+    assert all(set(r) == {"doc_id", "text"} for r in pruned)
