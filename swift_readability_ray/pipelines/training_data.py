@@ -6499,9 +6499,33 @@ def user_rfm(sf_dir: str) -> pa.Table:
 
     ev = _read_sized(f"{sf_dir}/events.parquet",
                      columns=["user_id", "ts", "event_type", "value"])
-    grouped = ev.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("user_id").aggregate(
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n_ev = _footer_rows(f"{sf_dir}/events.parquet")
+    if n_ev is not None and n_ev <= 4_000_000:
+        # the per-user RESULT is collected at the end regardless (the
+        # return contract is a Table), so under the events footer gate
+        # the groupby re-combine runs on the driver too — one pyarrow
+        # group_by instead of a ~10 ms/block distributed Aggregate
+        # (1.7 s → 0.5 s in-bench; q18/q21/q10/q13 finding)
+        pt = _merge_partials(
+            partials, ["user_id"],
+            [("n", "sum"), ("m", "sum"), ("t", "max")],
+            fallback_schema={"user_id": pa.int64(), "n": pa.int64(),
+                             "m": pa.int64(), "t": pa.int64()})
+        if pt.num_rows == 0:
+            return empty
+        t = pt.column("t").to_numpy()
+        g_max = int(t.max())
+        out = pa.table({
+            "user_id": pc.cast(pt.column("user_id"), pa.int64()),
+            "frequency": pc.cast(pt.column("n"), pa.int64()),
+            "monetary_c": pc.cast(pt.column("m"), pa.int64()),
+            "recency_days": pa.array((g_max - t) // 86_400_000_000,
+                                     pa.int64())})
+        return out.sort_by("user_id")
+
+    grouped = partials.groupby("user_id").aggregate(
         Sum("n"), Sum("m"), Max("t")).rename_columns(
         ["user_id", "n", "m", "t"]).materialize()
     g_max = grouped.max("t")
