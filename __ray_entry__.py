@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q20 shape: suppliers shipping >50% of a matching part's
         # windowed volume (dominance replaces the availqty predicate)
         "q20_dominant_suppliers": TD.q20_dominant_suppliers,
+        # linear multi-touch attribution: integer-ppm equal credit
+        # split across a purchase's prior clicks, remainder to the last
+        "attribution_linear": TD.attribution_linear,
         # DoReMi-style source-mixture table: per-source quality mass
         # and integer ppm sampling weights (floor division, no floats)
         "mixture_weights": TD.mixture_weights,
@@ -2057,6 +2060,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # last-touch attribution: latest click (ties: max event_id) by the
         # same user at-or-before each purchase; -1 when unattributed
+        # linear multi-touch: clicks at-or-before the purchase split
+        # 1e6 ppm equally (floor), remainder to the last touch
+        "attribution_linear": """
+            WITH c AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase'),
+            n AS (
+              SELECT p.event_id, p.user_id,
+                     CAST(count(c.event_id) AS BIGINT) AS n_touches
+              FROM p LEFT JOIN c ON c.user_id = p.user_id
+                                AND c.ts <= p.ts
+              GROUP BY 1, 2)
+            SELECT event_id, user_id, n_touches,
+                   CAST(CASE WHEN n_touches > 0
+                        THEN 1000000 // n_touches ELSE 0 END AS BIGINT)
+                     AS credit_each_ppm,
+                   CAST(CASE WHEN n_touches > 0
+                        THEN 1000000 // n_touches + 1000000 % n_touches
+                        ELSE 0 END AS BIGINT) AS credit_last_ppm
+            FROM n ORDER BY event_id
+        """,
         "attribution_last_touch": """
             WITH c AS (
               SELECT user_id, ts, event_id FROM events

@@ -9978,3 +9978,90 @@ def mixture_weights(sf_dir: str) -> pa.Table:
            else np.zeros(len(qs), np.int64))
     return merged.append_column(
         "weight_ppm", pa.array(ppm, pa.int64())).sort_by("source")
+
+
+def attribution_linear(
+    sf_dir: str, driver_limit: int = 1_000_000
+) -> pa.Table:
+    """Linear multi-touch attribution — the equal-credit sibling of
+    ``attribution_last_touch``: for every ``purchase``, COUNT the same
+    user's clicks at-or-before it and split one unit of credit equally
+    in integer parts-per-million, the remainder going to the last touch
+    (so attributed credit always sums to exactly 10⁶ per purchase; no
+    float fraction is ever emitted) → (event_id, user_id, n_touches,
+    credit_each_ppm, credit_last_ppm) ordered by event_id; zero touches
+    → zero credits.
+
+    Scale shape is attribution_last_touch's verbatim: events prune to
+    two types / four columns at the read, one driver lexsorted pass
+    under the footer gate, a user-keyed groupby + map_groups above it
+    (user_id is this family's shared partitioning key); the per-user
+    count is ONE searchsorted over the user's sorted click times."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "n_touches": pa.array([], pa.int64()),
+                      "credit_each_ppm": pa.array([], pa.int64()),
+                      "credit_last_ppm": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+
+    def per_user(uid, ts, eid, is_click):
+        c_ts = np.sort(ts[is_click])
+        p_ts, p_eid = ts[~is_click], eid[~is_click]
+        n = np.searchsorted(c_ts, p_ts, side="right").astype(np.int64)
+        pos = n > 0
+        each = np.where(pos, 1_000_000 // np.maximum(n, 1), 0)
+        last = np.where(pos, each + 1_000_000 % np.maximum(n, 1), 0)
+        return pa.table({
+            "event_id": pa.array(p_eid, pa.int64()),
+            "user_id": pa.array(np.full(len(p_eid), uid, np.int64)),
+            "n_touches": pa.array(n, pa.int64()),
+            "credit_each_ppm": pa.array(each, pa.int64()),
+            "credit_last_ppm": pa.array(last, pa.int64())})
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = pa.concat_tables(
+            _read_sized(path, columns=cols).iter_batches(
+                batch_format="pyarrow"))
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        if not keep.any():
+            return empty
+        uid = tbl.column("user_id").to_numpy()[keep]
+        eid = tbl.column("event_id").to_numpy()[keep]
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)[keep]
+        is_click = (et[keep] == "click")
+        order = np.argsort(uid, kind="stable")
+        uid, eid, ts, is_click = (uid[order], eid[order], ts[order],
+                                  is_click[order])
+        cut = np.flatnonzero(np.diff(uid)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(uid)]))
+        parts = [per_user(int(uid[s]), ts[s:e], eid[s:e], is_click[s:e])
+                 for s, e in zip(starts, ends)]
+        out = pa.concat_tables(parts) if parts else empty
+        return out.sort_by("event_id")
+
+    ds = _read_sized(path, columns=cols).filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def attr_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        is_click = group.column("event_type").to_numpy(
+            zero_copy_only=False) == "click"
+        return per_user(uid, ts, eid, is_click)
+
+    out = ds.groupby("user_id").map_groups(attr_group,
+                                           batch_format="pyarrow")
+    return _collect(out, fallback_schema={
+        "event_id": pa.int64(), "user_id": pa.int64(),
+        "n_touches": pa.int64(), "credit_each_ppm": pa.int64(),
+        "credit_last_ppm": pa.int64(),
+    }).sort_by("event_id")

@@ -121,7 +121,7 @@ BROAD_OPS = [
     "events_json_stats",
     "event_transitions", "bigram_typicality", "source_diversity",
     "events_outliers", "events_dau_wau", "skipgram_pairs",
-    "sentence_dedup", "mixture_weights",
+    "sentence_dedup", "mixture_weights", "attribution_linear",
     "cross_source_contamination",
 ]
 
@@ -489,6 +489,19 @@ def test_q2_q20_forced_distributed(tmp_path, ray_session, seed):
     d20 = TD.q20_dominant_suppliers(str(tmp_path), force_distributed=True)
     assert a20.num_rows > 0
     assert a20.equals(d20)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_attribution_linear_forced_distributed(tmp_path, ray_session, seed):
+    # user-keyed map_groups sibling pinned equal to the driver lexsort
+    rng = np.random.RandomState(seed)
+    pq.write_table(_rand_events(rng, 60), str(tmp_path / "events.parquet"))
+    from swift_readability_ray.pipelines import training_data as TD
+
+    a = TD.attribution_linear(str(tmp_path))
+    d = TD.attribution_linear(str(tmp_path), driver_limit=0)
+    assert a.num_rows > 0
+    assert a.equals(d)
 
 
 @pytest.mark.parametrize("seed", [7, 23])
