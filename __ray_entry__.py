@@ -332,6 +332,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every distinct sentence survives only at its first corpus
         # occurrence; documents rebuilt from kept sentences
         "sentence_dedup": TD.sentence_dedup,
+        # IDF / stopword-discovery table: top terms by DOCUMENT frequency
+        # (distinct-per-doc combiner, vocabulary-row shuffle only)
+        "doc_frequency": TD.doc_frequency,
+        # C4-style blocklist filter-rate audit per source (broadcast
+        # term set, bounded-source driver merge)
+        "blocklist_filter": TD.blocklist_filter,
+        # character-entropy quality signal (shuffle-free per-block map,
+        # float64 formula pinned to the oracle's)
+        "char_entropy": TD.char_entropy,
+        # per-event-type cadence stats: integer-µs gap count/sum/max
+        # between consecutive same-user events (tie-order invariant)
+        "inter_event_gaps": TD.inter_event_gaps,
+        # per-label mean pairwise cosine via the vector-sum identity —
+        # no pairwise pass, |labels|×blocks partial rows only
+        "label_dispersion": TD.label_dispersion,
     }
 
 
@@ -2669,7 +2684,95 @@ def oracle_sql() -> dict[str, str]:
     }
     sql.update(_graph_oracles())
     sql.update(_quality_oracles())
+    sql.update(_cadence_oracles())
     return sql
+
+
+def _cadence_oracles() -> dict[str, str]:
+    """Round-4 additions: df/blocklist/entropy/cadence/dispersion."""
+    return {
+        "doc_frequency": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+                FROM documents)
+            SELECT term, count(*) AS n_docs FROM toks
+            WHERE term <> ''
+            GROUP BY term ORDER BY n_docs DESC, term LIMIT 25
+        """,
+        "blocklist_filter": """
+            WITH f AS (
+                SELECT source,
+                       list_has_any(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         ['slow', 'error', 'spam']) AS blocked
+                FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_blocked,
+                   CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_kept
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "char_entropy": """
+            WITH cc AS (
+                SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents WHERE length(text) > 0)
+                GROUP BY doc_id, c),
+            tot AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                       count(*) AS nd,
+                       sum(cnt * log2(cnt)) AS s
+                FROM cc GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   coalesce(t.n, 0) AS n_cp,
+                   CAST(coalesce(t.nd, 0) AS BIGINT) AS n_distinct_cp,
+                   coalesce(round(log2(t.n) - t.s / t.n, 6) + 0.0, 0.0)
+                       AS entropy
+            FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
+            ORDER BY doc_id
+        """,
+        "inter_event_gaps": """
+            WITH o AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS gap
+                FROM events)
+            SELECT event_type,
+                   count(gap) AS n_gaps,
+                   CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM o GROUP BY event_type ORDER BY event_type
+        """,
+        "label_dispersion": """
+            WITH nz AS (
+                SELECT CAST(label AS BIGINT) AS label, embedding,
+                       sqrt(list_sum(list_transform(
+                           embedding, x -> CAST(x AS DOUBLE)
+                                           * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings),
+            flat AS (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS i,
+                       nrm
+                FROM nz WHERE nrm > 0),
+            sums AS (
+                SELECT label, i, sum(CAST(v AS DOUBLE) / nrm) AS s
+                FROM flat GROUP BY label, i),
+            q AS (SELECT label, sum(s * s) AS q FROM sums GROUP BY label),
+            cnt AS (SELECT label, count(*) AS n FROM nz WHERE nrm > 0
+                    GROUP BY label)
+            SELECT c.label, c.n AS n_vectors,
+                   CASE WHEN c.n >= 2
+                        THEN round((q.q - c.n) / (c.n * (c.n - 1)), 6) + 0.0
+                        ELSE 0.0 END AS dispersion
+            FROM cnt c JOIN q ON c.label = q.label ORDER BY c.label
+        """,
+    }
 
 
 def _quality_oracles() -> dict[str, str]:

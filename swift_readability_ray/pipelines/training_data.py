@@ -10065,3 +10065,289 @@ def attribution_linear(
         "n_touches": pa.int64(), "credit_each_ppm": pa.int64(),
         "credit_last_ppm": pa.int64(),
     }).sort_by("event_id")
+
+
+def doc_frequency(sf_dir: str, k: int = 25) -> pa.Table:
+    """Top-``k`` terms by DOCUMENT frequency (count of docs containing the
+    term) — the IDF / stopword-discovery table quality pipelines threshold
+    on (a term in >50% of docs is a stopword candidate; df also feeds IDF
+    weighting without re-touching the corpus).
+
+    Differs from ``word_counts`` (token frequency): each doc contributes
+    each term at most ONCE.  Per-block combiner counts per-doc DISTINCT
+    terms, so the groupby shuffles one row per (block, term) — vocabulary
+    rows, never corpus rows; head via per-block top-k + tiny driver merge
+    (the word_counts pattern)."""
+    from collections import Counter
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(_GRAM_TOKEN_RE.findall((t or "").lower())))
+        return pa.table(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "n_docs": pa.array(list(c.values()), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("term").aggregate(Sum("n_docs")).rename_columns(
+        ["term", "n_docs"])
+    keys = [("n_docs", "descending"), ("term", "ascending")]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        b = batch.set_column(1, "n_docs", pc.cast(batch.column("n_docs"),
+                                                  pa.int64()))
+        return b.take(pc.sort_indices(b, sort_keys=keys)[:k])
+
+    tops = _collect(
+        agg.map_batches(block_topk, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        fallback_schema={"term": pa.string(), "n_docs": pa.int64()},
+    )
+    return tops.take(pc.sort_indices(tops, sort_keys=keys)[:k])
+
+
+_BLOCKLIST_TERMS = ("slow", "error", "spam")
+
+
+def blocklist_filter(sf_dir: str) -> pa.Table:
+    """C4-style blocklist filter readout: per source, how many docs contain
+    any blocked term (word-boundary token match, not substring) and how
+    many survive — the filter-rate audit run before committing a blocklist
+    to a 100 TB sweep.
+
+    The blocklist is broadcast-by-closure (a tuple of terms; at real scale
+    a ``ray.put`` set read once per actor); membership is a per-doc set
+    intersection against per-block tokenization, partials merge on the
+    driver under the bounded source cardinality (sources are a catalog,
+    like nations)."""
+    blocked = frozenset(_BLOCKLIST_TERMS)
+    ds = _docs_sized(sf_dir, columns=["source", "text"], rows_per_block=1024)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        hits: dict[str, list[int]] = {}
+        for s, t in zip(srcs, batch.column("text").to_pylist()):
+            row = hits.setdefault(s, [0, 0])
+            row[0] += 1
+            if not blocked.isdisjoint(_GRAM_TOKEN_RE.findall((t or "").lower())):
+                row[1] += 1
+        keys = sorted(hits)
+        return pa.table(
+            {"source": pa.array(keys, pa.string()),
+             "n_docs": pa.array([hits[s][0] for s in keys], pa.int64()),
+             "n_blocked": pa.array([hits[s][1] for s in keys], pa.int64())}
+        )
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_docs", "sum"), ("n_blocked", "sum")],
+        fallback_schema={"source": pa.string(), "n_docs": pa.int64(),
+                         "n_blocked": pa.int64()},
+    )
+    kept = pc.subtract(merged.column("n_docs"), merged.column("n_blocked"))
+    return merged.append_column(
+        "n_kept", pc.cast(kept, pa.int64())
+    ).sort_by("source")
+
+
+def char_entropy(sf_dir: str) -> pa.Table:
+    """Per-document character-level Shannon entropy (bits/char, 6 dp) — the
+    compression-ratio-style quality signal that flags binary junk, repeated
+    padding and encoding damage without any model: natural text sits in a
+    narrow entropy band, degenerate text falls outside it.
+
+    Pure per-block map (no shuffle): codepoint histogram via one
+    ``np.unique`` over a UTF-32 view per doc, entropy in float64 as
+    ``log2(n) - Σ c·log2(c) / n`` — the same formula the oracle runs, so
+    power-of-two-exact cases round identically on both engines."""
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=2048)
+
+    def ent(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_d, out_e = [], [], [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            t = t or ""
+            if t:
+                cps = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                _, cnt = np.unique(cps, return_counts=True)
+                cnt = cnt.astype(np.float64)
+                n = float(len(cps))
+                e = round(np.log2(n) - float((cnt * np.log2(cnt)).sum()) / n, 6)
+                out_n.append(len(cps))
+                out_d.append(len(cnt))
+                out_e.append(e + 0.0)  # normalize -0.0 from single-char docs
+            else:
+                out_n.append(0)
+                out_d.append(0)
+                out_e.append(0.0)
+            out_id.append(doc_id)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_cp": pa.array(out_n, pa.int64()),
+             "n_distinct_cp": pa.array(out_d, pa.int64()),
+             "entropy": pa.array(out_e, pa.float64())}
+        )
+
+    return _collect(
+        ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "n_cp": pa.int64(),
+                         "n_distinct_cp": pa.int64(),
+                         "entropy": pa.float64()},
+    ).sort_by("doc_id")
+
+
+def inter_event_gaps(
+    sf_dir: str, driver_limit: int = 1_000_000, force_distributed: bool = False
+) -> pa.Table:
+    """Per event type: count / sum / max of the time gaps between
+    CONSECUTIVE events of the same user and type — the cadence statistics
+    behind rate limiting, bot detection and session design, kept in exact
+    integer microseconds so any combine schedule hashes identically.
+
+    Gaps are diffs of the per-(user, type) sorted timestamp multiset, so
+    tie order among equal timestamps cannot change the result.  Under the
+    footer gate: ONE driver lexsort over (ts, type, user) with a vectorized
+    same-run mask + bincount — no per-group loop.  Above it: groupby
+    shuffle on the (user_id, event_type) composite, per-group numpy diff,
+    then a driver merge of the ≤|event types| partial rows."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "n_gaps": pa.array([], pa.int64()),
+         "sum_gap_us": pa.array([], pa.int64()),
+         "max_gap_us": pa.array([], pa.int64())})
+    n_rows = _footer_rows(path)
+    if n_rows == 0:
+        return empty
+
+    def from_arrays(uid, et_codes, et_vals, ts) -> pa.Table:
+        order = np.lexsort((ts, et_codes, uid))
+        uid, etc, tss = uid[order], et_codes[order], ts[order]
+        same = (uid[1:] == uid[:-1]) & (etc[1:] == etc[:-1])
+        gaps = (tss[1:] - tss[:-1])[same]
+        gcodes = etc[1:][same]
+        n_types = len(et_vals)
+        n_g = np.bincount(gcodes, minlength=n_types)
+        s_g = np.bincount(gcodes, weights=gaps.astype(np.float64),
+                          minlength=n_types).astype(np.int64)
+        m_g = np.zeros(n_types, np.int64)
+        for c in np.unique(gcodes):
+            m_g[c] = gaps[gcodes == c].max()
+        present = np.unique(etc)
+        return pa.table(
+            {"event_type": pa.array([et_vals[c] for c in present], pa.string()),
+             "n_gaps": pa.array(n_g[present], pa.int64()),
+             "sum_gap_us": pa.array(s_g[present], pa.int64()),
+             "max_gap_us": pa.array(m_g[present], pa.int64())}
+        )
+
+    if (not force_distributed and n_rows is not None
+            and n_rows <= driver_limit):
+        tbl = pa.concat_tables(_read_sized(
+            path, columns=["user_id", "event_type", "ts"]
+        ).iter_batches(batch_format="pyarrow"))
+        if tbl.num_rows == 0:
+            return empty
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        et_vals, et_codes = np.unique(et, return_inverse=True)
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return from_arrays(uid, et_codes, list(et_vals), ts).sort_by(
+            "event_type")
+
+    ds = _read_sized(path, columns=["user_id", "event_type", "ts"])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        return pa.table(
+            {"event_type": pa.array([et], pa.string()),
+             "n_gaps": pa.array([len(gaps)], pa.int64()),
+             "sum_gap_us": pa.array([int(gaps.sum()) if len(gaps) else 0],
+                                    pa.int64()),
+             "max_gap_us": pa.array([int(gaps.max()) if len(gaps) else 0],
+                                    pa.int64())}
+        )
+
+    partials = ds.groupby(["user_id", "event_type"]).map_groups(
+        per_group, batch_format="pyarrow")
+    merged = _merge_partials(
+        partials, ["event_type"],
+        [("n_gaps", "sum"), ("sum_gap_us", "sum"), ("max_gap_us", "max")],
+        fallback_schema={"event_type": pa.string(), "n_gaps": pa.int64(),
+                         "sum_gap_us": pa.int64(), "max_gap_us": pa.int64()},
+    )
+    # per-(user,type) runs with zero gaps contribute n_gaps=0 rows; the
+    # oracle's max over an all-null lag column is 0 via coalesce, matching
+    return merged.sort_by("event_type")
+
+
+def label_dispersion(sf_dir: str) -> pa.Table:
+    """Per-label embedding dispersion: the mean pairwise cosine similarity
+    among a label's (nonzero) vectors, computed WITHOUT any pairwise pass
+    via the vector-sum identity mean = (‖Σv̂‖² − n) / (n(n−1)) — the
+    cluster-tightness audit semantic-dedup thresholds come from, reduced to
+    one per-block partial (n, Σv̂) per label and a driver merge of
+    |labels| × blocks tiny rows.  Zero vectors carry no direction and are
+    excluded; labels with <2 usable vectors report dispersion 0."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _read_sized(path, columns=["embedding", "label"],
+                     rows_per_block=2048)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = S._to_matrix(batch, "embedding").astype(np.float64)
+        labs = batch.column("label").to_numpy(zero_copy_only=False)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        nz = norms > 0
+        if not nz.any():
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64()))})
+        mat = mat[nz] / norms[nz, None]
+        labs = labs[nz].astype(np.int64)
+        lv, codes = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(lv), mat.shape[1]), np.float64)
+        np.add.at(sums, codes, mat)
+        return pa.table(
+            {"label": pa.array(lv, pa.int64()),
+             "n": pa.array(np.bincount(codes), pa.int64()),
+             "vsum": pa.array([r.tolist() for r in sums],
+                              pa.list_(pa.float64()))}
+        )
+
+    rows = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"label": pa.int64(), "n": pa.int64(),
+                         "vsum": pa.list_(pa.float64())},
+    )
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for lab, n, vs in zip(rows.column("label").to_pylist(),
+                          rows.column("n").to_pylist(),
+                          rows.column("vsum").to_pylist()):
+        cur = agg.get(lab)
+        v = np.asarray(vs, np.float64)
+        agg[lab] = (n, v) if cur is None else (cur[0] + n, cur[1] + v)
+    labels = sorted(agg)
+    disp = []
+    for lab in labels:
+        n, s = agg[lab]
+        q = float((s * s).sum())
+        disp.append(round((q - n) / (n * (n - 1)), 6) if n >= 2 else 0.0)
+    return pa.table(
+        {"label": pa.array(labels, pa.int64()),
+         "n_vectors": pa.array([agg[lab][0] for lab in labels], pa.int64()),
+         "dispersion": pa.array(disp, pa.float64())}
+    )

@@ -93,7 +93,13 @@ def _compare(entry_mod, name: str, sf_dir: str):
 
 NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "heavy_hitters", "zorder_layout", "semantic_dedup",
-           "hard_negatives", "balanced_shards"]
+           "hard_negatives", "balanced_shards",
+           # round-4 cadence/quality family: document frequency, blocklist
+           # audit, char entropy, inter-event gaps, label dispersion —
+           # fuzz hits empty/1-token docs, zero vectors, duplicate
+           # embeddings (dispersion ties), same-ts events (gap ties)
+           "doc_frequency", "blocklist_filter", "char_entropy",
+           "inter_event_gaps", "label_dispersion"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -539,3 +539,14 @@ def test_zorder_buckets_bound_both_dimensions():
     h_dom = t.max_hour.max() - t.min_hour.min()
     assert ((t.max_user - t.min_user) <= u_dom / 2 + 1).all()
     assert ((t.max_hour - t.min_hour) <= h_dom / 2 + 1).all()
+
+
+def test_inter_event_gaps_distributed_fallback(ray_session):
+    """Above the driver gate the cadence stats run as a (user_id,
+    event_type) groupby + per-type driver merge — pinned equal to the
+    driver lexsort path."""
+    from swift_readability_ray.pipelines.training_data import inter_event_gaps
+
+    driver = inter_event_gaps(SF)
+    shuffled = inter_event_gaps(SF, force_distributed=True)
+    assert driver.to_pylist() == shuffled.to_pylist()
