@@ -347,6 +347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label mean pairwise cosine via the vector-sum identity —
         # no pairwise pass, |labels|×blocks partial rows only
         "label_dispersion": TD.label_dispersion,
+        # FastCDC-style content-defined-chunking dedup audit: per doc,
+        # chunks/codepoints already seen earlier in the corpus (chunk
+        # boundaries move with content, catching shared passages at any
+        # offset without shingling)
+        "cdc_chunk_stats": TD.cdc_chunk_stats,
     }
 
 
@@ -2689,8 +2694,42 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _cadence_oracles() -> dict[str, str]:
-    """Round-4 additions: df/blocklist/entropy/cadence/dispersion."""
+    """Round-4 additions: df/blocklist/entropy/cadence/dispersion/CDC."""
     return {
+        "cdc_chunk_stats": """
+            WITH pos AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c,
+                       unnest(range(1, length(text) + 1)) AS i
+                FROM documents WHERE length(text) > 0),
+            ws AS (SELECT doc_id, i, c,
+                   sum(ascii(c)) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s
+                   FROM pos),
+            b AS (SELECT doc_id, i, c,
+                  CASE WHEN i >= 8 AND s % 32 = 0 THEN 1 ELSE 0 END AS brk
+                  FROM ws),
+            g AS (SELECT doc_id, i, c,
+                  coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cid
+                  FROM b),
+            chunks AS (SELECT doc_id, cid,
+                       string_agg(c, '' ORDER BY i) AS chunk
+                       FROM g GROUP BY doc_id, cid),
+            r AS (SELECT doc_id, cid, chunk, row_number() OVER (
+                      PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+                  FROM chunks),
+            per AS (SELECT doc_id, count(*) AS n_chunks,
+                    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+                    sum(CASE WHEN rn > 1 THEN length(chunk) ELSE 0 END)
+                        AS dup_cp
+                    FROM r GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+                   CAST(coalesce(dup_cp, 0) AS BIGINT) AS dup_cp
+            FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+        """,
         "doc_frequency": """
             WITH toks AS (
                 SELECT DISTINCT doc_id,

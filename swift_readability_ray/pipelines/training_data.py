@@ -10351,3 +10351,159 @@ def label_dispersion(sf_dir: str) -> pa.Table:
          "n_vectors": pa.array([agg[lab][0] for lab in labels], pa.int64()),
          "dispersion": pa.array(disp, pa.float64())}
     )
+
+
+def _cdc_chunks(text: str, w: int = 8, div: int = 32) -> list[str]:
+    """Content-defined chunking (FastCDC/LBFS-style, additive-window
+    variant): a chunk boundary falls AFTER position ``i`` whenever the sum
+    of the last ``w`` codepoints is divisible by ``div`` — boundaries move
+    WITH the content, so a shared passage chunks identically in every
+    document regardless of its byte offset (the property fixed-size
+    blocking lacks).  The additive window stands in for the gear hash so
+    the oracle can replicate it as a SQL window sum; the boundary
+    positions are computed with ONE vectorized cumsum per doc."""
+    cps = np.frombuffer((text or "").encode("utf-32-le"), np.uint32).astype(
+        np.int64)
+    n = len(cps)
+    if n == 0:
+        return []
+    csum = np.concatenate(([0], np.cumsum(cps)))
+    ends = np.arange(w, n + 1)
+    b = ends[((csum[ends] - csum[ends - w]) % div) == 0]
+    cuts = [0] + b.tolist()
+    if cuts[-1] != n:
+        cuts.append(n)
+    return [text[a:c] for a, c in zip(cuts, cuts[1:])]
+
+
+def cdc_chunk_stats(
+    sf_dir: str, w: int = 8, div: int = 32,
+    broadcast_limit: int = 2_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """Content-defined-chunking dedup audit: per document, how many of its
+    CDC chunks (and how many codepoints) already occurred earlier in the
+    corpus — first occurrence in (doc_id, chunk_idx) order wins, every
+    later identical chunk is a duplicate, INCLUDING repeats inside one
+    document.  The storage-dedup view of corpus redundancy (27% of chunks
+    on the driver tables), complementary to n-gram/minhash: CDC finds
+    shared passages at ANY offset without shingling.
+
+    Scale shape: pass 1 streams docs into (chunk-key, doc_id, idx, cp)
+    occurrence rows — chunk keys are 64-bit md5 prefixes, so the shuffle
+    never carries chunk text.  Under the documents footer gate the winner
+    per key folds on the driver (one lexsort + first-per-key mask) and
+    per-doc sums are three bincounts.  Above it (or forced): winners via
+    a native groupby-Min on an encoded (doc_id, idx) rank, hash-join back
+    on the key, per-block partial sums, distributed groupby(doc_id)
+    merge — the standard content-key-then-doc-key two-shuffle cost."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chunks": pa.array([], pa.int64()),
+                      "n_dup_chunks": pa.array([], pa.int64()),
+                      "dup_cp": pa.array([], pa.int64())})
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = _footer_rows(path)
+    if n_docs == 0:
+        return empty
+    docs = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                       rows_per_block=1024)
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        out_k, out_d, out_i, out_c = [], [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            cks = _cdc_chunks(txt, w, div)
+            if not cks:
+                continue
+            out_k.extend(_sent_keys(cks).tolist())
+            out_d.extend([did] * len(cks))
+            out_i.extend(range(len(cks)))
+            out_c.extend(len(c) for c in cks)
+        return pa.table({"ckey": pa.array(out_k, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "idx": pa.array(out_i, pa.int64()),
+                         "cp": pa.array(out_c, pa.int64())})
+
+    def finalize(doc_ids, n_ch, n_dup, dup_cp) -> pa.Table:
+        """Left-join per-doc stats onto the full doc_id list so zero-chunk
+        (empty-text) docs report zeros like the oracle's LEFT JOIN."""
+        all_ids = np.sort(pa.concat_tables(
+            _read_sized(path, columns=["doc_id"]).iter_batches(
+                batch_format="pyarrow")).column("doc_id").to_numpy())
+        hit, ridx = _sorted_member(doc_ids, all_ids)
+        z = np.zeros(len(all_ids), np.int64)
+        pick = lambda v: np.where(hit, v[ridx] if len(v) else 0, z)
+        return pa.table({"doc_id": pa.array(all_ids, pa.int64()),
+                         "n_chunks": pa.array(pick(n_ch), pa.int64()),
+                         "n_dup_chunks": pa.array(pick(n_dup), pa.int64()),
+                         "dup_cp": pa.array(pick(dup_cp), pa.int64())})
+
+    occ_ds = docs.map_batches(occurrences, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        occ = _collect(occ_ds, fallback_schema={
+            "ckey": pa.int64(), "doc_id": pa.int64(), "idx": pa.int64(),
+            "cp": pa.int64()})
+        if occ.num_rows == 0:
+            return finalize(np.array([], np.int64), *([np.array([], np.int64)] * 3))
+        k = occ.column("ckey").to_numpy()
+        d = occ.column("doc_id").to_numpy()
+        i = occ.column("idx").to_numpy()
+        cp = occ.column("cp").to_numpy()
+        order = np.lexsort((i, d, k))
+        first = np.ones(len(k), bool)
+        first[1:] = k[order][1:] != k[order][:-1]
+        dup = np.ones(len(k), bool)
+        dup[order] = ~first
+        dv, codes = np.unique(d, return_inverse=True)
+        n_ch = np.bincount(codes)
+        n_dup = np.bincount(codes, weights=dup).astype(np.int64)
+        dup_cp = np.bincount(codes, weights=cp * dup).astype(np.int64)
+        return finalize(dv, n_ch.astype(np.int64), n_dup, dup_cp)
+
+    from ray.data.aggregate import Min, Sum
+
+    occ_ds = occ_ds.materialize()
+    if occ_ds.count() == 0:
+        return finalize(np.array([], np.int64), *([np.array([], np.int64)] * 3))
+    # encoded rank: idx is bounded by chunks-per-doc (< 2^21 at any sane
+    # doc size cap), so min(rank) == lexicographic min (doc_id, idx)
+    ranked = occ_ds.map_batches(
+        lambda b: b.append_column("rank", pc.add(
+            pc.multiply(b.column("doc_id"), pa.scalar(1 << 21, pa.int64())),
+            b.column("idx"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    winners = ranked.groupby("ckey").aggregate(
+        Min("rank", alias_name="wrank")).map_batches(
+        lambda b: b.rename_columns(["wkey", "wrank"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = ranked.join(
+        winners, join_type="inner",
+        num_partitions=D._default_join_partitions(ranked),
+        on=("ckey",), right_on=("wkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        dup = pc.not_equal(b.column("rank"), b.column("wrank"))
+        dupn = pc.cast(dup, pa.int64())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chunks": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_dup_chunks": dupn,
+            "dup_cp": pc.multiply(b.column("cp"), dupn),
+        }).group_by(["doc_id"]).aggregate(
+            [("n_chunks", "sum"), ("n_dup_chunks", "sum"),
+             ("dup_cp", "sum")]).rename_columns(
+            ["doc_id", "n_chunks", "n_dup_chunks", "dup_cp"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).groupby(
+        "doc_id").aggregate(Sum("n_chunks"), Sum("n_dup_chunks"),
+                            Sum("dup_cp"))
+    tbl = _collect(agg, fallback_schema={
+        "doc_id": pa.int64(), "sum(n_chunks)": pa.int64(),
+        "sum(n_dup_chunks)": pa.int64(), "sum(dup_cp)": pa.int64()})
+    tbl = tbl.sort_by("doc_id")
+    return finalize(tbl.column(0).to_numpy(),
+                    tbl.column(1).to_numpy().astype(np.int64),
+                    tbl.column(2).to_numpy().astype(np.int64),
+                    tbl.column(3).to_numpy().astype(np.int64))

@@ -99,7 +99,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            # fuzz hits empty/1-token docs, zero vectors, duplicate
            # embeddings (dispersion ties), same-ts events (gap ties)
            "doc_frequency", "blocklist_filter", "char_entropy",
-           "inter_event_gaps", "label_dispersion"]
+           "inter_event_gaps", "label_dispersion",
+           # CDC dedup: fuzz hits empty docs (0 chunks), 1-2 char docs
+           # (no full window -> single chunk), duplicated short texts
+           "cdc_chunk_stats"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

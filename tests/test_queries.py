@@ -550,3 +550,15 @@ def test_inter_event_gaps_distributed_fallback(ray_session):
     driver = inter_event_gaps(SF)
     shuffled = inter_event_gaps(SF, force_distributed=True)
     assert driver.to_pylist() == shuffled.to_pylist()
+
+
+def test_cdc_chunk_stats_distributed_fallback(ray_session):
+    """Above the gate CDC winners come from the groupby-Min rank +
+    key-join path — pinned equal to the driver lexsort."""
+    from swift_readability_ray.pipelines.training_data import cdc_chunk_stats
+
+    driver = cdc_chunk_stats(SF)
+    dist = cdc_chunk_stats(SF, force_distributed=True)
+    assert driver.to_pylist() == dist.to_pylist()
+    # the corpus genuinely contains cross-doc duplicate chunks
+    assert sum(r["n_dup_chunks"] for r in driver.to_pylist()) > 0
