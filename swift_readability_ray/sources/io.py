@@ -21,9 +21,50 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def _make_ipc_datasource():
+    """Arrow IPC (Feather v2 / .arrows stream) file datasource.
+
+    Ray ships no ``read_ipc``; this subclasses ``FileBasedDatasource`` so
+    IPC files get the same streaming execution as every other source:
+    one read task per file, record batches yielded incrementally (never
+    the whole file as one block), zero-copy into the object store.
+    Column pruning happens per batch before the block is emitted."""
+    from ray.data.datasource import FileBasedDatasource
+
+    class _ArrowIPC(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["arrow", "feather", "ipc", "arrows"]
+
+        def __init__(self, paths, columns=None, **kwargs):
+            super().__init__(paths, **kwargs)
+            self._columns = columns
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # the random-access IPC (Feather v2) footer needs seek; the
+            # default open_input_stream is forward-only
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            try:  # random-access file format (Feather v2)
+                reader = ipc.open_file(f)
+                batches = (reader.get_batch(i)
+                           for i in range(reader.num_record_batches))
+            except pa.ArrowInvalid:  # stream format (.arrows)
+                f.seek(0)
+                batches = iter(ipc.open_stream(f))
+            for rb in batches:
+                t = pa.Table.from_batches([rb])
+                yield t.select(self._columns) if self._columns else t
+
+    return _ArrowIPC
+
+
 def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """Read a documents table — format by extension: Lance (if the
-    package is available), Parquet (default), CSV, or JSON-lines.
+    package is available), Parquet (default), Arrow IPC / Feather, CSV,
+    or JSON-lines.
 
     ``columns`` prunes at the read for the columnar formats so only
     needed columns leave storage; the row-oriented formats (CSV/JSONL)
@@ -32,6 +73,9 @@ def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray
     """
     if (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))) and HAVE_LANCE:
         return ray.data.read_lance(path, columns=columns, **kwargs)
+    if path.endswith((".arrow", ".feather", ".ipc", ".arrows")):
+        return ray.data.read_datasource(
+            _make_ipc_datasource()(path, columns=columns), **kwargs)
     if path.endswith(".csv"):
         ds = ray.data.read_csv(path, **kwargs)
         return ds.select_columns(columns) if columns else ds

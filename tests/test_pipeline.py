@@ -720,8 +720,21 @@ def test_read_documents_formats_roundtrip(ray_session, tmp_path):
         out = sorted(ds.take_all(), key=lambda r: r["doc_id"])
         return out
 
+    import pyarrow.feather as feather
+    import pyarrow.ipc as ipc
+
+    feather.write_feather(tbl, str(tmp_path / "docs.feather"),
+                          compression="uncompressed")
+    with ipc.new_stream(str(tmp_path / "docs.arrows"), tbl.schema) as w:
+        for rb in tbl.to_batches(max_chunksize=2):
+            w.write_batch(rb)
+
     base = rows(tmp_path / "docs.parquet")
     assert rows(tmp_path / "docs.csv") == base
     assert rows(tmp_path / "docs.jsonl") == base
+    assert rows(tmp_path / "docs.feather") == base
+    assert rows(tmp_path / "docs.arrows") == base
     pruned = rows(tmp_path / "docs.csv", columns=["doc_id", "text"])
     assert all(set(r) == {"doc_id", "text"} for r in pruned)
+    pruned_ipc = rows(tmp_path / "docs.feather", columns=["doc_id", "text"])
+    assert all(set(r) == {"doc_id", "text"} for r in pruned_ipc)
