@@ -61,10 +61,44 @@ def _make_ipc_datasource():
     return _ArrowIPC
 
 
+def _make_orc_datasource():
+    """ORC file datasource (Ray ships no ``read_orc``).
+
+    One read task per file; stripes are yielded incrementally so a large
+    ORC file never lands as one block.  Column pruning is pushed into the
+    ORC stripe reader itself (``read_stripe(i, columns=...)``), so unneeded
+    columns never leave storage — the same prune-at-the-read property the
+    Parquet path gets from ``read_parquet(columns=...)``."""
+    from ray.data.datasource import FileBasedDatasource
+
+    class _Orc(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["orc"]
+
+        def __init__(self, paths, columns=None, **kwargs):
+            super().__init__(paths, **kwargs)
+            self._columns = columns
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # the ORC footer/stripe index needs seek
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            import pyarrow.orc as orc
+
+            import pyarrow as pa
+
+            reader = orc.ORCFile(f)
+            for i in range(reader.nstripes):
+                rb = reader.read_stripe(i, columns=self._columns)
+                yield pa.Table.from_batches([rb])
+
+    return _Orc
+
+
 def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """Read a documents table — format by extension: Lance (if the
-    package is available), Parquet (default), Arrow IPC / Feather, CSV,
-    or JSON-lines.
+    package is available), Parquet (default), Arrow IPC / Feather, ORC,
+    CSV, or JSON-lines.
 
     ``columns`` prunes at the read for the columnar formats so only
     needed columns leave storage; the row-oriented formats (CSV/JSONL)
@@ -76,6 +110,9 @@ def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray
     if path.endswith((".arrow", ".feather", ".ipc", ".arrows")):
         return ray.data.read_datasource(
             _make_ipc_datasource()(path, columns=columns), **kwargs)
+    if path.endswith(".orc"):
+        return ray.data.read_datasource(
+            _make_orc_datasource()(path, columns=columns), **kwargs)
     if path.endswith(".csv"):
         ds = ray.data.read_csv(path, **kwargs)
         return ds.select_columns(columns) if columns else ds

@@ -738,3 +738,10 @@ def test_read_documents_formats_roundtrip(ray_session, tmp_path):
     assert all(set(r) == {"doc_id", "text"} for r in pruned)
     pruned_ipc = rows(tmp_path / "docs.feather", columns=["doc_id", "text"])
     assert all(set(r) == {"doc_id", "text"} for r in pruned_ipc)
+
+    import pyarrow.orc as orc
+
+    orc.write_table(tbl, str(tmp_path / "docs.orc"), stripe_size=64)
+    assert rows(tmp_path / "docs.orc") == base
+    pruned_orc = rows(tmp_path / "docs.orc", columns=["doc_id", "text"])
+    assert all(set(r) == {"doc_id", "text"} for r in pruned_orc)
