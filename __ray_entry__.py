@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": TD.knn_bruteforce_query,
         "ivf_topk": TD.ivf_topk_query,
         "ivf_topk_full": TD.ivf_topk_full_query,
+        # int8-range scalar quantization, integer-exact MIPS ranking
+        "sq_topk": TD.sq_topk_query,
         # joins / json scalar functions
         "orders_by_segment": TD.orders_by_segment,
         "events_json_stats": TD.events_json_stats,
@@ -211,6 +213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": TD.retention_cohorts,
         # top document-level word co-occurrence pairs
         "cooccurrence_pairs": TD.cooccurrence_pairs,
+        # collocation mining: integer-exact PMI ratio over adjacent bigrams
+        "pmi_bigrams": TD.pmi_bigrams,
+        # per-source percentile calibration (FineWeb-style domain-relative
+        # quality thresholds), integer ppm
+        "quality_percentiles": TD.quality_percentiles,
         # undirected triangle count of the host graph
         "triangle_count": TD.triangle_count,
         # composed end-to-end certificate: gate -> dedup -> split counts
@@ -442,6 +449,28 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
                     FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # scalar-quantized ANN: the oracle runs the IDENTICAL quantization
+        # formula (global scale 127/max_abs, floor(v*sc + 0.5)) and ranks on
+        # the exact integer dot product — no float similarity ever hashed
+        "sq_topk": """
+            WITH s AS (SELECT 127.0 / max(abs(x)) AS sc
+                       FROM embeddings, unnest(embedding) AS t(x)),
+                 qz AS (SELECT vec_id,
+                               list_transform(embedding,
+                                   v -> CAST(floor(v * sc + 0.5) AS BIGINT)) AS code
+                        FROM embeddings, s),
+                 q AS (SELECT vec_id AS query_id, code AS qc
+                       FROM qz WHERE vec_id < 4),
+                 scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                                   CAST(list_dot_product(q.qc, e.code) AS BIGINT) AS qdot
+                            FROM q CROSS JOIN qz e),
+                 ranked AS (SELECT query_id, neighbor_id, qdot,
+                                   CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
+                            FROM scored)
+            SELECT query_id, neighbor_id, rank, qdot FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "word_counts": """
@@ -2158,6 +2187,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
             FROM pairs GROUP BY 1, 2
             ORDER BY n_docs DESC, t1, t2 LIMIT 20
+        """,
+        # collocation mining: PMI kept as the integer ratio
+        # c_ab·n·10⁶ // (c_a·c_b) — monotone in PMI, no float log hashed
+        "pmi_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM uni),
+            big AS (
+              SELECT ts[i.i] AS w1, ts[i.i+1] AS w2
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(i)),
+            bcnt AS (
+              SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2
+              HAVING count(*) >= 2)
+            SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+                   CAST(u1.c AS BIGINT) AS c_a, CAST(u2.c AS BIGINT) AS c_b,
+                   CAST(b.c_ab * t.n * 1000000 // (u1.c * u2.c) AS BIGINT)
+                       AS pmi_e6
+            FROM bcnt b JOIN ucnt u1 ON b.w1 = u1.w
+                        JOIN ucnt u2 ON b.w2 = u2.w
+            CROSS JOIN tot t
+            ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50
+        """,
+        # per-source token-count percentile: rank within source, ppm
+        "quality_percentiles": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                         AS n_src
+              FROM t)
+            SELECT doc_id, source, n_tokens, rnk,
+                   CAST(CASE WHEN n_src > 1
+                             THEN (rnk - 1) * 1000000 // (n_src - 1)
+                             ELSE 0 END AS BIGINT) AS pct_ppm
+            FROM r ORDER BY doc_id
         """,
         # composed end-to-end pipeline: the quality_gate, exact_dedup and
         # split_assign oracle SQL fused into one certificate query

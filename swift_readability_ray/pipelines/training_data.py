@@ -381,6 +381,29 @@ def knn_bruteforce_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Tab
     )
 
 
+def sq_topk_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
+    """Scalar-quantized (int8-range) inner-product top-k for the first
+    ``n_queries`` embeddings — integer-exact ranking on the quantized dot
+    product (see stages/similarity.py:sq_topk).  Two streaming passes:
+    global max-abs (one float per block), then quantize + integer matmul +
+    per-block top-k combiner."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int32()),
+                      "qdot": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
+    if not query_ids:
+        return empty
+    max_abs = S.corpus_max_abs(ds)
+    tbl = S.sq_topk(ds, queries, query_ids, max_abs, k=k)
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 # persisted ANN index, one per (sf_dir, n_centroids) per session — the
 # pruned-probe and full-probe queries share one build (index lifecycle:
 # build once, probe many)
@@ -5478,6 +5501,244 @@ def cooccurrence_pairs(sf_dir: str, k: int = 20) -> pa.Table:
                          "n_docs": pa.int64()})
     idx = pc.sort_indices(merged, sort_keys=[
         ("n_docs", "descending"), ("t1", "ascending"), ("t2", "ascending")])
+    return merged.take(idx[:k])
+
+
+def _pct_rank_tail(doc_id: np.ndarray, src: np.ndarray,
+                   n_tok: np.ndarray) -> pa.Table:
+    """Per-source rank/percentile over co-located rows — the ONE
+    vectorized tail both quality_percentiles paths share.  Requires every
+    row of a given source to be present (whole corpus on the driver, or
+    one hash partition per block).  rank orders by (n_tokens, doc_id);
+    pct_ppm = (rank-1)·10⁶ // (n_src-1), 0 for singleton sources."""
+    order = np.lexsort((doc_id, n_tok, src))
+    d, s, t = doc_id[order], src[order], n_tok[order]
+    _, f, c = np.unique(s, return_index=True, return_counts=True)
+    rnk = np.arange(len(d), dtype=np.int64) - np.repeat(f, c) + 1
+    n_src = np.repeat(c, c).astype(np.int64)
+    pct = np.where(n_src > 1, (rnk - 1) * 1_000_000 // np.maximum(n_src - 1, 1), 0)
+    return pa.table({"doc_id": pa.array(d, pa.int64()),
+                     "source": pa.array(s, pa.string()),
+                     "n_tokens": pa.array(t, pa.int64()),
+                     "rnk": pa.array(rnk, pa.int64()),
+                     "pct_ppm": pa.array(pct, pa.int64())})
+
+
+def quality_percentiles(
+    sf_dir: str, driver_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """See ``_quality_percentiles_impl``.  This wrapper pins the session's
+    shuffle strategy to HASH_SHUFFLE for the datasets the query creates
+    (``repartition(keys=...)`` requires it; the DataContext is captured at
+    dataset creation, so the pin must wrap the whole impl — the q21
+    pattern) and restores the previous strategy on exit."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _quality_percentiles_impl(sf_dir, driver_limit,
+                                         force_distributed)
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _quality_percentiles_impl(
+    sf_dir: str, driver_limit: int, force_distributed: bool,
+) -> pa.Table:
+    """Per-SOURCE percentile calibration of document token counts — the
+    per-domain threshold builder large-corpus quality filtering uses
+    (absolute length/quality cutoffs misfire across domains; FineWeb-style
+    pipelines rank each doc within its source and cut bottom percentiles).
+    Returns (doc_id, source, n_tokens, rnk, pct_ppm): rank within source
+    ordered by (n_tokens, doc_id) and the integer permille-of-million
+    percentile (rank-1)·10⁶ // (n_src-1).
+
+    Scale shape: ONE tokenize-count pass emits thin (doc_id, source,
+    n_tokens) rows — text never crosses a shuffle.  Under the documents
+    footer gate the rank tail is one driver lexsort; above it (or forced)
+    ONE hash repartition by ``source`` co-locates each source and the
+    IDENTICAL vectorized tail runs per block."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "pct_ppm": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "source", "text"],
+                     rows_per_block=1024)
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = [len(_GRAM_TOKEN_RE.findall((t or "").lower()))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    thin = ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    fb = {"doc_id": pa.int64(), "source": pa.string(),
+          "n_tokens": pa.int64()}
+
+    def arrays(t: pa.Table):
+        return (t.column("doc_id").to_numpy().astype(np.int64),
+                np.asarray(t.column("source").to_pylist(), dtype=object),
+                t.column("n_tokens").to_numpy().astype(np.int64))
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= driver_limit):
+        t = _collect(thin, fallback_schema=fb)
+        if t.num_rows == 0:
+            return empty
+        return _pct_rank_tail(*arrays(t)).sort_by("doc_id")
+
+    co = thin.repartition(num_blocks=D._default_join_partitions(thin),
+                          keys=["source"])
+    out = co.map_batches(
+        lambda b: (_pct_rank_tail(*arrays(b)) if b.num_rows else empty),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(out, fallback_schema={
+        "doc_id": pa.int64(), "source": pa.string(),
+        "n_tokens": pa.int64(), "rnk": pa.int64(),
+        "pct_ppm": pa.int64()}).sort_by("doc_id")
+
+
+def pmi_bigrams(
+    sf_dir: str, k: int = 50, min_count: int = 2,
+    broadcast_limit: int = 2_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """Top-``k`` adjacent-word bigrams by pointwise mutual information —
+    the collocation detector phrase-mining / tokenizer-vocab pipelines
+    run over a corpus.  Score is the integer-exact PMI ratio
+    ``pmi_e6 = c_ab·n·10⁶ // (c_a·c_b)`` (n = total tokens; monotone in
+    PMI, no float log ever hashed), bigrams below ``min_count`` dropped,
+    ordered by (pmi_e6 DESC, w1, w2).
+
+    Scale shape: ONE tokenize pass emits per-block pre-combined
+    (kind, w1, w2, cnt) partials (kind 0 = unigram, 1 = bigram), so the
+    shuffle carries counts, never text.  Under the documents footer gate
+    the partials fold on the driver (vocabulary-bounded, one sorted-array
+    searchsorted to attach c_a/c_b).  Above it (or forced): ONE native
+    groupby-Sum over (kind, w1, w2), bigram candidates hash-join the
+    unigram side twice (w1 then w2) — vocabulary-keyed joins, corpus
+    never re-touched — then per-block ratio + top-k combiner and a
+    blocks×k driver merge.  ``n`` reaches the driver as one partial sum
+    per block.  At fleet scale c_ab·n·10⁶ can exceed int64 for
+    stopword-stopword pairs; the production form rescales to ppm of a
+    per-shard n, which only shifts every score by one constant."""
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c_ab": pa.array([], pa.int64()),
+                      "c_a": pa.array([], pa.int64()),
+                      "c_b": pa.array([], pa.int64()),
+                      "pmi_e6": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        kind = [0] * len(uni) + [1] * len(big)
+        w1 = [w for w in uni] + [p[0] for p in big]
+        w2 = [""] * len(uni) + [p[1] for p in big]
+        cnt = list(uni.values()) + list(big.values())
+        return pa.table({"kind": pa.array(kind, pa.int8()),
+                         "w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def head(w1, w2, c_ab, c_a, c_b, n) -> pa.Table:
+        pmi = c_ab * n * 1_000_000 // (c_a * c_b)
+        t = pa.table({"w1": pa.array(w1, pa.string()),
+                      "w2": pa.array(w2, pa.string()),
+                      "c_ab": pa.array(c_ab, pa.int64()),
+                      "c_a": pa.array(c_a, pa.int64()),
+                      "c_b": pa.array(c_b, pa.int64()),
+                      "pmi_e6": pa.array(pmi, pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[
+            ("pmi_e6", "descending"), ("w1", "ascending"),
+            ("w2", "ascending")])
+        return t.take(idx[:k])
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        merged = _merge_partials(
+            partials, ["kind", "w1", "w2"], [("cnt", "sum")],
+            fallback_schema={"kind": pa.int8(), "w1": pa.string(),
+                             "w2": pa.string(), "cnt": pa.int64()})
+        kind = merged.column("kind").to_numpy()
+        cnt = merged.column("cnt").to_numpy().astype(np.int64)
+        w1 = np.asarray(merged.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(merged.column("w2").to_pylist(), dtype=object)
+        un, bi = kind == 0, kind == 1
+        n = int(cnt[un].sum())
+        cand = bi & (cnt >= min_count)
+        if not cand.any():
+            return empty
+        vocab = w1[un]
+        order = np.argsort(vocab)
+        vocab, vcnt = vocab[order], cnt[un][order]
+        # every bigram token occurs as a unigram by construction
+        _, i1 = _sorted_member(vocab, w1[cand])
+        _, i2 = _sorted_member(vocab, w2[cand])
+        return head(w1[cand], w2[cand], cnt[cand], vcnt[i1], vcnt[i2], n)
+
+    from ray.data.aggregate import Sum
+
+    grouped = partials.groupby(["kind", "w1", "w2"]).aggregate(
+        Sum("cnt", alias_name="cnt")).materialize()
+    uni = grouped.filter(expr="kind == 0")
+    n_rows = uni.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b.column("cnt")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(r["s"] for r in n_rows)
+    cand = grouped.filter(expr=f"kind == 1 and cnt >= {int(min_count)}")
+    if cand.count() == 0:
+        return empty
+    ua = uni.map_batches(
+        lambda b: pa.table({"wa": b.column("w1"),
+                            "c_a": pc.cast(b.column("cnt"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ub = uni.map_batches(
+        lambda b: pa.table({"wb": b.column("w1"),
+                            "c_b": pc.cast(b.column("cnt"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nparts = D._default_join_partitions(cand)
+    joined = cand.join(ua, join_type="inner", num_partitions=nparts,
+                       on=("w1",), right_on=("wa",))
+    joined = joined.join(ub, join_type="inner", num_partitions=nparts,
+                         on=("w2",), right_on=("wb",))
+
+    def block_head(b: pa.Table) -> pa.Table:
+        return head(b.column("w1").to_pylist(), b.column("w2").to_pylist(),
+                    b.column("cnt").to_numpy().astype(np.int64),
+                    b.column("c_a").to_numpy().astype(np.int64),
+                    b.column("c_b").to_numpy().astype(np.int64), n)
+
+    merged = _collect(
+        joined.map_batches(block_head, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={"w1": pa.string(), "w2": pa.string(),
+                         "c_ab": pa.int64(), "c_a": pa.int64(),
+                         "c_b": pa.int64(), "pmi_e6": pa.int64()})
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("pmi_e6", "descending"), ("w1", "ascending"), ("w2", "ascending")])
     return merged.take(idx[:k])
 
 

@@ -153,6 +153,94 @@ def knn_bruteforce(
     )
 
 
+def corpus_max_abs(ds: ray.data.Dataset, vec_col: str = "embedding") -> float:
+    """Global max |value| over an embedding column — one float per block
+    reaches the driver (per-batch partial max), exactly the number DuckDB's
+    ``max(abs(x))`` over the unnested column produces (abs/max are exact
+    float ops, float32→float64 promotion is exact)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch, vec_col)
+        m = float(np.abs(mat).max()) if mat.size else 0.0
+        return pa.table({"m": pa.array([m], pa.float64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return max((r["m"] for r in rows), default=0.0)
+
+
+def sq_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    max_abs: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Scalar-quantized (int8-range) inner-product top-k — the
+    memory-bound ANN mode: every vector is encoded to integer codes
+    ``floor(v * sc + 0.5)`` with one global scale ``sc = 127 / max_abs``,
+    and ranking happens on the EXACT integer dot product of the codes
+    (``qdot``), so results are bit-reproducible across engines (the DuckDB
+    oracle runs the identical formula — no float cosine ever hashed).
+
+    Scale shape: at 100 TB the int8 codes are a 4× smaller scan than
+    float32 (at fleet scale the codes would be written once as a
+    fixed-size-list<int8> sidecar and scanned instead of the raw
+    embeddings); the per-batch work is one integer matmul against the
+    broadcast quantized query matrix (``ray.put`` once), followed by the
+    same per-block top-k combiner + bounded driver merge as
+    :func:`knn_bruteforce` — the wide step never shuffles.  Tie-break is
+    ``(-qdot, neighbor_id)`` at both the block cut and the merge.
+    """
+    sc = 127.0 / max_abs if max_abs > 0 else 0.0
+    q64 = np.asarray(queries, dtype=np.float64)
+    qcodes = np.floor(q64 * sc + 0.5).astype(np.int64)
+    q_ref = ray.put(qcodes)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qc = ray.get(q_ref)
+        ids = _ids_array(batch, id_col)
+        # float32 → float64 is exact; floor(v*sc + 0.5) matches the oracle's
+        # CAST(floor(v * sc + 0.5) AS BIGINT) bit for bit
+        codes = np.floor(
+            _to_matrix(batch, vec_col).astype(np.float64) * sc + 0.5
+        ).astype(np.int64)
+        qdot = qc @ codes.T  # exact int64 (|code| <= 127, dims bounded)
+        out_q, out_id, out_dot = [], [], []
+        for qi in range(qdot.shape[0]):
+            idx = _block_topk(qdot[qi], ids, k)
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_dot.extend(qdot[qi][idx].tolist())
+        return pa.table(
+            {"qi": pa.array(out_q, pa.int32()),
+             "neighbor_id": pa.array(out_id, pa.int64()),
+             "qdot": pa.array(out_dot, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in partials.take_all():  # small: num_batches × nq × k
+        by_q.setdefault(r["qi"], []).append((r["qdot"], r["neighbor_id"]))
+    out_qid, out_nid, out_rank, out_dot = [], [], [], []
+    for qi, lst in sorted(by_q.items()):
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (dot, nid) in enumerate(lst[:k], start=1):
+            out_qid.append(query_ids[qi])
+            out_nid.append(nid)
+            out_rank.append(rank)
+            out_dot.append(dot)
+    return pa.table(
+        {"query_id": pa.array(out_qid, pa.int64()),
+         "neighbor_id": pa.array(out_nid, pa.int64()),
+         "rank": pa.array(out_rank, pa.int32()),
+         "qdot": pa.array(out_dot, pa.int64())}
+    )
+
+
 def build_ivf_centroids(
     ds: ray.data.Dataset, n_centroids: int = 16, iters: int = 5,
     vec_col: str = "embedding", seed: int = 42, sample_limit: int = 4096,

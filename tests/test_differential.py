@@ -102,7 +102,16 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "inter_event_gaps", "label_dispersion",
            # CDC dedup: fuzz hits empty docs (0 chunks), 1-2 char docs
            # (no full window -> single chunk), duplicated short texts
-           "cdc_chunk_stats"]
+           "cdc_chunk_stats",
+           # scalar-quantized ANN: fuzz hits duplicate vectors (qdot ties
+           # -> neighbor_id tie-break) and the zero vector (all-zero codes)
+           "sq_topk",
+           # PMI collocations: fuzz hits empty/1-token docs (no bigrams)
+           # and duplicated texts (ratio ties -> (w1, w2) tie-break)
+           "pmi_bigrams",
+           # per-source percentiles: fuzz hits singleton sources (pct 0)
+           # and token-count ties (doc_id tie-break)
+           "quality_percentiles"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -456,6 +456,61 @@ def test_ann_persisted_matches_inline_ivf(ray_session):
     assert inline.to_pylist() == ann_persisted_topk(SF).to_pylist()
 
 
+def test_pmi_bigrams_forced_distributed_pins_gate(ray_session):
+    """The distributed chain (groupby-Sum + two vocabulary hash joins +
+    per-block top-k) returns EXACTLY the driver-gate result on the
+    testdata corpus."""
+    from swift_readability_ray.pipelines.training_data import pmi_bigrams
+
+    gate = pmi_bigrams(SF)
+    forced = pmi_bigrams(SF, force_distributed=True)
+    assert gate.num_rows > 0
+    assert gate.to_pylist() == forced.to_pylist()
+
+
+def test_quality_percentiles_forced_distributed_pins_gate(ray_session):
+    """The hash-repartition-by-source block tail returns EXACTLY the
+    driver-gate lexsort result on the testdata corpus."""
+    from swift_readability_ray.pipelines.training_data import (
+        quality_percentiles,
+    )
+
+    gate = quality_percentiles(SF)
+    forced = quality_percentiles(SF, force_distributed=True)
+    assert gate.num_rows > 0
+    assert gate.to_pylist() == forced.to_pylist()
+
+
+def test_sq_topk_degenerate_corpora(ray_session, tmp_path):
+    """sq_topk guards the two inputs the oracle never sees: an all-zero
+    corpus (max_abs = 0 -> every code 0, rank purely by neighbor_id) and
+    an empty embeddings table (typed empty result)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import sq_topk_query
+
+    zeros = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([[0.0] * 4] * 6, pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, pa.int32())})
+    pq.write_table(zeros, str(tmp_path / "embeddings.parquet"))
+    got = sq_topk_query(str(tmp_path))
+    assert got.num_rows == 4 * 6
+    assert set(got.column("qdot").to_pylist()) == {0}
+    # ties broken by neighbor_id ascending
+    per_q = got.to_pylist()[:6]
+    assert [r["neighbor_id"] for r in per_q] == list(range(6))
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(zeros.slice(0, 0), str(empty_dir / "embeddings.parquet"))
+    out = sq_topk_query(str(empty_dir))
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "neighbor_id", "rank", "qdot"]
+
+
 def test_q3_empty_result_no_crash(ray_session, tmp_path):
     """A cutoff that filters out EVERY lineitem must yield an empty typed
     result, not a pa.concat_tables([]) crash (the _collect guard).  Only
