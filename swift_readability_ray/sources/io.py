@@ -123,8 +123,28 @@ def read_documents(path: str, columns: list[str] | None = None, **kwargs) -> ray
 
 
 def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
-    """Write a Dataset to a table directory (Lance if available, else Parquet)."""
+    """Write a Dataset to a table directory — Lance if available, ORC by
+    extension, else Parquet.  Every format writes one file per block via
+    the streaming executor (never a single giant file)."""
     if HAVE_LANCE and path.endswith(".lance"):
         ds.write_lance(path, **kwargs)  # pragma: no cover
+        return
+    if path.endswith(".orc"):
+        # Ray ships no write_orc; map over blocks writing one ORC file per
+        # block (same resumable one-file-per-block layout as write_parquet)
+        os.makedirs(path, exist_ok=True)
+
+        def _write(batch):
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.orc as _orc
+
+            fn = f"{path}/block-{uuid.uuid4().hex}.orc"
+            _orc.write_table(batch, fn)
+            return pa.table({"path": pa.array([fn])})
+
+        ds.map_batches(_write, batch_format="pyarrow",
+                       batch_size=None).materialize()
         return
     ds.write_parquet(path, **kwargs)

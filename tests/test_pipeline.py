@@ -745,3 +745,11 @@ def test_read_documents_formats_roundtrip(ray_session, tmp_path):
     assert rows(tmp_path / "docs.orc") == base
     pruned_orc = rows(tmp_path / "docs.orc", columns=["doc_id", "text"])
     assert all(set(r) == {"doc_id", "text"} for r in pruned_orc)
+
+    # write_table ORC sink → read_documents round trip (dir of per-block files)
+    import ray.data as rd
+
+    from swift_readability_ray.sources.io import write_table
+
+    write_table(rd.from_arrow(tbl), str(tmp_path / "out.orc"))
+    assert rows(tmp_path / "out.orc") == base
