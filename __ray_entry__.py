@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DoReMi-style source-mixture table: per-source quality mass
         # and integer ppm sampling weights (floor division, no floats)
         "mixture_weights": TD.mixture_weights,
+        # fixed-token-budget epoch allocation per source, integer ppm
+        "token_budget_epochs": TD.token_budget_epochs,
         # MassiveText/CCNet-style global sentence-level exact dedup:
         # every distinct sentence survives only at its first corpus
         # occurrence; documents rebuilt from kept sentences
@@ -2957,6 +2959,31 @@ def _quality_oracles() -> dict[str, str]:
                         THEN s.quality_sum_u * 1000000 // tot.t
                         ELSE 0 END AS BIGINT) AS weight_ppm
             FROM s, tot ORDER BY s.source
+        """,
+        # epoch allocation under a 50% token budget: equal per-source
+        # shares, epochs_ppm = min(4e6 cap, share·10⁶ // tokens)
+        "token_budget_epochs": """
+            WITH toks AS (
+              SELECT source,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n
+              FROM documents),
+            s AS (SELECT source, sum(n) AS n_tokens FROM toks GROUP BY 1),
+            b AS (SELECT (sum(n_tokens) * 500000 // 1000000) // count(*)
+                      AS share
+                  FROM s),
+            e AS (SELECT source, n_tokens,
+                         CASE WHEN n_tokens > 0
+                              THEN least(4000000,
+                                         b.share * 1000000 // n_tokens)
+                              ELSE 0 END AS epochs_ppm
+                  FROM s, b)
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(epochs_ppm AS BIGINT) AS epochs_ppm,
+                   CAST(n_tokens * epochs_ppm // 1000000 AS BIGINT)
+                       AS alloc_tokens
+            FROM e ORDER BY source
         """,
         "quality_tiers": "WITH " + cte + """,
             wl AS (

@@ -10241,6 +10241,59 @@ def mixture_weights(sf_dir: str) -> pa.Table:
         "weight_ppm", pa.array(ppm, pa.int64())).sort_by("source")
 
 
+def token_budget_epochs(
+    sf_dir: str, budget_ppm: int = 500_000, cap_epochs_ppm: int = 4_000_000,
+) -> pa.Table:
+    """Epoch allocation under a token budget — the data-recipe table a
+    fixed-budget training run consumes (mixture_weights answers "how to
+    weight sources"; this answers "how many times each source repeats"):
+    budget = corpus_tokens·budget_ppm // 10⁶ split into equal per-source
+    shares, and each source's epochs_ppm = min(cap, share·10⁶ //
+    n_tokens_s) — small sources repeat (up to the 4-epoch cap, the
+    standard repetition-harm bound), large ones subsample, all in integer
+    ppm (no float ratio hashed) → (source, n_tokens, epochs_ppm,
+    alloc_tokens) ordered by source.
+
+    Scale shape mirrors mixture_weights: ONE tokenize pass folds
+    per-block (source, Σtokens) partials over the bounded provider
+    catalog; the allocation itself is driver arithmetic on that bounded
+    table."""
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "epochs_ppm": pa.array([], pa.int64()),
+                      "alloc_tokens": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = [len(_GRAM_TOKEN_RE.findall((t or "").lower()))
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"source": batch.column("source"),
+                         "n_tokens": pa.array(n, pa.int64())}
+                        ).group_by(["source"]).aggregate(
+            [("n_tokens", "sum")]).rename_columns(["source", "n_tokens"])
+
+    merged = _merge_partials(
+        _docs_sized(sf_dir, columns=["text", "source"],
+                    rows_per_block=1024).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_tokens", "sum")],
+        fallback_schema={"source": pa.string(), "n_tokens": pa.int64()})
+    if merged.num_rows == 0:
+        return empty
+    nt = merged.column("n_tokens").to_numpy().astype(np.int64)
+    total, n_src = int(nt.sum()), merged.num_rows
+    share = (total * budget_ppm // 1_000_000) // n_src
+    epochs = np.where(
+        nt > 0,
+        np.minimum(cap_epochs_ppm, share * 1_000_000 // np.maximum(nt, 1)),
+        0).astype(np.int64)
+    alloc = nt * epochs // 1_000_000
+    return merged.append_column(
+        "epochs_ppm", pa.array(epochs, pa.int64())).append_column(
+        "alloc_tokens", pa.array(alloc, pa.int64())).sort_by("source")
+
+
 def attribution_linear(
     sf_dir: str, driver_limit: int = 1_000_000
 ) -> pa.Table:

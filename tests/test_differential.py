@@ -111,7 +111,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "pmi_bigrams",
            # per-source percentiles: fuzz hits singleton sources (pct 0)
            # and token-count ties (doc_id tie-break)
-           "quality_percentiles"]
+           "quality_percentiles",
+           # budgeted epochs: fuzz hits zero-token sources (epochs 0) and
+           # tiny sources that hit the 4-epoch cap
+           "token_budget_epochs"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
