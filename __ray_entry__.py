@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source percentile calibration (FineWeb-style domain-relative
         # quality thresholds), integer ppm
         "quality_percentiles": TD.quality_percentiles,
+        # exact range-partitioned sort layout (1-D total-order export)
+        "range_layout": TD.range_layout,
         # undirected triangle count of the host graph
         "triangle_count": TD.triangle_count,
         # composed end-to-end certificate: gate -> dedup -> split counts
@@ -2214,6 +2216,20 @@ def oracle_sql() -> dict[str, str]:
                         JOIN ucnt u2 ON b.w2 = u2.w
             CROSS JOIN tot t
             ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50
+        """,
+        # range-partitioned sort layout audit: equal-count shards of the
+        # global (n_chars, doc_id) order, per-shard count + key range
+        "range_layout": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM documents)
+            SELECT CAST(rk * 8 // n AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # per-source token-count percentile: rank within source, ppm
         "quality_percentiles": """

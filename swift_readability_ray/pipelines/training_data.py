@@ -5504,6 +5504,132 @@ def cooccurrence_pairs(sf_dir: str, k: int = 20) -> pa.Table:
     return merged.take(idx[:k])
 
 
+def range_layout(
+    sf_dir: str, n_shards: int = 8, driver_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Exact range-partitioned SORT layout: every doc gets the shard a
+    global (n_chars, doc_id) sort order would place it in —
+    ``shard_id = rank·n_shards // N`` (0-based rank) — and the audit
+    table (shard_id, n_docs, min_chars, max_chars) certifies the layout:
+    contiguous equal-count shards with non-overlapping key ranges, the
+    binary-searchable / curriculum-ordered export layout (zorder_layout
+    is the 2-D locality sibling; this is the 1-D total-order one).
+
+    Scale shape — a global sort WITHOUT ``ds.sort``'s all-to-all range
+    shuffle of fat rows: pass 1 folds a per-block VALUE histogram of
+    ``n_chars`` (bounded by distinct lengths, not corpus size) so the
+    driver knows each value's cumulative start rank; pass 2 hash-
+    repartitions thin (doc_id, n_chars) rows by ``n_chars`` — each value
+    group co-locates in exactly one block, where ``rank = cum_start +
+    position-within-value`` is computed vectorized and folds straight
+    into bounded per-shard (count, min, max) partials.  Text never moves;
+    only the 16-byte key rows cross the one shuffle.  Under the documents
+    footer gate the whole tail is one driver lexsort instead."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _range_layout_impl(sf_dir, n_shards, driver_limit,
+                                  force_distributed)
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _range_layout_impl(
+    sf_dir: str, n_shards: int, driver_limit: int, force_distributed: bool,
+) -> pa.Table:
+    empty = pa.table({"shard_id": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "min_chars": pa.array([], pa.int64()),
+                      "max_chars": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    thin = _docs_sized(sf_dir, columns=["doc_id", "n_chars"],
+                       rows_per_block=4096).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_stats(shard: np.ndarray, nc: np.ndarray) -> pa.Table:
+        return pa.table({"shard_id": pa.array(shard, pa.int64()),
+                         "n_docs": pa.array(np.ones(len(shard), np.int64)),
+                         "min_chars": pa.array(nc, pa.int64()),
+                         "max_chars": pa.array(nc, pa.int64())}
+                        ).group_by(["shard_id"]).aggregate(
+            [("n_docs", "sum"), ("min_chars", "min"),
+             ("max_chars", "max")]).rename_columns(
+            ["shard_id", "n_docs", "min_chars", "max_chars"])
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= driver_limit):
+        t = _collect(thin, fallback_schema={"doc_id": pa.int64(),
+                                            "n_chars": pa.int64()})
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        order = np.lexsort((d, nc))
+        rank = np.empty(len(d), np.int64)
+        rank[order] = np.arange(len(d), dtype=np.int64)
+        shard = rank * n_shards // len(d)
+        return shard_stats(shard, nc).sort_by("shard_id")
+
+    # pass 1: bounded value histogram → cumulative start rank per value
+    hist = _merge_partials(
+        thin.map_batches(
+            lambda b: pa.table({"n_chars": b.column("n_chars")})
+            .group_by(["n_chars"]).aggregate([("n_chars", "count")])
+            .rename_columns(["n_chars", "cnt"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars"], [("cnt", "sum")],
+        fallback_schema={"n_chars": pa.int64(), "cnt": pa.int64()})
+    vals = hist.column("n_chars").to_numpy().astype(np.int64)
+    cnts = hist.column("cnt").to_numpy().astype(np.int64)
+    vorder = np.argsort(vals)
+    vals, cnts = vals[vorder], cnts[vorder]
+    cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    total = int(cnts.sum())
+    if total == 0:
+        return empty
+    ref = ray.put((vals, cum))
+
+    # pass 2: co-locate each value, rank within value, fold shard partials
+    co = thin.repartition(num_blocks=D._default_join_partitions(thin),
+                          keys=["n_chars"])
+
+    def block_rank(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"shard_id": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "min_chars": pa.array([], pa.int64()),
+                             "max_chars": pa.array([], pa.int64())})
+        v, c = ray.get(ref)
+        d = b.column("doc_id").to_numpy()
+        nc = b.column("n_chars").to_numpy()
+        order = np.lexsort((d, nc))
+        ds_, ncs = d[order], nc[order]
+        _, f, cc = np.unique(ncs, return_index=True, return_counts=True)
+        within = np.arange(len(ds_), dtype=np.int64) - np.repeat(f, cc)
+        _, vi = _sorted_member(v, ncs)
+        rank = c[vi] + within
+        shard = rank * n_shards // total
+        return shard_stats(shard, ncs)
+
+    return _merge_partials(
+        co.map_batches(block_rank, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["shard_id"], [("n_docs", "sum"), ("min_chars", "min"),
+                       ("max_chars", "max")],
+        fallback_schema={"shard_id": pa.int64(), "n_docs": pa.int64(),
+                         "min_chars": pa.int64(), "max_chars": pa.int64()},
+    ).sort_by("shard_id")
+
+
 def _pct_rank_tail(doc_id: np.ndarray, src: np.ndarray,
                    n_tok: np.ndarray) -> pa.Table:
     """Per-source rank/percentile over co-located rows — the ONE

@@ -114,7 +114,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "quality_percentiles",
            # budgeted epochs: fuzz hits zero-token sources (epochs 0) and
            # tiny sources that hit the 4-epoch cap
-           "token_budget_epochs"]
+           "token_budget_epochs",
+           # range layout: fuzz hits duplicate n_chars straddling shard
+           # boundaries (doc_id tie-break) and N < n_shards corpora
+           "range_layout"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -481,6 +481,24 @@ def test_quality_percentiles_forced_distributed_pins_gate(ray_session):
     assert gate.to_pylist() == forced.to_pylist()
 
 
+def test_range_layout_forced_distributed_pins_gate(ray_session):
+    """The histogram + co-located-rank distributed chain returns EXACTLY
+    the driver-gate lexsort result on the testdata corpus, and the
+    layout invariants hold: shard counts differ by ≤1 and key ranges
+    are non-overlapping in shard order."""
+    from swift_readability_ray.pipelines.training_data import range_layout
+
+    gate = range_layout(SF)
+    forced = range_layout(SF, force_distributed=True)
+    assert gate.num_rows > 0
+    assert gate.to_pylist() == forced.to_pylist()
+    rows = gate.to_pylist()
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+
+
 def test_sq_topk_degenerate_corpora(ray_session, tmp_path):
     """sq_topk guards the two inputs the oracle never sees: an all-zero
     corpus (max_abs = 0 -> every code 0, rank purely by neighbor_id) and
