@@ -5749,11 +5749,12 @@ def pmi_bigrams(
     shuffle carries counts, never text.  Under the documents footer gate
     the partials fold on the driver (vocabulary-bounded, one sorted-array
     searchsorted to attach c_a/c_b).  Above it (or forced): ONE native
-    groupby-Sum over (kind, w1, w2), bigram candidates hash-join the
-    unigram side twice (w1 then w2) — vocabulary-keyed joins, corpus
-    never re-touched — then per-block ratio + top-k combiner and a
-    blocks×k driver merge.  ``n`` reaches the driver as one partial sum
-    per block.  At fleet scale c_ab·n·10⁶ can exceed int64 for
+    groupby-Sum over (kind, w1, w2), then the UNIGRAM side — vocabulary-
+    bounded, never corpus-bounded — broadcasts as sorted arrays and each
+    bigram block attaches c_a/c_b with vectorized searchsorteds and folds
+    a per-block top-k partial (the doc_typicality broadcast-vocabulary
+    shape; blocks×k rows reach the driver, the corpus is never
+    re-touched).  At fleet scale c_ab·n·10⁶ can exceed int64 for
     stopword-stopword pairs; the production form rescales to ppm of a
     per-shard n, which only shifts every score by one constant."""
     empty = pa.table({"w1": pa.array([], pa.string()),
@@ -5826,45 +5827,59 @@ def pmi_bigrams(
 
     from ray.data.aggregate import Sum
 
+    # distributed (above-gate / forced) path — the doc_typicality /
+    # bpe_first_merges vocabulary-factored shape: ONE native groupby-Sum
+    # produces the (kind, w1, w2) count table; the UNIGRAM side is
+    # vocabulary-bounded (not corpus-bounded), so it collects and
+    # broadcasts as parallel sorted arrays (documented assumption shared
+    # with doc_typicality); bigram candidate blocks then attach c_a/c_b
+    # with one vectorized searchsorted each and fold per-block top-k
+    # partials — no join, no second shuffle, blocks×k rows to the driver.
+    # (A first cut attached counts via two Ray hash joins: Ray 2.49's
+    # hash join chokes on the empty partitions a sparse string key space
+    # produces, and a HASH_SHUFFLE-pinned groupby measured 26 s vs 2 s
+    # under the default sort strategy at 11×-sf0.1 — measured, removed.)
     grouped = partials.groupby(["kind", "w1", "w2"]).aggregate(
         Sum("cnt", alias_name="cnt")).materialize()
     uni = grouped.filter(expr="kind == 0")
-    n_rows = uni.map_batches(
-        lambda b: pa.table({"s": pa.array(
-            [int(pc.sum(b.column("cnt")).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    n = sum(r["s"] for r in n_rows)
-    cand = grouped.filter(expr=f"kind == 1 and cnt >= {int(min_count)}")
-    if cand.count() == 0:
+    uni_tbl = _collect(
+        uni.map_batches(
+            lambda b: pa.table({"w": b.column("w1"),
+                                "c": pc.cast(b.column("cnt"), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"w": pa.string(), "c": pa.int64()})
+    if uni_tbl.num_rows == 0:
         return empty
-    ua = uni.map_batches(
-        lambda b: pa.table({"wa": b.column("w1"),
-                            "c_a": pc.cast(b.column("cnt"), pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    ub = uni.map_batches(
-        lambda b: pa.table({"wb": b.column("w1"),
-                            "c_b": pc.cast(b.column("cnt"), pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    nparts = D._default_join_partitions(cand)
-    joined = cand.join(ua, join_type="inner", num_partitions=nparts,
-                       on=("w1",), right_on=("wa",))
-    joined = joined.join(ub, join_type="inner", num_partitions=nparts,
-                         on=("w2",), right_on=("wb",))
+    vocab = np.asarray(uni_tbl.column("w").to_pylist(), dtype=object)
+    vcnt = uni_tbl.column("c").to_numpy().astype(np.int64)
+    vo = np.argsort(vocab)
+    vocab, vcnt = vocab[vo], vcnt[vo]
+    n = int(vcnt.sum())
+    vocab_ref = ray.put((vocab, vcnt))
 
     def block_head(b: pa.Table) -> pa.Table:
-        return head(b.column("w1").to_pylist(), b.column("w2").to_pylist(),
-                    b.column("cnt").to_numpy().astype(np.int64),
-                    b.column("c_a").to_numpy().astype(np.int64),
-                    b.column("c_b").to_numpy().astype(np.int64), n)
+        kind = b.column("kind").to_numpy()
+        cnt = b.column("cnt").to_numpy().astype(np.int64)
+        ca = (kind == 1) & (cnt >= min_count)
+        if not ca.any():
+            return empty
+        v, c = ray.get(vocab_ref)
+        w1 = np.asarray(b.column("w1").to_pylist(), dtype=object)[ca]
+        w2 = np.asarray(b.column("w2").to_pylist(), dtype=object)[ca]
+        # every bigram token occurs as a unigram by construction
+        _, i1 = _sorted_member(v, w1)
+        _, i2 = _sorted_member(v, w2)
+        return head(w1, w2, cnt[ca], c[i1], c[i2], n)
 
     merged = _collect(
-        joined.map_batches(block_head, batch_format="pyarrow",
-                           zero_copy_batch=True),
+        grouped.map_batches(block_head, batch_format="pyarrow",
+                            zero_copy_batch=True),
         fallback_schema={"w1": pa.string(), "w2": pa.string(),
                          "c_ab": pa.int64(), "c_a": pa.int64(),
                          "c_b": pa.int64(), "pmi_e6": pa.int64()})
     idx = pc.sort_indices(merged, sort_keys=[
-        ("pmi_e6", "descending"), ("w1", "ascending"), ("w2", "ascending")])
+        ("pmi_e6", "descending"), ("w1", "ascending"),
+        ("w2", "ascending")])
     return merged.take(idx[:k])
 
 
