@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentiles": TD.quality_percentiles,
         # exact range-partitioned sort layout (1-D total-order export)
         "range_layout": TD.range_layout,
+        # tokenizer-sizing coverage curve (top-N type coverage, ppm)
+        "vocab_coverage": TD.vocab_coverage,
+        # length-bucketed batching audit: next-pow2 buckets + padding waste
+        "length_buckets": TD.length_buckets,
         # undirected triangle count of the host graph
         "triangle_count": TD.triangle_count,
         # composed end-to-end certificate: gate -> dedup -> split counts
@@ -2216,6 +2220,52 @@ def oracle_sql() -> dict[str, str]:
                         JOIN ucnt u2 ON b.w2 = u2.w
             CROSS JOIN tot t
             ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50
+        """,
+        # top-N vocabulary coverage curve: cumulative token coverage of
+        # the N most frequent types (count DESC, term ASC), integer ppm
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            tot AS (SELECT sum(c) AS t, count(*) AS nt FROM ucnt),
+            r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+                  FROM ucnt),
+            cum AS (SELECT rk, sum(c) OVER (ORDER BY rk) AS cc FROM r),
+            sizes AS (SELECT unnest([100, 200, 500, 1000, 2000, 5000])
+                          AS vocab_size)
+            SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+                   CAST(least(s.vocab_size, tot.nt) AS BIGINT) AS n_types,
+                   CAST(coalesce((SELECT cc FROM cum
+                                  WHERE rk = least(s.vocab_size, tot.nt)),
+                                 0) AS BIGINT) AS covered_tokens,
+                   CAST(coalesce((SELECT cc FROM cum
+                                  WHERE rk = least(s.vocab_size, tot.nt)),
+                                 0) * 1000000 // tot.t AS BIGINT)
+                       AS coverage_ppm
+            FROM sizes s, tot ORDER BY vocab_size
+        """,
+        # next-power-of-two length buckets + padding waste (exact integer
+        # powers via a generate_series join — no float log)
+        "length_buckets": """
+            WITH t AS (
+              SELECT CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n
+              FROM documents),
+            pows AS (SELECT CAST(1 << e.e AS BIGINT) AS p
+                     FROM unnest(generate_series(0, 32)) AS e(e)),
+            b AS (SELECT n,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE (SELECT min(p) FROM pows WHERE p >= n)
+                              END AS bucket
+                  FROM t)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens,
+                   CAST(sum(bucket - n) AS BIGINT) AS padding_tokens
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         # range-partitioned sort layout audit: equal-count shards of the
         # global (n_chars, doc_id) order, per-shard count + key range

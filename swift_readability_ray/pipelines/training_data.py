@@ -5630,6 +5630,119 @@ def _range_layout_impl(
     ).sort_by("shard_id")
 
 
+def vocab_coverage(
+    sf_dir: str, sizes: tuple = (100, 200, 500, 1000, 2000, 5000),
+    broadcast_limit: int = 2_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """Tokenizer-sizing curve: for each candidate vocabulary size, the
+    fraction of corpus TOKEN OCCURRENCES covered by the top-``size`` most
+    frequent types (ties broken alphabetically) in integer ppm →
+    (vocab_size, n_types, covered_tokens, coverage_ppm).  This is the
+    table a vocab-size decision reads: where the curve flattens, stop.
+
+    Scale shape: per-block word-count partials fold to the vocabulary-
+    bounded count table (driver merge under the documents footer gate,
+    native groupby-Sum above it — the doc_typicality dual shape); the
+    cumulative-coverage tail is one driver sort over the bounded
+    vocabulary."""
+    empty = pa.table({"vocab_size": pa.array([], pa.int64()),
+                      "n_types": pa.array([], pa.int64()),
+                      "covered_tokens": pa.array([], pa.int64()),
+                      "coverage_ppm": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
+    partials = ds.map_batches(_word_count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        vocab = _merge_partials(
+            partials, ["term"], [("n", "sum")],
+            fallback_schema={"term": pa.string(), "n": pa.int64()})
+    else:
+        from ray.data.aggregate import Sum
+
+        vocab = _collect(
+            partials.groupby("term").aggregate(
+                Sum("n", alias_name="n")),
+            fallback_schema={"term": pa.string(), "n": pa.int64()})
+    if vocab.num_rows == 0:
+        return empty
+    terms = np.asarray(vocab.column("term").to_pylist(), dtype=object)
+    cnt = vocab.column("n").to_numpy().astype(np.int64)
+    # rank by (count DESC, term ASC) — numpy lacks descending lexsort on
+    # ints + ascending on strings together, so sort by term then stable-
+    # sort by -count
+    o1 = np.argsort(terms)
+    terms, cnt = terms[o1], cnt[o1]
+    o2 = np.argsort(-cnt, kind="stable")
+    cnt = cnt[o2]
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    out_s, out_t, out_c, out_p = [], [], [], []
+    for s in sizes:
+        n_types = min(int(s), len(cnt))
+        covered = int(cum[n_types - 1]) if n_types else 0
+        out_s.append(int(s))
+        out_t.append(n_types)
+        out_c.append(covered)
+        out_p.append(covered * 1_000_000 // total if total else 0)
+    return pa.table({"vocab_size": pa.array(out_s, pa.int64()),
+                     "n_types": pa.array(out_t, pa.int64()),
+                     "covered_tokens": pa.array(out_c, pa.int64()),
+                     "coverage_ppm": pa.array(out_p, pa.int64())})
+
+
+def length_buckets(sf_dir: str, max_exp: int = 16) -> pa.Table:
+    """Padding-efficiency audit: docs bucketed by next-power-of-two token
+    count (the standard length-bucketed batching scheme) → per bucket
+    (bucket, n_docs, sum_tokens, padding_tokens) where padding = bucket
+    cap − tokens summed over members — the table that decides bucket
+    boundaries for a packing-free loader.  Zero-token docs land in
+    bucket 0 with no padding.
+
+    Scale shape: ONE tokenize pass folds per-block (bucket, count, Σtok,
+    Σpad) partials — the bucket key space is ≤ ``max_exp`` rows, so the
+    driver merge is the textbook bounded rollup."""
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_tokens": pa.array([], pa.int64()),
+                      "padding_tokens": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.array([len(_GRAM_TOKEN_RE.findall((t or "").lower()))
+                      for t in batch.column("text").to_pylist()], np.int64)
+        bucket = np.where(
+            n > 0, 1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64),
+            0)
+        # integer fix-up so a 1-ulp libm log2 wobble can never mis-bucket
+        # (the oracle computes the power set exactly)
+        bucket = np.where((bucket > 0) & (bucket < n), bucket * 2, bucket)
+        bucket = np.where((bucket > 1) & (bucket // 2 >= n),
+                          bucket // 2, bucket)
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "n_docs": pa.array(np.ones(len(n), np.int64)),
+                         "sum_tokens": pa.array(n, pa.int64()),
+                         "padding_tokens": pa.array(bucket - n, pa.int64())}
+                        ).group_by(["bucket"]).aggregate(
+            [("n_docs", "sum"), ("sum_tokens", "sum"),
+             ("padding_tokens", "sum")]).rename_columns(
+            ["bucket", "n_docs", "sum_tokens", "padding_tokens"])
+
+    return _merge_partials(
+        _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["bucket"], [("n_docs", "sum"), ("sum_tokens", "sum"),
+                     ("padding_tokens", "sum")],
+        fallback_schema={"bucket": pa.int64(), "n_docs": pa.int64(),
+                         "sum_tokens": pa.int64(),
+                         "padding_tokens": pa.int64()}).sort_by("bucket")
+
+
 def _pct_rank_tail(doc_id: np.ndarray, src: np.ndarray,
                    n_tok: np.ndarray) -> pa.Table:
     """Per-source rank/percentile over co-located rows — the ONE

@@ -117,7 +117,12 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "token_budget_epochs",
            # range layout: fuzz hits duplicate n_chars straddling shard
            # boundaries (doc_id tie-break) and N < n_shards corpora
-           "range_layout"]
+           "range_layout",
+           # vocab curve: fuzz hits sizes > |vocab| and count ties
+           "vocab_coverage",
+           # buckets: fuzz hits empty docs (bucket 0), 1-token docs and
+           # exact-power-of-two token counts (zero padding)
+           "length_buckets"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
