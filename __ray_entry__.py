@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": TD.word_counts,
         "events_sessions": TD.events_sessions,
         "events_hourly": TD.events_hourly,
+        # hopping (sliding) 6h windows stepping hourly
+        "events_hopping": TD.events_hopping,
         "events_value_buckets": TD.events_value_buckets,
         "events_asof_rates": TD.events_asof_rates,
         "readerable_flags": TD.readerable_flags,
@@ -510,6 +512,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type, hour
             ORDER BY event_type, hour
+        """,
+        # hopping windows: every event lands in exactly 6 hourly-stepped
+        # 6h windows (keyed by window start)
+        "events_hopping": """
+            WITH e AS (
+              SELECT event_type,
+                     date_trunc('hour', ts) - i.i * INTERVAL 1 HOUR
+                         AS window_start,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events, unnest(generate_series(0, 5)) AS i(i))
+            SELECT event_type, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(value_c) AS BIGINT) AS sum_value_c
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_value_buckets": """
             WITH b AS (

@@ -961,6 +961,63 @@ def events_hourly(sf_dir: str) -> pa.Table:
     )
 
 
+def events_hopping(sf_dir: str, window_hours: int = 6) -> pa.Table:
+    """HOPPING (sliding) window aggregate: per event type, event count and
+    integer-cent value sum over every ``window_hours``-hour window sliding
+    hourly — the overlapping-window sibling of the tumbling
+    ``events_hourly`` (windows with zero events are omitted; each event
+    lands in exactly ``window_hours`` windows, keyed by window START).
+
+    Scale shape: the ≤``window_hours``× expansion happens VECTORIZED
+    inside map_batches (np.repeat over the hour-truncated timestamps), so
+    the shuffle still moves only (type, window_start, partials) rows —
+    the events_dau_wau bounded-expansion pattern; the rollup is the
+    standard bounded driver merge."""
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "window_start": pa.array([], pa.timestamp("us")),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value_c": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty
+    ds = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                       pa.int64()).to_numpy()
+        val_c = _cents(batch.column("value")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        w = window_hours
+        starts = (np.repeat(hour, w)
+                  - np.tile(np.arange(w, dtype=np.int64) * HOUR_US, len(hour)))
+        b = pa.table({
+            "event_type": pa.array(np.repeat(et, w), pa.string()),
+            "window_start": pa.array(starts, pa.int64()),
+            "value_c": pa.array(np.repeat(val_c, w), pa.int64())})
+        return b.group_by(["event_type", "window_start"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")])
+
+    m = _merge_partials(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "window_start"],
+        [("value_c_sum", "sum"), ("value_c_count", "sum")],
+        fallback_schema={"event_type": pa.string(),
+                         "window_start": pa.int64(),
+                         "value_c_sum": pa.int64(),
+                         "value_c_count": pa.int64()})
+    tbl = m.rename_columns(
+        ["event_type", "window_start", "sum_value_c", "n_events"]
+    ).sort_by([("event_type", "ascending"), ("window_start", "ascending")])
+    return pa.table({
+        "event_type": tbl.column("event_type"),
+        "window_start": pc.cast(tbl.column("window_start"),
+                                pa.timestamp("us")),
+        "n_events": pc.cast(tbl.column("n_events"), pa.int64()),
+        "sum_value_c": tbl.column("sum_value_c")})
+
+
 def readerable_flags(sf_dir: str) -> pa.Table:
     """Per-doc isProbablyReaderable over the synthesized pages — the real
     heuristic (sqrt score over visible p/pre/article nodes), not a length

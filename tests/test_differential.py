@@ -122,7 +122,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "vocab_coverage",
            # buckets: fuzz hits empty docs (bucket 0), 1-token docs and
            # exact-power-of-two token counts (zero padding)
-           "length_buckets"]
+           "length_buckets",
+           # hopping windows: fuzz hits same-hour event pileups and types
+           # absent from whole windows
+           "events_hopping"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
