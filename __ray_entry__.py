@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: REAL pure-Python PNG decode (functions/png.py),
         # SQL-oracled geometry + pixel statistics
         "media_features": TD.media_features,
+        # interleaved text+image sequence budget (real decode for geometry)
+        "multimodal_token_budget": TD.multimodal_token_budget,
         # training-data privacy + packing ops
         "pii_scrub": TD.pii_scrub,
         "doc_chunks": TD.doc_chunks,
@@ -673,6 +675,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(byte) AS BIGINT) AS pixel_sum,
                    true AS decode_ok
             FROM v GROUP BY doc_id, w, h, n ORDER BY media_ref
+        """,
+        # interleaved budget: text tokens + ceil(w/4)*ceil(h/4) patches,
+        # geometry mirrored from the PNG synthesis arithmetic
+        "multimodal_token_budget": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS text_tokens,
+                     8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+              FROM documents WHERE doc_id < 64)
+            SELECT doc_id, text_tokens,
+                   CAST(((w + 3) // 4) * ((h + 3) // 4) AS BIGINT)
+                       AS image_patches,
+                   CAST(text_tokens + ((w + 3) // 4) * ((h + 3) // 4)
+                        AS BIGINT) AS total_tokens
+            FROM t ORDER BY doc_id
         """,
         # audio_features synthesizes a 16-bit PCM WAV per doc (rate/channels/
         # length vary by id; sample bytes are the md5 chain over "id:a{block}")

@@ -1533,6 +1533,65 @@ def media_features(sf_dir: str, n: int = 64) -> pa.Table:
     ).sort_by("media_ref")
 
 
+def multimodal_token_budget(
+    sf_dir: str, n: int = 64, patch: int = 4,
+) -> pa.Table:
+    """Interleaved token accounting — the sequence-length budgeter a
+    multimodal (text+image) training run consumes: per document, the text
+    token count PLUS the vision-transformer patch count
+    ``ceil(w/patch)·ceil(h/patch)`` of its image, where (w, h) comes from
+    REALLY decoding the synthesized PNG with the pure-Python codec
+    (functions/png.py) — not from trusting metadata →
+    (doc_id, text_tokens, image_patches, total_tokens) ordered by doc_id.
+    The oracle reconstructs the geometry from the synthesis arithmetic,
+    so a hash match certifies the decode→geometry→budget path.
+
+    Scale shape: ONE map stage per doc does tokenize + encode + decode —
+    nothing but the thin budget rows ever leaves it; the per-doc image
+    bytes are created and consumed inside the batch (at fleet scale the
+    payload column arrives from storage instead — same stage shape,
+    binary columns keep ``batch_size`` small)."""
+    from ..functions.png import decode_png_gray
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text_tokens": pa.array([], pa.int64()),
+                      "image_patches": pa.array([], pa.int64()),
+                      "total_tokens": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                     rows_per_block=1024).filter(expr=f"doc_id < {n}")
+
+    def budget(batch: pa.Table) -> pa.Table:
+        media = _synth_png_media(batch.select(["doc_id"]))
+        out_id, out_t, out_p = [], [], []
+        for did, txt, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            media.column("payload").to_pylist(),
+        ):
+            w, h, _ = decode_png_gray(payload)
+            patches = ((w + patch - 1) // patch) * ((h + patch - 1) // patch)
+            out_id.append(did)
+            out_t.append(len(_GRAM_TOKEN_RE.findall((txt or "").lower())))
+            out_p.append(patches)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text_tokens": pa.array(out_t, pa.int64()),
+            "image_patches": pa.array(out_p, pa.int64())})
+
+    tbl = _collect(
+        ds.map_batches(budget, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "text_tokens": pa.int64(),
+                         "image_patches": pa.int64()})
+    if tbl.num_rows == 0:
+        return empty
+    return tbl.append_column(
+        "total_tokens", pc.add(tbl.column("text_tokens"),
+                               tbl.column("image_patches"))
+    ).sort_by("doc_id")
+
+
 def audio_features(sf_dir: str, n: int = 64) -> pa.Table:
     """Audio decode end-to-end with a REAL decoder: each doc gets a
     synthesized 16-bit PCM WAV (rate/channels/length vary per doc; sample

@@ -125,7 +125,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "length_buckets",
            # hopping windows: fuzz hits same-hour event pileups and types
            # absent from whole windows
-           "events_hopping"]
+           "events_hopping",
+           # interleaved budget: fuzz hits empty docs (0 text tokens; the
+           # patch term still counts) through the REAL PNG decode
+           "multimodal_token_budget"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
