@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_full": TD.ivf_topk_full_query,
         # int8-range scalar quantization, integer-exact MIPS ranking
         "sq_topk": TD.sq_topk_query,
+        # two-stage retrieval: quantized prefilter -> exact cosine rerank
+        "sq_rerank_topk": TD.sq_rerank_topk,
         # joins / json scalar functions
         "orders_by_segment": TD.orders_by_segment,
         "events_json_stats": TD.events_json_stats,
@@ -483,6 +485,38 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
                             FROM scored)
             SELECT query_id, neighbor_id, rank, qdot FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # two-stage retrieval: the sq_topk prefilter (rank <= 40 on the
+        # integer quantized dot) re-ranked by exact cosine
+        "sq_rerank_topk": """
+            WITH s AS (SELECT 127.0 / max(abs(x)) AS sc
+                       FROM embeddings, unnest(embedding) AS t(x)),
+                 qz AS (SELECT vec_id, embedding,
+                               list_transform(embedding,
+                                   v -> CAST(floor(v * sc + 0.5) AS BIGINT)) AS code
+                        FROM embeddings, s),
+                 q AS (SELECT vec_id AS query_id, code AS qc
+                       FROM qz WHERE vec_id < 4),
+                 scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                                   CAST(list_dot_product(q.qc, e.code) AS BIGINT) AS qdot
+                            FROM q CROSS JOIN qz e),
+                 pre AS (SELECT query_id, neighbor_id FROM (
+                            SELECT query_id, neighbor_id,
+                                   row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qdot DESC, neighbor_id) AS rk
+                            FROM scored) WHERE rk <= 40),
+                 qv AS (SELECT vec_id AS query_id, embedding AS qe
+                        FROM embeddings WHERE vec_id < 4),
+                 rer AS (SELECT p.query_id, p.neighbor_id,
+                                list_cosine_similarity(qv.qe, e.embedding) AS sim
+                         FROM pre p JOIN qv USING (query_id)
+                                    JOIN embeddings e ON e.vec_id = p.neighbor_id),
+                 ranked AS (SELECT query_id, neighbor_id,
+                                   CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                            FROM rer)
+            SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "word_counts": """

@@ -404,6 +404,75 @@ def sq_topk_query(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def sq_rerank_topk(
+    sf_dir: str, n_queries: int = 4, k: int = 10, prefilter_k: int = 40,
+) -> pa.Table:
+    """Two-stage retrieval — the canonical memory-bound ANN serving shape:
+    stage 1 scans the int8-range QUANTIZED codes (see sq_topk) and keeps a
+    ``prefilter_k`` candidate set per query; stage 2 re-ranks ONLY those
+    candidates with exact float cosine and returns the top-``k``
+    (query_id, neighbor_id, rank) under the (-cosine, neighbor_id)
+    tie-break.  At fleet scale stage 1 reads a 4× smaller sidecar scan
+    and stage 2 fetches ~nq·prefilter_k full vectors — the full-precision
+    column is never scanned.
+
+    Stage 2 here broadcasts the candidate id set (bounded nq·prefilter_k)
+    and filters per batch; the exact cosine of the survivors merges on
+    the driver (≤ nq·prefilter_k rows)."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int32())})
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
+    if not query_ids:
+        return empty
+    max_abs = S.corpus_max_abs(ds)
+    pre = S.sq_topk(ds, queries, query_ids, max_abs, k=prefilter_k)
+    cand_by_q = {}
+    for r in pre.to_pylist():
+        cand_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    all_cands = np.array(sorted(set().union(*cand_by_q.values())), np.int64)
+    cand_ref = ray.put(all_cands)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        ids = batch.column("vec_id").to_numpy()
+        hit, _ = _sorted_member(cands, ids)
+        return batch.filter(pa.array(hit))
+
+    sub = _collect(
+        ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema={"vec_id": pa.int64(),
+                         "embedding": pa.list_(pa.float32())})
+    if sub.num_rows == 0:
+        return empty
+    mat = np.asarray(sub.column("embedding").to_pylist(), np.float64)
+    sids = sub.column("vec_id").to_numpy().astype(np.int64)
+    norms = np.linalg.norm(mat, axis=1)
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(query_ids):
+        members = cand_by_q.get(qid, set())
+        mask = np.isin(sids, list(members))
+        q = np.asarray(queries[qi], np.float64)
+        qn = np.linalg.norm(q)
+        sims = np.where(
+            (norms[mask] == 0) | (qn == 0), -1.0,
+            (mat[mask] @ q) / np.where(norms[mask] == 0, 1, norms[mask])
+            / (qn if qn else 1))
+        cids = sids[mask]
+        order = np.lexsort((cids, -sims))[:k]
+        out_q.extend([qid] * len(order))
+        out_n.extend(cids[order].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int32())})
+
+
 # persisted ANN index, one per (sf_dir, n_centroids) per session — the
 # pruned-probe and full-probe queries share one build (index lifecycle:
 # build once, probe many)

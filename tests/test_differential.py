@@ -128,7 +128,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "events_hopping",
            # interleaved budget: fuzz hits empty docs (0 text tokens; the
            # patch term still counts) through the REAL PNG decode
-           "multimodal_token_budget"]
+           "multimodal_token_budget",
+           # two-stage rerank: fuzz hits duplicate vectors (cosine ties)
+           # and the zero vector (cosine pinned to -1 both sides)
+           "sq_rerank_topk"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
