@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_layout": TD.range_layout,
         # tokenizer-sizing coverage curve (top-N type coverage, ppm)
         "vocab_coverage": TD.vocab_coverage,
+        # end-to-end calibrated filter over quality_percentiles (p10 cut)
+        "calibrated_length_filter": TD.calibrated_length_filter,
+        # intra-corpus template clusters by 8-token prefix key
+        "prefix_clusters": TD.prefix_clusters,
         # length-bucketed batching audit: next-pow2 buckets + padding waste
         "length_buckets": TD.length_buckets,
         # undirected triangle count of the host graph
@@ -2335,6 +2339,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS sum_tokens,
                    CAST(sum(bucket - n) AS BIGINT) AS padding_tokens
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        # composed calibrated filter: the quality_percentiles SQL with a
+        # p10 (100000 ppm) per-source cut, certified by per-source counts
+        "calibrated_length_filter": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                         AS n_src
+              FROM t),
+            p AS (
+              SELECT source, n_tokens,
+                     CASE WHEN n_src > 1
+                          THEN (rnk - 1) * 1000000 // (n_src - 1)
+                          ELSE 0 END AS pct
+              FROM r)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN pct >= 100000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN pct < 100000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cut,
+                   CAST(min(CASE WHEN pct >= 100000 THEN n_tokens END)
+                        AS BIGINT) AS min_kept_tokens
+            FROM p GROUP BY source ORDER BY source
+        """,
+        # 8-token-prefix template clusters (md5 key), >= 2 members
+        "prefix_clusters": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     md5(array_to_string(ts[1:8], ' ')) AS prefix_key
+              FROM toks WHERE len(ts) > 0)
+            SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+            FROM p GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY n_docs DESC, prefix_key
         """,
         # range-partitioned sort layout audit: equal-count shards of the
         # global (n_chars, doc_id) order, per-shard count + key range

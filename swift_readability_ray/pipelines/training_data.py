@@ -5815,6 +5815,118 @@ def _range_layout_impl(
     ).sort_by("shard_id")
 
 
+def calibrated_length_filter(
+    sf_dir: str, cut_ppm: int = 100_000, **kw,
+) -> pa.Table:
+    """Domain-calibrated filtering END-TO-END: cut every doc below its
+    source's ``cut_ppm`` token-count percentile (the FineWeb-style
+    per-dump threshold quality_percentiles exists to feed) and certify
+    with per-source (n_docs, n_kept, n_cut, min_kept_tokens) — absolute
+    cutoffs misfire across domains; this one adapts per source by
+    construction.  Composes ``quality_percentiles`` verbatim (same
+    ranking, same ppm math), so the oracle composes that SQL too —
+    the filter is certified end-to-end, not stagewise."""
+    pct = quality_percentiles(sf_dir, **kw)
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_kept": pa.array([], pa.int64()),
+                      "n_cut": pa.array([], pa.int64()),
+                      "min_kept_tokens": pa.array([], pa.int64())})
+    if pct.num_rows == 0:
+        return empty
+    keep = pc.greater_equal(pct.column("pct_ppm"), pa.scalar(cut_ppm))
+    kept_flag = pc.cast(keep, pa.int64())
+    big = pa.scalar(np.iinfo(np.int64).max, pa.int64())
+    t = pa.table({
+        "source": pct.column("source"),
+        "n_docs": pa.array(np.ones(pct.num_rows, np.int64)),
+        "n_kept": kept_flag,
+        "n_cut": pc.subtract(pa.scalar(1, pa.int64()), kept_flag),
+        "kept_tokens": pc.if_else(keep, pct.column("n_tokens"), big),
+    }).group_by(["source"]).aggregate(
+        [("n_docs", "sum"), ("n_kept", "sum"), ("n_cut", "sum"),
+         ("kept_tokens", "min")]).rename_columns(
+        ["source", "n_docs", "n_kept", "n_cut", "min_kept_tokens"])
+    # all-cut source (a singleton's pct is 0): sentinel → NULL, matching
+    # the oracle's min over an empty CASE set
+    mk = t.column("min_kept_tokens")
+    t = t.set_column(
+        t.schema.get_field_index("min_kept_tokens"), "min_kept_tokens",
+        pc.if_else(pc.equal(mk, big), pa.scalar(None, pa.int64()), mk))
+    return t.sort_by("source")
+
+
+def prefix_clusters(
+    sf_dir: str, n_tokens: int = 8, broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Template-cluster detection WITHIN a corpus: docs sharing the same
+    ``n_tokens``-token prefix (shorter docs use their full token stream;
+    empty docs are excluded) cluster together → one row per cluster with
+    ≥2 members: (prefix_key, n_docs, canonical_doc_id = min id), ordered
+    by (n_docs DESC, prefix_key).  Boilerplate/mirror farms share
+    openings long before full texts match — the intra-corpus sibling of
+    ``cross_source_contamination``.
+
+    Scale shape: the prefix never leaves the map stage as text — it
+    ships as the md5 hex key; per-block (key, count, min-id) partials
+    fold under the documents footer gate / ONE native groupby above."""
+    empty = pa.table({"prefix_key": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "canonical_doc_id": pa.array([], pa.int64())})
+    n_rows = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_rows == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, ids = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            ks.append(hashlib.md5(
+                " ".join(toks[:n_tokens]).encode()).hexdigest())
+            ids.append(did)
+        return pa.table({"prefix_key": pa.array(ks, pa.string()),
+                         "n_docs": pa.array(np.ones(len(ks), np.int64)),
+                         "canonical_doc_id": pa.array(ids, pa.int64())}
+                        ).group_by(["prefix_key"]).aggregate(
+            [("n_docs", "sum"), ("canonical_doc_id", "min")]
+        ).rename_columns(["prefix_key", "n_docs", "canonical_doc_id"])
+
+    parts = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                        rows_per_block=1024).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    fb = {"prefix_key": pa.string(), "n_docs": pa.int64(),
+          "canonical_doc_id": pa.int64()}
+    if not force_distributed and (n_rows is not None
+                                  and n_rows <= broadcast_limit):
+        merged = _merge_partials(
+            parts, ["prefix_key"],
+            [("n_docs", "sum"), ("canonical_doc_id", "min")],
+            fallback_schema=fb)
+    else:
+        from ray.data.aggregate import Min, Sum
+
+        # ≥2-member filter runs per block BEFORE the collect, so only the
+        # (rare) actual clusters reach the driver — never the full
+        # corpus-sized key table
+        merged = _collect(
+            parts.groupby("prefix_key").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Min("canonical_doc_id", alias_name="canonical_doc_id")
+            ).map_batches(
+                lambda b: b.filter(pc.greater_equal(b.column("n_docs"),
+                                                    pa.scalar(2))),
+                batch_format="pyarrow", zero_copy_batch=True),
+            fallback_schema=fb)
+    merged = merged.filter(pc.greater_equal(merged.column("n_docs"),
+                                            pa.scalar(2)))
+    return merged.take(pc.sort_indices(merged, sort_keys=[
+        ("n_docs", "descending"), ("prefix_key", "ascending")]))
+
+
 def vocab_coverage(
     sf_dir: str, sizes: tuple = (100, 200, 500, 1000, 2000, 5000),
     broadcast_limit: int = 2_000_000, force_distributed: bool = False,

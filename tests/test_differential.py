@@ -131,7 +131,13 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "multimodal_token_budget",
            # two-stage rerank: fuzz hits duplicate vectors (cosine ties)
            # and the zero vector (cosine pinned to -1 both sides)
-           "sq_rerank_topk"]
+           "sq_rerank_topk",
+           # calibrated filter: fuzz hits singleton sources (pct 0 ->
+           # all-cut -> NULL min_kept_tokens)
+           "calibrated_length_filter",
+           # prefix clusters: fuzz hits empty docs (excluded), short docs
+           # (< 8 tokens use the full stream) and duplicated texts
+           "prefix_clusters"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
