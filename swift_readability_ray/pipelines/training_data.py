@@ -450,7 +450,7 @@ def sq_rerank_topk(
                          "embedding": pa.list_(pa.float32())})
     if sub.num_rows == 0:
         return empty
-    mat = np.asarray(sub.column("embedding").to_pylist(), np.float64)
+    mat = S._to_matrix(sub, "embedding").astype(np.float64)
     sids = sub.column("vec_id").to_numpy().astype(np.int64)
     norms = np.linalg.norm(mat, axis=1)
     out_q, out_n, out_r = [], [], []
