@@ -177,6 +177,28 @@ def _merge_partials(
 _GRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _pinned_hash_shuffle():
+    """Pin the session's shuffle strategy to HASH_SHUFFLE for the datasets
+    created inside the block (``repartition(keys=...)`` requires it; the
+    DataContext is captured at dataset creation, so the pin must wrap the
+    WHOLE query impl, reads included) and restore the previous strategy on
+    exit.  The ONE wrapper the keyed-repartition queries (q21,
+    quality_percentiles, range_layout) share."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+
+
 def _sorted_member(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Membership of ``vals`` in the SORTED array ``keys`` →
     (hit_mask, safe_index).  The ONE guarded searchsorted idiom — an
@@ -5711,16 +5733,9 @@ def range_layout(
     into bounded per-shard (count, min, max) partials.  Text never moves;
     only the 16-byte key rows cross the one shuffle.  Under the documents
     footer gate the whole tail is one driver lexsort instead."""
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with _pinned_hash_shuffle():
         return _range_layout_impl(sf_dir, n_shards, driver_limit,
                                   force_distributed)
-    finally:
-        ctx.shuffle_strategy = prev
 
 
 def _range_layout_impl(
@@ -5942,13 +5957,19 @@ def vocab_coverage(
     native groupby-Sum above it — the doc_typicality dual shape); the
     cumulative-coverage tail is one driver sort over the bounded
     vocabulary."""
-    empty = pa.table({"vocab_size": pa.array([], pa.int64()),
-                      "n_types": pa.array([], pa.int64()),
-                      "covered_tokens": pa.array([], pa.int64()),
-                      "coverage_ppm": pa.array([], pa.int64())})
+    def tokenless() -> pa.Table:
+        # the oracle's `sizes CROSS JOIN tot` yields one row per size even
+        # over a token-free (or empty) corpus: n_types/covered 0,
+        # coverage_ppm NULL (0 // NULL) — mirror that, not an empty table
+        return pa.table({
+            "vocab_size": pa.array([int(s) for s in sizes], pa.int64()),
+            "n_types": pa.array([0] * len(sizes), pa.int64()),
+            "covered_tokens": pa.array([0] * len(sizes), pa.int64()),
+            "coverage_ppm": pa.array([None] * len(sizes), pa.int64())})
+
     n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
     if n_docs == 0:
-        return empty
+        return tokenless()
     ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=1024)
     partials = ds.map_batches(_word_count_partial, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -5965,7 +5986,7 @@ def vocab_coverage(
                 Sum("n", alias_name="n")),
             fallback_schema={"term": pa.string(), "n": pa.int64()})
     if vocab.num_rows == 0:
-        return empty
+        return tokenless()
     terms = np.asarray(vocab.column("term").to_pylist(), dtype=object)
     cnt = vocab.column("n").to_numpy().astype(np.int64)
     # rank by (count DESC, term ASC) — numpy lacks descending lexsort on
@@ -5991,7 +6012,7 @@ def vocab_coverage(
                      "coverage_ppm": pa.array(out_p, pa.int64())})
 
 
-def length_buckets(sf_dir: str, max_exp: int = 16) -> pa.Table:
+def length_buckets(sf_dir: str) -> pa.Table:
     """Padding-efficiency audit: docs bucketed by next-power-of-two token
     count (the standard length-bucketed batching scheme) → per bucket
     (bucket, n_docs, sum_tokens, padding_tokens) where padding = bucket
@@ -6000,8 +6021,9 @@ def length_buckets(sf_dir: str, max_exp: int = 16) -> pa.Table:
     bucket 0 with no padding.
 
     Scale shape: ONE tokenize pass folds per-block (bucket, count, Σtok,
-    Σpad) partials — the bucket key space is ≤ ``max_exp`` rows, so the
-    driver merge is the textbook bounded rollup."""
+    Σpad) partials — the bucket key space is log-bounded (one row per
+    power of two up to the longest doc), so the driver merge is the
+    textbook bounded rollup."""
     empty = pa.table({"bucket": pa.array([], pa.int64()),
                       "n_docs": pa.array([], pa.int64()),
                       "sum_tokens": pa.array([], pa.int64()),
@@ -6069,16 +6091,9 @@ def quality_percentiles(
     (``repartition(keys=...)`` requires it; the DataContext is captured at
     dataset creation, so the pin must wrap the whole impl — the q21
     pattern) and restores the previous strategy on exit."""
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with _pinned_hash_shuffle():
         return _quality_percentiles_impl(sf_dir, driver_limit,
                                          force_distributed)
-    finally:
-        ctx.shuffle_strategy = prev
 
 
 def _quality_percentiles_impl(
@@ -10121,16 +10136,9 @@ def q21_waiting_suppliers(
     query creates (``repartition(keys=...)`` requires it; the default
     sort-based strategy rejects key repartitioning) and restores the
     previous strategy on exit."""
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with _pinned_hash_shuffle():
         return _q21_impl(sf_dir, status, k, broadcast_limit,
                          pair_driver_limit, force_distributed)
-    finally:
-        ctx.shuffle_strategy = prev
 
 
 def _q21_impl(

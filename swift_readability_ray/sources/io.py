@@ -131,8 +131,12 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
         return
     if path.endswith(".orc"):
         # Ray ships no write_orc; map over blocks writing one ORC file per
-        # block (same resumable one-file-per-block layout as write_parquet)
-        os.makedirs(path, exist_ok=True)
+        # block (same resumable one-file-per-block layout as write_parquet).
+        # LOCAL paths only (pyarrow.orc.write_table opens the path
+        # directly); resolved absolute on the DRIVER so worker cwd never
+        # matters, and kwargs pass through to the ORC writer.
+        out_dir = os.path.abspath(path)
+        os.makedirs(out_dir, exist_ok=True)
 
         def _write(batch):
             import uuid
@@ -140,8 +144,8 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
             import pyarrow as pa
             import pyarrow.orc as _orc
 
-            fn = f"{path}/block-{uuid.uuid4().hex}.orc"
-            _orc.write_table(batch, fn)
+            fn = f"{out_dir}/block-{uuid.uuid4().hex}.orc"
+            _orc.write_table(batch, fn, **kwargs)
             return pa.table({"path": pa.array([fn])})
 
         ds.map_batches(_write, batch_format="pyarrow",

@@ -499,6 +499,28 @@ def test_range_layout_forced_distributed_pins_gate(ray_session):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_vocab_coverage_tokenless_corpus_matches_oracle_shape(
+        ray_session, tmp_path):
+    """A corpus whose texts contain no [a-z0-9] tokens must still yield
+    one row per candidate size (n_types/covered 0, coverage_ppm NULL) —
+    the oracle's `sizes CROSS JOIN tot` shape (code-review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swift_readability_ray.pipelines.training_data import vocab_coverage
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["!!!", ""], pa.string()),
+                  "lang": pa.array(["en"] * 2),
+                  "source": pa.array(["s0"] * 2),
+                  "n_chars": pa.array([3, 0], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = vocab_coverage(str(tmp_path))
+    assert got.num_rows == 6
+    assert got.column("n_types").to_pylist() == [0] * 6
+    assert got.column("coverage_ppm").to_pylist() == [None] * 6
+
+
 def test_sq_topk_degenerate_corpora(ray_session, tmp_path):
     """sq_topk guards the two inputs the oracle never sees: an all-zero
     corpus (max_abs = 0 -> every code 0, rank purely by neighbor_id) and
