@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq_topk": TD.sq_topk_query,
         # two-stage retrieval: quantized prefilter -> exact cosine rerank
         "sq_rerank_topk": TD.sq_rerank_topk,
+        # persisted int8 sidecar probe (full scan == inline sq_topk)
+        "sq_persisted_topk": TD.sq_persisted_topk_query,
         # joins / json scalar functions
         "orders_by_segment": TD.orders_by_segment,
         "events_json_stats": TD.events_json_stats,
@@ -2953,6 +2955,9 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_graph_oracles())
     sql.update(_quality_oracles())
     sql.update(_cadence_oracles())
+    # a full scan of the persisted int8 sidecar is definitionally the
+    # inline sq_topk computation — same oracle verbatim
+    sql["sq_persisted_topk"] = sql["sq_topk"]
     return sql
 
 

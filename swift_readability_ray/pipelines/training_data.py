@@ -495,6 +495,49 @@ def sq_rerank_topk(
                      "rank": pa.array(out_r, pa.int32())})
 
 
+# persisted SQ sidecar, one per sf_dir per session (build once, probe many)
+_SQ_SIDECAR_CACHE: dict = {}
+
+
+def _sq_sidecar(sf_dir: str) -> str:
+    key = sf_dir
+    if key not in _SQ_SIDECAR_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        root = tempfile.mkdtemp(prefix="sq_sidecar_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        S.build_sq_sidecar(ds, root)
+        _SQ_SIDECAR_CACHE[key] = root
+    return _SQ_SIDECAR_CACHE[key]
+
+
+def sq_persisted_topk_query(
+    sf_dir: str, n_queries: int = 4, k: int = 10,
+) -> pa.Table:
+    """Probe the PERSISTED int8 SQ sidecar (see stages/similarity.py:
+    build_sq_sidecar) — the quantized-scan lifecycle made real: codes are
+    written once as fixed_size_list<int8> (a ~4× smaller scan than the
+    float32 column) and the probe reads ONLY them.  A full-sidecar probe
+    equals the inline sq_topk bit for bit, so it shares that oracle."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int32()),
+                      "qdot": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty
+    queries, query_ids, _ = _query_vectors(sf_dir, n_queries)
+    if not query_ids:
+        return empty
+    root = _sq_sidecar(sf_dir)
+    tbl = S.sq_persisted_topk(root, queries, query_ids, k=k)
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 # persisted ANN index, one per (sf_dir, n_centroids) per session — the
 # pruned-probe and full-probe queries share one build (index lifecycle:
 # build once, probe many)

@@ -241,6 +241,110 @@ def sq_topk(
     )
 
 
+def build_sq_sidecar(
+    ds: ray.data.Dataset,
+    out_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Build and PERSIST the scalar-quantization sidecar: every vector's
+    int8 codes written as ``fixed_size_list<int8>`` parquet (one file per
+    block — resumable) plus a one-row meta table carrying ``max_abs``.
+    At 100 TB this is the artifact that makes quantized scans real: the
+    sidecar is ~4× smaller than the float32 column, is built ONCE, and
+    every later probe scans only it — the full-precision embeddings stay
+    cold until a rerank fetches candidates.  Returns ``max_abs``."""
+    import pyarrow.parquet as pq
+
+    max_abs = corpus_max_abs(ds, vec_col)
+    sc = 127.0 / max_abs if max_abs > 0 else 0.0
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch, vec_col)
+        codes = np.floor(mat.astype(np.float64) * sc + 0.5).astype(np.int8)
+        dim = codes.shape[1] if codes.size else 0
+        flat = pa.array(codes.reshape(-1), pa.int8())
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "code": pa.FixedSizeListArray.from_arrays(flat, dim)}
+        )
+
+    ds.map_batches(encode, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(f"{out_root}/codes")
+    pq.write_table(
+        pa.table({"max_abs": pa.array([max_abs], pa.float64())}),
+        f"{out_root}/meta.parquet",
+    )
+    return max_abs
+
+
+def sq_persisted_topk(
+    index_root: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Probe the persisted SQ sidecar: scan ONLY the int8 codes (the 4×
+    smaller column), rank by the exact integer dot against the quantized
+    query (same formula as :func:`sq_topk`, so a full-sidecar probe
+    equals the inline two-pass form bit for bit), per-block top-k
+    combiner + bounded driver merge."""
+    import pyarrow.parquet as pq
+
+    max_abs = pq.read_table(f"{index_root}/meta.parquet").column(
+        "max_abs")[0].as_py()
+    sc = 127.0 / max_abs if max_abs > 0 else 0.0
+    qcodes = np.floor(np.asarray(queries, np.float64) * sc + 0.5).astype(
+        np.int64)
+    q_ref = ray.put(qcodes)
+    sub = ray.data.read_parquet(f"{index_root}/codes",
+                                columns=[id_col, "code"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qc = ray.get(q_ref)
+        ids = _ids_array(batch, id_col)
+        arr = batch.column("code")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        w = arr.type.list_size
+        flat = np.asarray(arr.values, dtype=np.int64)
+        codes = flat[arr.offset * w:
+                     arr.offset * w + len(arr) * w].reshape(len(arr), w)
+        qdot = qc @ codes.T
+        out_q, out_id, out_dot = [], [], []
+        for qi in range(qdot.shape[0]):
+            idx = _block_topk(qdot[qi], ids, k)
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_dot.extend(qdot[qi][idx].tolist())
+        return pa.table(
+            {"qi": pa.array(out_q, pa.int32()),
+             "neighbor_id": pa.array(out_id, pa.int64()),
+             "qdot": pa.array(out_dot, pa.int64())}
+        )
+
+    partials = sub.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in partials.take_all():
+        by_q.setdefault(r["qi"], []).append((r["qdot"], r["neighbor_id"]))
+    out_qid, out_nid, out_rank, out_dot = [], [], [], []
+    for qi, lst in sorted(by_q.items()):
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (dot, nid) in enumerate(lst[:k], start=1):
+            out_qid.append(query_ids[qi])
+            out_nid.append(nid)
+            out_rank.append(rank)
+            out_dot.append(dot)
+    return pa.table(
+        {"query_id": pa.array(out_qid, pa.int64()),
+         "neighbor_id": pa.array(out_nid, pa.int64()),
+         "rank": pa.array(out_rank, pa.int32()),
+         "qdot": pa.array(out_dot, pa.int64())}
+    )
+
+
 def build_ivf_centroids(
     ds: ray.data.Dataset, n_centroids: int = 16, iters: int = 5,
     vec_col: str = "embedding", seed: int = 42, sample_limit: int = 4096,

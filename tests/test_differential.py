@@ -132,6 +132,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            # two-stage rerank: fuzz hits duplicate vectors (cosine ties)
            # and the zero vector (cosine pinned to -1 both sides)
            "sq_rerank_topk",
+           # persisted sidecar probe: full build+probe per fuzz table,
+           # same tie/zero-vector cases as sq_topk through the parquet
+           # round trip (session cache keyed by dir — unique per tmp_path)
+           "sq_persisted_topk",
            # calibrated filter: fuzz hits singleton sources (pct 0 ->
            # all-cut -> NULL min_kept_tokens)
            "calibrated_length_filter",

@@ -499,6 +499,20 @@ def test_range_layout_forced_distributed_pins_gate(ray_session):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_sq_persisted_probe_pins_inline(ray_session):
+    """A full scan of the persisted int8 sidecar returns EXACTLY the
+    inline two-pass sq_topk result — certifying the encode → parquet
+    (fixed_size_list<int8>) → decode round trip loses nothing."""
+    from swift_readability_ray.pipelines.training_data import (
+        sq_persisted_topk_query, sq_topk_query,
+    )
+
+    inline = sq_topk_query(SF)
+    probed = sq_persisted_topk_query(SF)
+    assert inline.num_rows > 0
+    assert inline.to_pylist() == probed.to_pylist()
+
+
 def test_vocab_coverage_tokenless_corpus_matches_oracle_shape(
         ray_session, tmp_path):
     """A corpus whose texts contain no [a-z0-9] tokens must still yield
