@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": TD.vocab_coverage,
         # end-to-end calibrated filter over quality_percentiles (p10 cut)
         "calibrated_length_filter": TD.calibrated_length_filter,
+        # per-domain cap: at most 5 docs per source, uniform by md5
+        "source_cap_sample": TD.source_cap_sample,
         # intra-corpus template clusters by 8-token prefix key
         "prefix_clusters": TD.prefix_clusters,
         # length-bucketed batching audit: next-pow2 buckets + padding waste
@@ -2372,6 +2374,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN pct >= 100000 THEN n_tokens END)
                         AS BIGINT) AS min_kept_tokens
             FROM p GROUP BY source ORDER BY source
+        """,
+        # per-domain cap: md5-priority uniform keep of <= 5 per source
+        "source_cap_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS rk
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id
         """,
         # 8-token-prefix template clusters (md5 key), >= 2 members
         "prefix_clusters": """

@@ -5985,6 +5985,44 @@ def prefix_clusters(
         ("n_docs", "descending"), ("prefix_key", "ascending")]))
 
 
+def source_cap_sample(sf_dir: str, cap: int = 5) -> pa.Table:
+    """Per-domain capping: keep at most ``cap`` docs per source, chosen
+    uniformly-by-hash (md5 priority — deterministic, order-free) — the
+    primitive web corpora use to stop a single domain dominating the mix
+    → (doc_id, source) ordered by doc_id.
+
+    Scale shape: per-block per-source top-``cap`` candidates by
+    (md5, doc_id) — a combiner, so the driver merge sees only
+    blocks × sources × cap thin rows, never the corpus; the final
+    per-source cut reuses the same ordering."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        src = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+        pri = np.asarray([hashlib.md5(str(int(i)).encode()).hexdigest()
+                          for i in ids], dtype=object)
+        order = np.lexsort((ids, pri, src))
+        s, i = src[order], ids[order]
+        _, f, c = np.unique(s, return_index=True, return_counts=True)
+        within = np.arange(len(s)) - np.repeat(f, c)
+        keep = within < cap
+        return pa.table({"doc_id": pa.array(i[keep], pa.int64()),
+                         "source": pa.array(s[keep], pa.string())})
+
+    parts = _docs_sized(sf_dir, columns=["doc_id", "source"],
+                        rows_per_block=1024).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _collect(parts, fallback_schema={
+        "doc_id": pa.int64(), "source": pa.string()})
+    if merged.num_rows == 0:
+        return empty
+    return pick(merged).sort_by("doc_id")
+
+
 def vocab_coverage(
     sf_dir: str, sizes: tuple = (100, 200, 500, 1000, 2000, 5000),
     broadcast_limit: int = 2_000_000, force_distributed: bool = False,

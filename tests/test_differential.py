@@ -141,7 +141,9 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "calibrated_length_filter",
            # prefix clusters: fuzz hits empty docs (excluded), short docs
            # (< 8 tokens use the full stream) and duplicated texts
-           "prefix_clusters"]
+           "prefix_clusters",
+           # domain cap: fuzz hits sources smaller than the cap (all kept)
+           "source_cap_sample"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
