@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibrated_length_filter": TD.calibrated_length_filter,
         # per-domain cap: at most 5 docs per source, uniform by md5
         "source_cap_sample": TD.source_cap_sample,
+        # fuzzy string-similarity self-join (block on 2-token prefix,
+        # exact byte-Levenshtein verify)
+        "fuzzy_prefix_pairs": TD.fuzzy_prefix_pairs,
         # intra-corpus template clusters by 8-token prefix key
         "prefix_clusters": TD.prefix_clusters,
         # length-bucketed batching audit: next-pow2 buckets + padding waste
@@ -2374,6 +2377,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN pct >= 100000 THEN n_tokens END)
                         AS BIGINT) AS min_kept_tokens
             FROM p GROUP BY source ORDER BY source
+        """,
+        # fuzzy self-join: block on md5 of the first 2 tokens, verify
+        # with DuckDB's byte-level levenshtein over 32-char prefixes
+        "fuzzy_prefix_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS ts,
+                     substr(text, 1, 32) AS pref
+              FROM documents),
+            k AS (
+              SELECT doc_id, pref,
+                     md5(array_to_string(ts[1:2], ' ')) AS bkey
+              FROM t WHERE len(ts) > 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS dist
+            FROM k a JOIN k b
+              ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pref, b.pref) <= 8
+            ORDER BY doc_a, doc_b
         """,
         # per-domain cap: md5-priority uniform keep of <= 5 per source
         "source_cap_sample": """

@@ -5985,6 +5985,128 @@ def prefix_clusters(
         ("n_docs", "descending"), ("prefix_key", "ascending")]))
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance over UTF-8 BYTES — pinned to DuckDB
+    ``levenshtein()`` semantics (byte-level, unit costs; a 2-byte
+    codepoint substitution costs 2).  Vectorized row-DP: one numpy pass
+    per byte of ``a``."""
+    ab, bb_raw = a.encode("utf-8"), b.encode("utf-8")
+    if ab == bb_raw:
+        return 0
+    if not ab:
+        return len(bb_raw)
+    if not bb_raw:
+        return len(ab)
+    bb = np.frombuffer(bb_raw, dtype=np.uint8)
+    n = len(bb)
+    j = np.arange(n + 1, dtype=np.int64)
+    prev = j.copy()
+    for i, ch in enumerate(ab):
+        cur = np.empty(n + 1, np.int64)
+        cur[0] = i + 1
+        # substitution/deletion candidates; the sequential insertion
+        # recurrence cur[j] <= cur[j-1]+1 folds into one running min of
+        # (candidate[k] - k), cur[0] included as a source
+        np.minimum(prev[:-1] + (bb != ch), prev[1:] + 1, out=cur[1:])
+        np.minimum.accumulate(cur - j, out=cur)
+        cur += j
+        prev = cur
+    return int(prev[-1])
+
+
+def fuzzy_prefix_pairs(
+    sf_dir: str, prefix_chars: int = 32, max_dist: int = 8,
+    broadcast_limit: int = 2_000_000, force_distributed: bool = False,
+) -> pa.Table:
+    """Approximate STRING-similarity self-join — the fuzzy-match family
+    (title/record linkage) the equality joins can't express: doc pairs
+    whose first-2-token blocking key matches AND whose ``prefix_chars``
+    text prefixes are within Levenshtein ``max_dist`` →
+    (doc_a, doc_b, dist), doc_a < doc_b, ordered by (doc_a, doc_b).
+    Blocking-then-verify is the classic record-linkage shape: the
+    blocking key bounds the candidate set (never all-pairs), the exact
+    edit-distance verify runs only inside buckets.
+
+    Scale shape: one map pass emits (bucket_key, doc_id, prefix) thin
+    rows; under the documents footer gate buckets fold on the driver;
+    above it (or forced) ONE hash repartition by bucket co-locates each
+    bucket and the IDENTICAL vectorized-DP verify runs per block.  Skewed
+    buckets (boilerplate openings) are the known hazard — the verify is
+    O(|bucket|²), so production adds a bucket-size cap; this corpus's
+    buckets are bounded and a cap would change answers, so none here."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ks, ids, prefs = [], [], []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            ks.append(hashlib.md5(" ".join(toks[:2]).encode()).hexdigest())
+            ids.append(did)
+            prefs.append((t or "")[:prefix_chars])
+        return pa.table({"bkey": pa.array(ks, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "pref": pa.array(prefs, pa.string())})
+
+    thin = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                       rows_per_block=1024).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    fb = {"bkey": pa.string(), "doc_id": pa.int64(), "pref": pa.string()}
+
+    def verify(t: pa.Table) -> pa.Table:
+        """Per-bucket pair expansion + exact DP verify.  Requires every
+        row of a bucket present (driver, or one hash partition)."""
+        if t.num_rows == 0:
+            return empty
+        bk = np.asarray(t.column("bkey").to_pylist(), dtype=object)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        prefs = np.asarray(t.column("pref").to_pylist(), dtype=object)
+        order = np.lexsort((ids, bk))
+        bk, ids, prefs = bk[order], ids[order], prefs[order]
+        _, f, c = np.unique(bk, return_index=True, return_counts=True)
+        out_a, out_b, out_d = [], [], []
+        for start, cnt in zip(f, c):
+            if cnt < 2:
+                continue
+            gi = ids[start:start + cnt]
+            gp = prefs[start:start + cnt]
+            ii, jj = np.triu_indices(cnt, 1)
+            for x, y in zip(ii, jj):
+                d = _levenshtein(gp[x], gp[y])
+                if d <= max_dist:
+                    out_a.append(int(gi[x]))
+                    out_b.append(int(gi[y]))
+                    out_d.append(d)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        return verify(_collect(thin, fallback_schema=fb)).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    with _pinned_hash_shuffle():
+        thin2 = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                            rows_per_block=1024).map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True)
+        co = thin2.repartition(
+            num_blocks=D._default_join_partitions(thin2), keys=["bkey"])
+        out = co.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        return _collect(out, fallback_schema={
+            "doc_a": pa.int64(), "doc_b": pa.int64(),
+            "dist": pa.int64()}).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def source_cap_sample(sf_dir: str, cap: int = 5) -> pa.Table:
     """Per-domain capping: keep at most ``cap`` docs per source, chosen
     uniformly-by-hash (md5 priority — deterministic, order-free) — the

@@ -143,7 +143,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            # (< 8 tokens use the full stream) and duplicated texts
            "prefix_clusters",
            # domain cap: fuzz hits sources smaller than the cap (all kept)
-           "source_cap_sample"]
+           "source_cap_sample",
+           # fuzzy join: fuzz hits duplicated texts (dist 0), singleton
+           # buckets (no pairs) and prefix truncation mid-word
+           "fuzzy_prefix_pairs"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

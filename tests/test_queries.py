@@ -499,6 +499,18 @@ def test_range_layout_forced_distributed_pins_gate(ray_session):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_fuzzy_prefix_pairs_forced_distributed_pins_gate(ray_session):
+    """The hash-repartition-by-bucket verify returns EXACTLY the
+    driver-gate result on the testdata corpus."""
+    from swift_readability_ray.pipelines.training_data import (
+        fuzzy_prefix_pairs,
+    )
+
+    gate = fuzzy_prefix_pairs(SF)
+    forced = fuzzy_prefix_pairs(SF, force_distributed=True)
+    assert gate.to_pylist() == forced.to_pylist()
+
+
 def test_sq_persisted_probe_pins_inline(ray_session):
     """A full scan of the persisted int8 sidecar returns EXACTLY the
     inline two-pass sq_topk result — certifying the encode → parquet
