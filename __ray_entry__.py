@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": TD.events_hourly,
         # hopping (sliding) 6h windows stepping hourly
         "events_hopping": TD.events_hopping,
+        # out-of-orderness audit (watermark sizing): per-user late counts
+        "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
         "events_asof_rates": TD.events_asof_rates,
         "readerable_flags": TD.readerable_flags,
@@ -573,6 +575,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(value_c) AS BIGINT) AS sum_value_c
             FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # watermark audit: late = ts < running max ts of earlier arrivals
+        # (event_id order) per user; lateness in exact microseconds
+        "events_watermark_late": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS wm
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN ts < wm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(max(CASE WHEN ts < wm
+                            THEN epoch_us(wm) - epoch_us(ts) END), 0)
+                        AS BIGINT) AS max_lateness_us
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         "events_value_buckets": """
             WITH b AS (

@@ -1152,6 +1152,75 @@ def events_hopping(sf_dir: str, window_hours: int = 6) -> pa.Table:
         "sum_value_c": tbl.column("sum_value_c")})
 
 
+def events_watermark_late(
+    sf_dir: str, driver_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Out-of-orderness audit — the measurement that SIZES a streaming
+    watermark: treating ``event_id`` as arrival order, an event is LATE
+    if its ts precedes the running max ts of earlier arrivals for the
+    same user; → per user (user_id, n_events, n_late, max_lateness_us)
+    ordered by user_id (max_lateness is the watermark delay that would
+    have admitted every event).
+
+    Scale shape: thin (user_id, event_id, ts) rows only; ONE driver
+    lexsort + per-user running-max under the events footer gate, ONE
+    hash repartition by user_id + the IDENTICAL vectorized tail per
+    block above it (user_id is the events family's shared partitioning
+    key)."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_late": pa.array([], pa.int64()),
+                      "max_lateness_us": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+
+    def tail(t: pa.Table) -> pa.Table:
+        """Per-user running-max lateness — needs every row of a user
+        present (driver, or one hash partition)."""
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        order = np.lexsort((eid, uid))
+        uid, ts = uid[order], ts[order]
+        u, f, c = np.unique(uid, return_index=True, return_counts=True)
+        out_n, out_l, out_m = [], [], []
+        for start, cnt in zip(f, c):
+            seg = ts[start:start + cnt]
+            wm = np.maximum.accumulate(seg)[:-1]
+            late = seg[1:] < wm
+            out_n.append(int(cnt))
+            out_l.append(int(late.sum()))
+            out_m.append(int((wm - seg[1:])[late].max()) if late.any()
+                         else 0)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n_events": pa.array(out_n, pa.int64()),
+                         "n_late": pa.array(out_l, pa.int64()),
+                         "max_lateness_us": pa.array(out_m, pa.int64())})
+
+    n_ev = _footer_rows(path)
+    if not force_distributed and (n_ev is not None
+                                  and n_ev <= driver_limit):
+        thin = _read_sized(path, columns=["user_id", "event_id", "ts"])
+        return tail(_collect(thin, fallback_schema={
+            "user_id": pa.int64(), "event_id": pa.int64(),
+            "ts": pa.timestamp("us")})).sort_by("user_id")
+
+    with _pinned_hash_shuffle():
+        thin = _read_sized(path, columns=["user_id", "event_id", "ts"])
+        co = thin.repartition(num_blocks=D._default_join_partitions(thin),
+                              keys=["user_id"])
+        out = co.map_batches(tail, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        return _collect(out, fallback_schema={
+            "user_id": pa.int64(), "n_events": pa.int64(),
+            "n_late": pa.int64(), "max_lateness_us": pa.int64()}
+        ).sort_by("user_id")
+
+
 def readerable_flags(sf_dir: str) -> pa.Table:
     """Per-doc isProbablyReaderable over the synthesized pages — the real
     heuristic (sqrt score over visible p/pre/article nodes), not a length

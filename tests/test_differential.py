@@ -146,7 +146,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "source_cap_sample",
            # fuzzy join: fuzz hits duplicated texts (dist 0), singleton
            # buckets (no pairs) and prefix truncation mid-word
-           "fuzzy_prefix_pairs"]
+           "fuzzy_prefix_pairs",
+           # watermark audit: fuzz hits same-ts arrivals (ts == wm is NOT
+           # late) and single-event users (no watermark)
+           "events_watermark_late"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

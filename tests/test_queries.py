@@ -499,6 +499,19 @@ def test_range_layout_forced_distributed_pins_gate(ray_session):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_events_watermark_late_forced_distributed_pins_gate(ray_session):
+    """The hash-repartition-by-user tail returns EXACTLY the driver-gate
+    result on the testdata events."""
+    from swift_readability_ray.pipelines.training_data import (
+        events_watermark_late,
+    )
+
+    gate = events_watermark_late(SF)
+    forced = events_watermark_late(SF, force_distributed=True)
+    assert gate.num_rows > 0
+    assert gate.to_pylist() == forced.to_pylist()
+
+
 def test_fuzzy_prefix_pairs_forced_distributed_pins_gate(ray_session):
     """The hash-repartition-by-bucket verify returns EXACTLY the
     driver-gate result on the testdata corpus."""
