@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibrated_length_filter": TD.calibrated_length_filter,
         # per-domain cap: at most 5 docs per source, uniform by md5
         "source_cap_sample": TD.source_cap_sample,
+        # referential-integrity orphan audit across the star schema
+        "fk_integrity_audit": TD.fk_integrity_audit,
         # fuzzy string-similarity self-join (block on 2-token prefix,
         # exact byte-Levenshtein verify)
         "fuzzy_prefix_pairs": TD.fuzzy_prefix_pairs,
@@ -2416,6 +2418,49 @@ def oracle_sql() -> dict[str, str]:
               ON a.bkey = b.bkey AND a.doc_id < b.doc_id
             WHERE levenshtein(a.pref, b.pref) <= 8
             ORDER BY doc_a, doc_b
+        """,
+        # referential-integrity orphans per fact->dimension edge
+        "fk_integrity_audit": """
+            WITH a AS (
+              SELECT 'orders.custkey->customer' AS relation,
+                     (SELECT count(*) FROM orders) AS n_rows,
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+                         AS n_orphans
+              UNION ALL
+              SELECT 'lineitem.orderkey->orders',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'lineitem.partkey->part',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey))
+              UNION ALL
+              SELECT 'lineitem.suppkey->supplier',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                        WHERE s.s_suppkey = l.l_suppkey))
+              UNION ALL
+              SELECT 'customer.nationkey->nation',
+                     (SELECT count(*) FROM customer),
+                     (SELECT count(*) FROM customer c
+                      WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                        WHERE n.n_nationkey = c.c_nationkey))
+              UNION ALL
+              SELECT 'supplier.nationkey->nation',
+                     (SELECT count(*) FROM supplier),
+                     (SELECT count(*) FROM supplier s
+                      WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                        WHERE n.n_nationkey = s.s_nationkey)))
+            SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_orphans AS BIGINT) AS n_orphans
+            FROM a ORDER BY relation
         """,
         # per-domain cap: md5-priority uniform keep of <= 5 per source
         "source_cap_sample": """

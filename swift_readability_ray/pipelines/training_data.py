@@ -6176,6 +6176,83 @@ def fuzzy_prefix_pairs(
             [("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+def fk_integrity_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit across the star schema — the
+    data-quality gate an ingest pipeline runs before joins are trusted:
+    for each fact→dimension edge, the row count and the number of ORPHAN
+    rows (fact keys absent from the dimension) →
+    (relation, n_rows, n_orphans) ordered by relation.  Edges:
+    orders.o_custkey→customer, lineitem.l_orderkey→orders,
+    lineitem.l_partkey→part, lineitem.l_suppkey→supplier,
+    customer.c_nationkey→nation, supplier.s_nationkey→nation.
+
+    Scale shape: each DIMENSION key set is catalog-bounded and
+    broadcasts once (``ray.put`` sorted array); each fact table is
+    scanned ONCE with all its edges checked in the same batch pass via
+    vectorized searchsorted membership — per-block (n, orphans-per-edge)
+    partials, bounded driver merge, no shuffle at all."""
+    import pyarrow.parquet as pq
+
+    dims = {
+        "customer": ("c_custkey", pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"])),
+        "orders": ("o_orderkey", pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"])),
+        "part": ("p_partkey", pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"])),
+        "supplier": ("s_suppkey", pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])),
+        "nation": ("n_nationkey", pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey"])),
+    }
+    refs = {name: ray.put(np.sort(
+        t.column(c).to_numpy().astype(np.int64)))
+        for name, (c, t) in dims.items()}
+
+    # (fact table, [(fact key col, dim name, relation label), ...])
+    edges = {
+        "orders": [("o_custkey", "customer", "orders.custkey->customer")],
+        "lineitem": [
+            ("l_orderkey", "orders", "lineitem.orderkey->orders"),
+            ("l_partkey", "part", "lineitem.partkey->part"),
+            ("l_suppkey", "supplier", "lineitem.suppkey->supplier")],
+        "customer": [("c_nationkey", "nation", "customer.nationkey->nation")],
+        "supplier": [("s_nationkey", "nation", "supplier.nationkey->nation")],
+    }
+    rows_rel, rows_n, rows_o = [], [], []
+    for fact, fedges in edges.items():
+        cols = [c for c, _, _ in fedges]
+        ds = _read_sized(f"{sf_dir}/{fact}.parquet", columns=cols)
+        fr = {d: refs[d] for _, d, _ in fedges}
+
+        def partial(batch: pa.Table, fedges=fedges, fr=fr) -> pa.Table:
+            out = {"n": [batch.num_rows]}
+            for c, d, rel in fedges:
+                keys = ray.get(fr[d])
+                vals = batch.column(c).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                hit, _ = _sorted_member(keys, vals)
+                out[rel] = [int((~hit).sum())]
+            return pa.table({k: pa.array(v, pa.int64())
+                             for k, v in out.items()})
+
+        parts = _collect(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            fallback_schema={"n": pa.int64(), **{
+                rel: pa.int64() for _, _, rel in fedges}})
+        n = int(pc.sum(parts.column("n")).as_py() or 0)
+        for _, _, rel in fedges:
+            rows_rel.append(rel)
+            rows_n.append(n)
+            rows_o.append(int(pc.sum(parts.column(rel)).as_py() or 0)
+                          if parts.num_rows else 0)
+    return pa.table({"relation": pa.array(rows_rel, pa.string()),
+                     "n_rows": pa.array(rows_n, pa.int64()),
+                     "n_orphans": pa.array(rows_o, pa.int64())}
+                    ).sort_by("relation")
+
+
 def source_cap_sample(sf_dir: str, cap: int = 5) -> pa.Table:
     """Per-domain capping: keep at most ``cap`` docs per source, chosen
     uniformly-by-hash (md5 priority — deterministic, order-free) — the

@@ -456,7 +456,10 @@ FULL_OPS = ["q7_nation_volume", "q15_top_supplier",
             "q22_sales_opportunity", "q8_market_share",
             "q9_product_profit", "q11_important_parts",
             "q12_late_shipment_priority", "q21_waiting_suppliers",
-            "q2_min_acctbal_supplier", "q20_dominant_suppliers"]
+            "q2_min_acctbal_supplier", "q20_dominant_suppliers",
+            # the planted missing-nationkey supplier makes
+            # supplier.nationkey->nation report a REAL orphan here
+            "fk_integrity_audit"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
