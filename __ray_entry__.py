@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_sample": TD.source_cap_sample,
         # referential-integrity orphan audit across the star schema
         "fk_integrity_audit": TD.fk_integrity_audit,
+        # per-source p10/p50/p90 token thresholds (exact rank semantics)
+        "percentile_thresholds": TD.percentile_thresholds,
+        # churn audit: users idle >= 30 days vs the corpus max ts
+        "churned_users": TD.churned_users,
         # fuzzy string-similarity self-join (block on 2-token prefix,
         # exact byte-Levenshtein verify)
         "fuzzy_prefix_pairs": TD.fuzzy_prefix_pairs,
@@ -2461,6 +2465,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
                    CAST(n_orphans AS BIGINT) AS n_orphans
             FROM a ORDER BY relation
+        """,
+        # per-source exact rank-semantics thresholds at p10/p50/p90:
+        # rank r = (n-1)*p//100 + 1 of the (n_tokens, doc_id) order
+        "percentile_thresholds": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT source, n_tokens,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_tokens, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY source) AS n_src
+              FROM t)
+            SELECT source, CAST(any_value(n_src) AS BIGINT) AS n_docs,
+                   CAST(max(CASE WHEN rnk = (n_src - 1) * 10 // 100 + 1
+                                 THEN n_tokens END) AS BIGINT) AS p10_tokens,
+                   CAST(max(CASE WHEN rnk = (n_src - 1) * 50 // 100 + 1
+                                 THEN n_tokens END) AS BIGINT) AS p50_tokens,
+                   CAST(max(CASE WHEN rnk = (n_src - 1) * 90 // 100 + 1
+                                 THEN n_tokens END) AS BIGINT) AS p90_tokens
+            FROM r GROUP BY source ORDER BY source
+        """,
+        # churn: users whose last event is >= 1 whole day before corpus max
+        "churned_users": """
+            WITH u AS (SELECT user_id, max(ts) AS last_ts
+                       FROM events GROUP BY user_id),
+                 g AS (SELECT max(last_ts) AS gmax FROM u)
+            SELECT user_id, last_ts,
+                   CAST((epoch_us(g.gmax) - epoch_us(last_ts))
+                        // 86400000000 AS BIGINT) AS days_idle
+            FROM u, g
+            WHERE (epoch_us(g.gmax) - epoch_us(last_ts))
+                  // 86400000000 >= 1
+            ORDER BY user_id
         """,
         # per-domain cap: md5-priority uniform keep of <= 5 per source
         "source_cap_sample": """

@@ -5942,6 +5942,85 @@ def _range_layout_impl(
     ).sort_by("shard_id")
 
 
+def percentile_thresholds(sf_dir: str, **kw) -> pa.Table:
+    """The per-source THRESHOLD table quality_percentiles feeds: exact
+    p10/p50/p90 token counts per source under rank semantics — the rank-r
+    member of the (n_tokens, doc_id) order with r = (n_src−1)·p//100 + 1
+    (1-based; singleton sources report their one value everywhere) →
+    (source, n_docs, p10_tokens, p50_tokens, p90_tokens).  This is the
+    bounded artifact a filtering job broadcasts; the per-doc table is the
+    percentile sibling.  Shares quality_percentiles' pipeline verbatim."""
+    pct = quality_percentiles(sf_dir, **kw)
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "p10_tokens": pa.array([], pa.int64()),
+                      "p50_tokens": pa.array([], pa.int64()),
+                      "p90_tokens": pa.array([], pa.int64())})
+    if pct.num_rows == 0:
+        return empty
+    src = np.asarray(pct.column("source").to_pylist(), dtype=object)
+    rnk = pct.column("rnk").to_numpy().astype(np.int64)
+    tok = pct.column("n_tokens").to_numpy().astype(np.int64)
+    order = np.lexsort((rnk, src))
+    src, rnk, tok = src[order], rnk[order], tok[order]
+    u, f, c = np.unique(src, return_index=True, return_counts=True)
+    cols = {p: [] for p in (10, 50, 90)}
+    for start, cnt in zip(f, c):
+        seg = tok[start:start + cnt]
+        for p in (10, 50, 90):
+            cols[p].append(int(seg[(cnt - 1) * p // 100]))
+    return pa.table({"source": pa.array(u, pa.string()),
+                     "n_docs": pa.array(c.astype(np.int64), pa.int64()),
+                     "p10_tokens": pa.array(cols[10], pa.int64()),
+                     "p50_tokens": pa.array(cols[50], pa.int64()),
+                     "p90_tokens": pa.array(cols[90], pa.int64())})
+
+
+def churned_users(sf_dir: str, idle_days: int = 1) -> pa.Table:
+    """Churn audit: users whose LAST event is ≥ ``idle_days`` whole days
+    before
+    the corpus max timestamp → (user_id, last_ts, days_idle) ordered by
+    user_id — the retention counterpart of events_dau_wau, and the
+    recency slice of user_rfm promoted to a first-class filter.
+
+    Scale shape: per-block (user, max ts) partials fold in ONE bounded
+    driver merge (user catalog is bounded); the corpus max rides the same
+    partials — no shuffle, no second pass."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "last_ts": pa.array([], pa.timestamp("us")),
+                      "days_idle": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id"]).aggregate(
+            [("ts", "max")]).rename_columns(["user_id", "last_ts"])
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("last_ts", "max")],
+        fallback_schema={"user_id": pa.int64(),
+                         "last_ts": pa.timestamp("us")})
+    if m.num_rows == 0:
+        return empty
+    last = pc.cast(m.column("last_ts"), pa.int64()).to_numpy()
+    gmax = int(last.max())
+    days = (gmax - last) // 86_400_000_000
+    keep = days >= idle_days
+    out = pa.table({
+        "user_id": m.column("user_id").to_numpy().astype(np.int64)[keep],
+        "last_ts": last[keep],
+        "days_idle": days[keep]})
+    out = out.sort_by("user_id")
+    return pa.table({"user_id": out.column("user_id"),
+                     "last_ts": pc.cast(out.column("last_ts"),
+                                        pa.timestamp("us")),
+                     "days_idle": out.column("days_idle")})
+
+
 def calibrated_length_filter(
     sf_dir: str, cut_ppm: int = 100_000, **kw,
 ) -> pa.Table:

@@ -149,7 +149,13 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "fuzzy_prefix_pairs",
            # watermark audit: fuzz hits same-ts arrivals (ts == wm is NOT
            # late) and single-event users (no watermark)
-           "events_watermark_late"]
+           "events_watermark_late",
+           # thresholds: fuzz hits singleton sources (one value at every
+           # percentile) and token-count ties at the rank cut
+           "percentile_thresholds",
+           # churn: fuzz hits the most-recent user (days_idle 0, excluded)
+           # and sub-day idle gaps (whole-day floor division)
+           "churned_users"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
