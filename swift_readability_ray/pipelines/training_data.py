@@ -6225,8 +6225,12 @@ def fuzzy_prefix_pairs(
                 continue
             gi = ids[start:start + cnt]
             gp = prefs[start:start + cnt]
+            glen = np.array([len(p.encode("utf-8")) for p in gp], np.int64)
             ii, jj = np.triu_indices(cnt, 1)
-            for x, y in zip(ii, jj):
+            # byte-length difference lower-bounds the edit distance —
+            # prune before any DP runs (the standard verify prefilter)
+            ok = np.abs(glen[ii] - glen[jj]) <= max_dist
+            for x, y in zip(ii[ok], jj[ok]):
                 d = _levenshtein(gp[x], gp[y])
                 if d <= max_dist:
                     out_a.append(int(gi[x]))
