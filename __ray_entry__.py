@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": TD.fk_integrity_audit,
         # per-source p10/p50/p90 token thresholds (exact rank semantics)
         "percentile_thresholds": TD.percentile_thresholds,
+        # cross-split 8-gram leakage (train/valid/test contamination)
+        "split_leakage_audit": TD.split_leakage_audit,
         # churn audit: users idle >= 30 days vs the corpus max ts
         "churned_users": TD.churned_users,
         # fuzzy string-similarity self-join (block on 2-token prefix,
@@ -2465,6 +2467,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
                    CAST(n_orphans AS BIGINT) AS n_orphans
             FROM a ORDER BY relation
+        """,
+        # cross-split leakage: distinct 8-grams present in both splits of
+        # each pair; splits use split_assign's exact md5 rule, grams ship
+        # as 16-hex md5 keys on both sides
+        "split_leakage_audit": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN bk < 80 THEN 1 WHEN bk < 90 THEN 2
+                          ELSE 4 END AS bit
+              FROM (SELECT doc_id,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8)) AS BIGINT) % 100 AS bk
+                    FROM documents)),
+            grams AS (
+              SELECT t.doc_id,
+                     substr(md5(array_to_string(ts[i.g : i.g+7], ' ')),
+                            1, 16) AS gkey
+              FROM toks t, unnest(generate_series(1, len(ts)-7)) AS i(g)),
+            gb AS (SELECT DISTINCT g.gkey, s.bit
+                   FROM grams g JOIN sp s USING (doc_id)),
+            m AS (SELECT gkey, sum(bit) AS mask FROM gb GROUP BY gkey),
+            p AS (
+              SELECT 'test' AS split_a, 'train' AS split_b,
+                     CAST(coalesce(sum(CASE WHEN mask & 5 = 5 THEN 1 END),
+                                   0) AS BIGINT) AS n_shared_grams
+              FROM m
+              UNION ALL
+              SELECT 'test', 'valid',
+                     CAST(coalesce(sum(CASE WHEN mask & 6 = 6 THEN 1 END),
+                                   0) AS BIGINT)
+              FROM m
+              UNION ALL
+              SELECT 'train', 'valid',
+                     CAST(coalesce(sum(CASE WHEN mask & 3 = 3 THEN 1 END),
+                                   0) AS BIGINT)
+              FROM m)
+            SELECT * FROM p ORDER BY split_a, split_b
         """,
         # per-source exact rank-semantics thresholds at p10/p50/p90:
         # rank r = (n-1)*p//100 + 1 of the (n_tokens, doc_id) order

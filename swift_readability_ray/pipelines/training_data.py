@@ -5942,6 +5942,103 @@ def _range_layout_impl(
     ).sort_by("shard_id")
 
 
+_SPLIT_BITS = (("train", 1), ("valid", 2), ("test", 4))
+_SPLIT_PAIRS = (("test", "train", 5), ("test", "valid", 6),
+                ("train", "valid", 3))
+
+
+def split_leakage_audit(
+    sf_dir: str, n: int = 8, broadcast_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Train/test LEAKAGE audit across the deterministic splits: for each
+    split pair, the number of distinct word-``n``-grams present in BOTH
+    splits → (split_a, split_b, n_shared_grams), 3 rows — decontaminate's
+    within-corpus sibling (that op checks an external benchmark; this
+    checks the corpus against its own held-out splits, the hygiene gate a
+    release runs after split_assign).  Splits use split_assign's exact
+    md5 rule; grams ship as 16-hex md5 keys, never text.
+
+    Scale shape: ONE doc pass emits per-block-deduped (gkey, split-bit)
+    rows; the vocab_overlap bitmask fold follows — distinct (gkey, bit)
+    → Sum(bit) == OR = presence mask per gram — driver-side under the
+    documents footer gate, two native groupbys + bounded per-block
+    pair-count partials above it."""
+    out_schema = {"split_a": pa.string(), "split_b": pa.string(),
+                  "n_shared_grams": pa.int64()}
+
+    def finish(masks: np.ndarray) -> pa.Table:
+        rows = sorted(
+            (a, b, int(((masks & m) == m).sum()))
+            for a, b, m in _SPLIT_PAIRS)
+        return pa.table({
+            "split_a": pa.array([r[0] for r in rows], pa.string()),
+            "split_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_shared_grams": pa.array([r[2] for r in rows], pa.int64())})
+
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return finish(np.array([], np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        seen: set = set()
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            bk = int(hashlib.md5(str(int(did)).encode())
+                     .hexdigest()[:8], 16) % 100
+            bit = 1 if bk < 80 else (2 if bk < 90 else 4)
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            for i in range(len(toks) - n + 1):
+                g = hashlib.md5(
+                    " ".join(toks[i:i + n]).encode()).hexdigest()[:16]
+                seen.add((g, bit))
+        return pa.table({
+            "gkey": pa.array([g for g, _ in seen], pa.string()),
+            "bit": pa.array([x for _, x in seen], pa.int64())})
+
+    parts = _docs_sized(sf_dir, columns=["doc_id", "text"],
+                        rows_per_block=1024).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    fb = {"gkey": pa.string(), "bit": pa.int64()}
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= broadcast_limit):
+        t = _collect(parts, fallback_schema=fb)
+        if t.num_rows == 0:
+            return finish(np.array([], np.int64))
+        distinct = t.group_by(["gkey", "bit"]).aggregate(
+            [("bit", "count")]).select(["gkey", "bit"])
+        masks = distinct.group_by(["gkey"]).aggregate(
+            [("bit", "sum")]).column("bit_sum").to_numpy().astype(np.int64)
+        return finish(masks)
+
+    from ray.data.aggregate import Count, Sum
+
+    distinct = parts.groupby(["gkey", "bit"]).aggregate(
+        Count()).select_columns(["gkey", "bit"])
+    masked = distinct.groupby("gkey").aggregate(Sum("bit", alias_name="mask"))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        m = b.column("mask").to_numpy().astype(np.int64)
+        return pa.table({f"{a}|{bb}": pa.array(
+            [int(((m & bm) == bm).sum())], pa.int64())
+            for a, bb, bm in _SPLIT_PAIRS})
+
+    rows = _collect(
+        masked.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={f"{a}|{b}": pa.int64()
+                         for a, b, _ in _SPLIT_PAIRS})
+    out = sorted(
+        (a, b, int(pc.sum(rows.column(f"{a}|{b}")).as_py() or 0)
+         if rows.num_rows else 0)
+        for a, b, _ in _SPLIT_PAIRS)
+    return pa.table({
+        "split_a": pa.array([r[0] for r in out], pa.string()),
+        "split_b": pa.array([r[1] for r in out], pa.string()),
+        "n_shared_grams": pa.array([r[2] for r in out], pa.int64())})
+
+
 def percentile_thresholds(sf_dir: str, **kw) -> pa.Table:
     """The per-source THRESHOLD table quality_percentiles feeds: exact
     p10/p50/p90 token counts per source under rank semantics — the rank-r

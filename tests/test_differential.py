@@ -155,7 +155,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "percentile_thresholds",
            # churn: fuzz hits the most-recent user (days_idle 0, excluded)
            # and sub-day idle gaps (whole-day floor division)
-           "churned_users"]
+           "churned_users",
+           # leakage: fuzz hits gram-free docs and splits with no grams
+           # (zero shared counts via coalesce on both sides)
+           "split_leakage_audit"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -499,6 +499,20 @@ def test_range_layout_forced_distributed_pins_gate(ray_session):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_split_leakage_forced_distributed_pins_gate(ray_session):
+    """The two-groupby bitmask-fold distributed path returns EXACTLY the
+    driver-gate result, and real leakage is found (the corpus plants
+    duplicated passages across split boundaries)."""
+    from swift_readability_ray.pipelines.training_data import (
+        split_leakage_audit,
+    )
+
+    gate = split_leakage_audit(SF)
+    forced = split_leakage_audit(SF, force_distributed=True)
+    assert gate.to_pylist() == forced.to_pylist()
+    assert sum(r["n_shared_grams"] for r in gate.to_pylist()) > 0
+
+
 def test_events_watermark_late_forced_distributed_pins_gate(ray_session):
     """The hash-repartition-by-user tail returns EXACTLY the driver-gate
     result on the testdata events."""
