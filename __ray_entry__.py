@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": TD.events_hourly,
         # hopping (sliding) 6h windows stepping hourly
         "events_hopping": TD.events_hopping,
+        # GROUPING SETS cube: (type, hour-of-day) + all rollup levels in
+        # one scan
+        "events_cube": TD.events_cube,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -569,6 +572,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type, hour
             ORDER BY event_type, hour
+        """,
+        # GROUPING SETS cube: sentinels 'ALL'/-1 are safe (neither key is
+        # ever NULL in the data) and grp_id = GROUPING(...) disambiguates
+        "events_cube": """
+            WITH f AS (
+              SELECT event_type,
+                     CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hod, -1) AS hod,
+                   CAST(GROUPING(event_type, hod) AS BIGINT) AS grp_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vc) AS BIGINT) AS sum_value_c
+            FROM f
+            GROUP BY GROUPING SETS ((event_type, hod), (event_type),
+                                    (hod), ())
+            ORDER BY grp_id, event_type, hod
         """,
         # hopping windows: every event lands in exactly 6 hourly-stepped
         # 6h windows (keyed by window start)

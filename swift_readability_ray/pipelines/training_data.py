@@ -11909,3 +11909,93 @@ def cdc_chunk_stats(
                     tbl.column(1).to_numpy().astype(np.int64),
                     tbl.column(2).to_numpy().astype(np.int64),
                     tbl.column(3).to_numpy().astype(np.int64))
+
+
+def events_cube(sf_dir: str) -> pa.Table:
+    """GROUPING SETS rollup in ONE pass: event counts and integer-cent
+    value sums by (event_type, hour-of-day), with all three rollup levels
+    — per type, per hour-of-day, and the grand total — derived from the
+    SAME fine-grained partials rather than re-scanned (the OLAP cube
+    pattern: ``GROUP BY GROUPING SETS ((t,h),(t),(h),())``).
+
+    Rolled-out keys surface as ``'ALL'`` / ``-1`` sentinels plus the
+    DuckDB ``GROUPING(event_type, hod)`` bitmask in ``grp_id`` (0 fine,
+    1 per-type, 2 per-hour, 3 grand total) so levels never collide.
+
+    Scale shape: per-block partials group by the FINE key only (bounded:
+    types × 24 rows per block), one bounded driver merge, and the three
+    rollup levels fold from the merged fine table — the input is scanned
+    once and nothing wider than types × 24 ever crosses the wire."""
+    path = f"{sf_dir}/events.parquet"
+    # over an empty corpus the () grouping set still aggregates: one
+    # grand-total row (count 0, NULL sum), matching the SQL exactly
+    empty = pa.table({"event_type": pa.array(["ALL"], pa.string()),
+                      "hod": pa.array([-1], pa.int64()),
+                      "grp_id": pa.array([3], pa.int64()),
+                      "n_events": pa.array([0], pa.int64()),
+                      "sum_value_c": pa.array([None], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["event_type", "ts", "value"])
+
+    def fine(b: pa.Table) -> pa.Table:
+        hod = pc.cast(pc.hour(b.column("ts")), pa.int64())
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hod": hod,
+            "value_c": _cents(b.column("value")),
+        }).group_by(["event_type", "hod"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")])
+
+    m = _merge_partials(
+        ds.map_batches(fine, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hod"],
+        [("value_c_sum", "sum"), ("value_c_count", "sum")],
+        fallback_schema={"event_type": pa.string(), "hod": pa.int64(),
+                         "value_c_sum": pa.int64(),
+                         "value_c_count": pa.int64()})
+    if m.num_rows == 0:
+        return empty
+    et = np.asarray(m.column("event_type").to_pylist(), dtype=object)
+    hod = m.column("hod").to_numpy().astype(np.int64)
+    sv = m.column("value_c_sum").to_numpy().astype(np.int64)
+    nv = m.column("value_c_count").to_numpy().astype(np.int64)
+
+    def level(keys: tuple, grp: int) -> pa.Table:
+        cols = {}
+        if keys:
+            import pandas as pd
+
+            names = [("event_type", et), ("hod", hod)]
+            df = pd.DataFrame({"n": nv, "s": sv})
+            for k, v in names:
+                if k in keys:
+                    df[k] = v
+            g = df.groupby(list(keys), sort=True, as_index=False).agg(
+                n=("n", "sum"), s=("s", "sum"))
+            cols["event_type"] = (g["event_type"].to_numpy(dtype=object)
+                                  if "event_type" in keys
+                                  else np.full(len(g), "ALL", object))
+            cols["hod"] = (g["hod"].to_numpy().astype(np.int64)
+                           if "hod" in keys
+                           else np.full(len(g), -1, np.int64))
+            n, s = g["n"].to_numpy(), g["s"].to_numpy()
+        else:
+            cols["event_type"] = np.array(["ALL"], object)
+            cols["hod"] = np.array([-1], np.int64)
+            n, s = np.array([nv.sum()]), np.array([sv.sum()])
+        return pa.table({
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "hod": pa.array(cols["hod"], pa.int64()),
+            "grp_id": pa.array(np.full(len(n), grp, np.int64), pa.int64()),
+            "n_events": pa.array(n.astype(np.int64), pa.int64()),
+            "sum_value_c": pa.array(s.astype(np.int64), pa.int64())})
+
+    out = pa.concat_tables([
+        level(("event_type", "hod"), 0),
+        level(("event_type",), 1),
+        level(("hod",), 2),
+        level((), 3)])
+    return out.sort_by([("grp_id", "ascending"),
+                        ("event_type", "ascending"),
+                        ("hod", "ascending")])

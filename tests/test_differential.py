@@ -158,7 +158,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "churned_users",
            # leakage: fuzz hits gram-free docs and splits with no grams
            # (zero shared counts via coalesce on both sides)
-           "split_leakage_audit"]
+           "split_leakage_audit",
+           # grouping-sets cube: fuzz hits hours with single types and the
+           # GROUPING bitmask disambiguation of sentinel keys
+           "events_cube"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
@@ -244,6 +247,13 @@ def test_new_ops_on_empty_tables(tmp_path, ray_session):
             # that (NULL coverage_ppm), not a typed-empty table
             assert out.num_rows == 6, name
             assert out.column("coverage_ppm").to_pylist() == [None] * 6
+            continue
+        if name == "events_cube":
+            # the () grouping set aggregates even an empty corpus: one
+            # grand-total row with count 0 and NULL sum
+            assert out.num_rows == 1, name
+            assert out.column("n_events").to_pylist() == [0]
+            assert out.column("sum_value_c").to_pylist() == [None]
             continue
         if name == "split_leakage_audit":
             # its oracle UNION ALLs three ungrouped aggregates (one per
