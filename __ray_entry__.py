@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPING SETS cube: (type, hour-of-day) + all rollup levels in
         # one scan
         "events_cube": TD.events_cube,
+        # algebraic OLS regression: per-type daily-count trend in exact
+        # integer ppm from sufficient statistics
+        "event_rate_trends": TD.event_rate_trends,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -590,6 +593,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type, hod), (event_type),
                                     (hod), ())
             ORDER BY grp_id, event_type, hod
+        """,
+        # OLS trend from integer sufficient statistics; DuckDB `//`
+        # TRUNCATES toward zero (verified: -7//2 = -3) and the impl's
+        # trunc_div matches; sums go HUGEINT in SQL, Python int in the impl
+        "event_rate_trends": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            mn AS (SELECT min(day) AS m FROM daily),
+            st AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     sum(day - m) AS sx, sum(y) AS sy,
+                     sum((day - m) * (day - m)) AS sxx,
+                     sum((day - m) * y) AS sxy
+              FROM daily, mn GROUP BY event_type)
+            SELECT event_type, n_days,
+                   CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                        ELSE (1000000 * (n_days * sxy - sx * sy))
+                             // (n_days * sxx - sx * sx) END AS BIGINT)
+                       AS slope_ppm,
+                   CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                        ELSE (1000000 * (sy * sxx - sx * sxy))
+                             // (n_days * sxx - sx * sx) END AS BIGINT)
+                       AS intercept_ppm
+            FROM st ORDER BY event_type
         """,
         # hopping windows: every event lands in exactly 6 hourly-stepped
         # 6h windows (keyed by window start)

@@ -11999,3 +11999,76 @@ def events_cube(sf_dir: str) -> pa.Table:
     return out.sort_by([("grp_id", "ascending"),
                         ("event_type", "ascending"),
                         ("hod", "ascending")])
+
+
+def event_rate_trends(sf_dir: str) -> pa.Table:
+    """Per-type linear TREND of daily event counts — the algebraic
+    regression aggregate (ordinary least squares from sufficient
+    statistics): slope/intercept of y = daily count over x = epoch-day −
+    global min day, reported in exact integer ppm so the DuckDB oracle
+    reproduces every bit (slope_ppm = 10⁶·(n·Σxy − Σx·Σy) ÷ (n·Σxx − Σx²),
+    intercept_ppm = 10⁶·(Σy·Σxx − Σx·Σxy) ÷ same, both under DuckDB's
+    TRUNCATING integer division — ``//`` rounds toward zero, NOT floor).
+    Types observed on <2 distinct days have no trend (NULL).
+
+    Scale shape: per-block (type, day) count partials fold in one bounded
+    driver merge (types × days rows); the sufficient statistics are plain
+    sums over that bounded table, so the input is scanned once and the
+    regression itself never sees a raw event.  Magnitudes stay in int64
+    for day spans ≤ ~10⁴ and daily counts ≤ ~10⁹; the driver math uses
+    Python ints (arbitrary precision) so even that bound is soft."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_days": pa.array([], pa.int64()),
+                      "slope_ppm": pa.array([], pa.int64()),
+                      "intercept_ppm": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["event_type", "ts"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": day,
+            "y": pa.array(np.ones(b.num_rows, np.int64)),
+        }).group_by(["event_type", "day"]).aggregate([("y", "sum")])
+
+    m = _merge_partials(
+        ds.map_batches(daily, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"], [("y_sum", "sum")],
+        fallback_schema={"event_type": pa.string(), "day": pa.int64(),
+                         "y_sum": pa.int64()})
+    if m.num_rows == 0:
+        return empty
+    et = m.column("event_type").to_pylist()
+    day = m.column("day").to_pylist()
+    y = m.column("y_sum").to_pylist()
+    m0 = min(day)
+
+    def trunc_div(num: int, den: int) -> int:
+        q = abs(num) // abs(den)
+        return q if (num >= 0) == (den >= 0) else -q
+
+    stats: dict[str, list[int]] = {}
+    for t, d, yy in zip(et, day, y):
+        x = d - m0
+        s = stats.setdefault(t, [0, 0, 0, 0, 0])
+        s[0] += 1; s[1] += x; s[2] += yy; s[3] += x * x; s[4] += x * yy
+    types = sorted(stats)
+    slopes, intercepts, ndays = [], [], []
+    for t in types:
+        n, sx, sy, sxx, sxy = stats[t]
+        den = n * sxx - sx * sx
+        ndays.append(n)
+        if den == 0:
+            slopes.append(None); intercepts.append(None)
+        else:
+            slopes.append(trunc_div(1_000_000 * (n * sxy - sx * sy), den))
+            intercepts.append(trunc_div(1_000_000 * (sy * sxx - sx * sxy),
+                                        den))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n_days": pa.array(ndays, pa.int64()),
+                     "slope_ppm": pa.array(slopes, pa.int64()),
+                     "intercept_ppm": pa.array(intercepts, pa.int64())})

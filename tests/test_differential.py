@@ -161,7 +161,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "split_leakage_audit",
            # grouping-sets cube: fuzz hits hours with single types and the
            # GROUPING bitmask disambiguation of sentinel keys
-           "events_cube"]
+           "events_cube",
+           # OLS trend: fuzz hits single-day types (NULL slope), negative
+           # numerators (trunc-toward-zero division) and sparse days
+           "event_rate_trends"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
