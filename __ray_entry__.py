@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # algebraic OLS regression: per-type daily-count trend in exact
         # integer ppm from sufficient statistics
         "event_rate_trends": TD.event_rate_trends,
+        # PPS-systematic sampling via a distributed prefix sum (no RNG,
+        # no global sort): every stride-th char of the corpus
+        "systematic_sample": TD.systematic_sample,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -593,6 +596,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type, hod), (event_type),
                                     (hod), ())
             ORDER BY grp_id, event_type, hod
+        """,
+        # PPS-systematic sample: all quantities non-negative so // is
+        # floor on both sides; stride replays the impl's max(1, total//k)
+        "systematic_sample": """
+            WITH w AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(sum(CAST(n_chars AS BIGINT)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_chars
+              FROM documents),
+            tot AS (SELECT CASE WHEN max(cum_chars) // 64 < 1 THEN 1
+                           ELSE max(cum_chars) // 64 END AS stride
+                    FROM w)
+            SELECT doc_id, n_chars, cum_chars
+            FROM w, tot
+            WHERE cum_chars // stride > (cum_chars - n_chars) // stride
+            ORDER BY doc_id
         """,
         # OLS trend from integer sufficient statistics; DuckDB `//`
         # TRUNCATES toward zero (verified: -7//2 = -3) and the impl's

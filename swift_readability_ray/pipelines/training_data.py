@@ -12072,3 +12072,125 @@ def event_rate_trends(sf_dir: str) -> pa.Table:
                      "n_days": pa.array(ndays, pa.int64()),
                      "slope_ppm": pa.array(slopes, pa.int64()),
                      "intercept_ppm": pa.array(intercepts, pa.int64())})
+
+
+def systematic_sample(
+    sf_dir: str, n_target: int = 64, driver_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Weighted SYSTEMATIC sampling (probability ∝ size, deterministic):
+    walk the doc_id-ordered corpus accumulating ``n_chars`` and keep every
+    doc whose cumulative interval ``(cum − w, cum]`` contains a multiple
+    of ``stride = max(1, total_chars // n_target)`` — the classic
+    PPS-systematic design (exact integers, no RNG: the oracle replays the
+    identical window sum).  Zero-length docs own an empty interval and can
+    never be drawn → (doc_id, n_chars, cum_chars).
+
+    Scale shape — a global PREFIX SUM without sorting: pass 1 folds
+    per-bucket (``bucket = doc_id // B``, monotone in doc_id) weight sums
+    into one bounded driver merge whose prefix sums become per-bucket
+    offsets (B sized from the footer so the driver table stays ≤ ~64k
+    rows on dense ids); pass 2 hash-repartitions thin (doc_id, n_chars)
+    rows by bucket — each bucket co-locates in exactly one block, where
+    the within-bucket cumsum + broadcast offset selects rows vectorized.
+    The text never moves and nothing global is ever sorted.  Under the
+    footer gate the whole thing is one driver cumsum instead."""
+    with _pinned_hash_shuffle():
+        return _systematic_sample_impl(
+            sf_dir, n_target, driver_limit, force_distributed)
+
+
+def _systematic_sample_impl(
+    sf_dir: str, n_target: int, driver_limit: int, force_distributed: bool,
+) -> pa.Table:
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "cum_chars": pa.array([], pa.int64())})
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty
+    thin = _docs_sized(sf_dir, columns=["doc_id", "n_chars"],
+                       rows_per_block=4096).map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def select(d: np.ndarray, w: np.ndarray, cum: np.ndarray,
+               stride: int) -> pa.Table:
+        keep = cum // stride > (cum - w) // stride
+        return pa.table({"doc_id": pa.array(d[keep], pa.int64()),
+                         "n_chars": pa.array(w[keep], pa.int64()),
+                         "cum_chars": pa.array(cum[keep], pa.int64())})
+
+    if not force_distributed and (n_docs is not None
+                                  and n_docs <= driver_limit):
+        t = _collect(thin, fallback_schema={"doc_id": pa.int64(),
+                                            "n_chars": pa.int64()})
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        w = t.column("n_chars").to_numpy().astype(np.int64)
+        order = np.argsort(d)
+        d, w = d[order], w[order]
+        cum = np.cumsum(w)
+        stride = max(1, int(cum[-1]) // n_target)
+        return select(d, w, cum, stride)
+
+    bucket_width = max(1, (n_docs or 1) // 65536 + 1)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        bk = pc.divide(b.column("doc_id"),
+                       pa.scalar(bucket_width, pa.int64()))
+        return pa.table({"bucket": bk, "w": b.column("n_chars")}
+                        ).group_by(["bucket"]).aggregate([("w", "sum")])
+
+    # pass 1: bounded per-bucket weight sums → prefix offsets + stride
+    bs = _merge_partials(
+        thin.map_batches(bucketed, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bucket"], [("w_sum", "sum")],
+        fallback_schema={"bucket": pa.int64(), "w_sum": pa.int64()})
+    if bs.num_rows == 0:
+        return empty
+    bk = bs.column("bucket").to_numpy().astype(np.int64)
+    ws = bs.column("w_sum").to_numpy().astype(np.int64)
+    border = np.argsort(bk)
+    bk, ws = bk[border], ws[border]
+    offsets = np.concatenate(([0], np.cumsum(ws)[:-1]))
+    total = int(ws.sum())
+    stride = max(1, total // n_target)
+    ref = ray.put((bk, offsets))
+
+    # pass 2: co-locate buckets, within-bucket cumsum + offset, select
+    co = thin.map_batches(
+        lambda b: b.append_column(
+            "bucket", pc.divide(b.column("doc_id"),
+                                pa.scalar(bucket_width, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).repartition(num_blocks=D._default_join_partitions(thin),
+                  keys=["bucket"])
+
+    def block_select(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        kb, off = ray.get(ref)
+        d = b.column("doc_id").to_numpy().astype(np.int64)
+        w = b.column("n_chars").to_numpy().astype(np.int64)
+        g = b.column("bucket").to_numpy().astype(np.int64)
+        order = np.lexsort((d, g))
+        d, w, g = d[order], w[order], g[order]
+        _, f, cc = np.unique(g, return_index=True, return_counts=True)
+        local = np.cumsum(w)
+        # restart the cumsum at each bucket boundary
+        base = np.repeat(local[f] - w[f], cc)
+        _, bi = _sorted_member(kb, g)
+        cum = local - base + off[bi]
+        return select(d, w, cum, stride)
+
+    out = _collect(
+        co.map_batches(block_select, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "n_chars": pa.int64(),
+                         "cum_chars": pa.int64()})
+    return out.sort_by("doc_id")

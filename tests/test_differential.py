@@ -164,7 +164,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "events_cube",
            # OLS trend: fuzz hits single-day types (NULL slope), negative
            # numerators (trunc-toward-zero division) and sparse days
-           "event_rate_trends"]
+           "event_rate_trends",
+           # PPS-systematic sample: fuzz hits zero-length docs (empty
+           # interval, never drawn) and stride-1 tiny corpora
+           "systematic_sample"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

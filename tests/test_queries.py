@@ -92,6 +92,16 @@ def test_orders_by_segment_join_fallback(ray_session):
     assert broadcast.to_pylist() == joined.to_pylist()
 
 
+def test_systematic_sample_distributed_fallback(ray_session):
+    """The bucket-prefix-sum distributed path selects exactly the docs the
+    driver-cumsum gate path selects."""
+    from swift_readability_ray.pipelines.training_data import systematic_sample
+
+    gate = systematic_sample(SF)
+    forced = systematic_sample(SF, force_distributed=True)
+    assert gate.equals(forced)
+
+
 def test_dup_ngram_stats_distributed_fallback(ray_session):
     """Above the driver-merge gate the gram/doc combines run as distributed
     groupbys (with the dup-key broadcast) and produce identical results."""
