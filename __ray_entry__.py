@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PPS-systematic sampling via a distributed prefix sum (no RNG,
         # no global sort): every stride-th char of the corpus
         "systematic_sample": TD.systematic_sample,
+        # row-oriented sink+source certificates: write CSV / JSON-lines
+        # via the io sink, read back typed, md5-digest the text
+        "csv_roundtrip": TD.csv_roundtrip,
+        "jsonl_roundtrip": TD.jsonl_roundtrip,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -596,6 +600,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type, hod), (event_type),
                                     (hod), ())
             ORDER BY grp_id, event_type, hod
+        """,
+        # row-format roundtrips: the oracle reads the ORIGINAL parquet —
+        # the Ray side must round-trip text byte-exactly through the
+        # CSV / JSONL sink+source for the md5 digest sums to match
+        "csv_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 12))
+                                 AS BIGINT)) AS BIGINT) AS text_digest_sum
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 12))
+                                 AS BIGINT)) AS BIGINT) AS text_digest_sum
+            FROM documents GROUP BY source ORDER BY source
         """,
         # PPS-systematic sample: all quantities non-negative so // is
         # floor on both sides; stride replays the impl's max(1, total//k)

@@ -12194,3 +12194,91 @@ def _systematic_sample_impl(
         fallback_schema={"doc_id": pa.int64(), "n_chars": pa.int64(),
                          "cum_chars": pa.int64()})
     return out.sort_by("doc_id")
+
+
+def _format_roundtrip(sf_dir: str, fmt: str) -> pa.Table:
+    """Shared body of csv_roundtrip / jsonl_roundtrip: write the documents
+    table through :func:`sources.io.write_table` in the row-oriented
+    format ``fmt``, read it BACK through :func:`sources.io.read_documents`
+    (typed reads — schema pinned, no inference drift), and certify the
+    round trip per source with (n_docs, sum_chars, text_digest_sum) where
+    the digest is the first 48 bits of md5 over the ROUND-TRIPPED text —
+    any quoting/escaping loss in the sink or source changes the sum.  The
+    per-row md5 is the established oracle-bridge price (split_assign
+    convention); a real certification job would sample instead."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources import io as sio
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64()),
+                      "text_digest_sum": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _docs_sized(sf_dir, columns=cols)
+    root = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_")
+    out = f"{root}/docs.{fmt}"
+    try:
+        sio.write_table(ds, out)
+        if fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            back = sio.read_documents(
+                out,
+                parse_options=pacsv.ParseOptions(newlines_in_values=True),
+                convert_options=pacsv.ConvertOptions(column_types={
+                    "doc_id": pa.int64(), "text": pa.string(),
+                    "lang": pa.string(), "source": pa.string(),
+                    "n_chars": pa.int64()}))
+        else:
+            import pyarrow.json as pajson
+
+            back = sio.read_documents(
+                out,
+                parse_options=pajson.ParseOptions(
+                    explicit_schema=pa.schema([
+                        ("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            # CSV readers surface a lossless empty-string round trip as
+            # NULL; certify it back to "" (the writer never emits quotes
+            # for empties, so NULL here can only mean empty)
+            texts = batch.column("text").to_pylist()
+            dig = [int(hashlib.md5((t or "").encode("utf-8"))
+                       .hexdigest()[:12], 16) for t in texts]
+            return pa.table({
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "text_digest_sum": pa.array(dig, pa.int64()),
+            }).group_by(["source"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum"),
+                 ("text_digest_sum", "sum")]).rename_columns(
+                ["source", "n_docs", "sum_chars", "text_digest_sum"])
+
+        m = _merge_partials(
+            back.map_batches(partial, batch_format="pyarrow"),
+            ["source"], [("n_docs", "sum"), ("sum_chars", "sum"),
+                         ("text_digest_sum", "sum")],
+            fallback_schema={"source": pa.string(), "n_docs": pa.int64(),
+                             "sum_chars": pa.int64(),
+                             "text_digest_sum": pa.int64()})
+        return m.sort_by("source")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def csv_roundtrip(sf_dir: str) -> pa.Table:
+    """CSV sink+source certificate — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(sf_dir, "csv")
+
+
+def jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSON-lines sink+source certificate — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(sf_dir, "jsonl")

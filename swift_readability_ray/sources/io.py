@@ -129,6 +129,14 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     if HAVE_LANCE and path.endswith(".lance"):
         ds.write_lance(path, **kwargs)  # pragma: no cover
         return
+    if path.endswith(".csv"):
+        ds.write_csv(os.path.abspath(path), **kwargs)
+        return
+    if path.endswith(".jsonl"):
+        # Ray's write_json emits one JSON-lines file per block already;
+        # pandas does the row serialization in C (no per-row Python loop)
+        ds.write_json(os.path.abspath(path), **kwargs)
+        return
     if path.endswith(".orc"):
         # Ray ships no write_orc; map over blocks writing one ORC file per
         # block (same resumable one-file-per-block layout as write_parquet).

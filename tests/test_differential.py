@@ -167,7 +167,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "event_rate_trends",
            # PPS-systematic sample: fuzz hits zero-length docs (empty
            # interval, never drawn) and stride-1 tiny corpora
-           "systematic_sample"]
+           "systematic_sample",
+           # row-format roundtrips: fuzz hits empty-string texts (CSV
+           # empty-field round trip) through the real sink+source
+           "csv_roundtrip", "jsonl_roundtrip"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
