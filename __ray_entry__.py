@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets": TD.length_buckets,
         # undirected triangle count of the host graph
         "triangle_count": TD.triangle_count,
+        # per-node refinement: local clustering coefficient in exact ppm
+        "clustering_coefficients": TD.clustering_coefficients,
         # composed end-to-end certificate: gate -> dedup -> split counts
         "pipeline_certificate": TD.pipeline_certificate,
         # CCNet-style per-language head/middle/tail quality bucketing
@@ -3623,6 +3625,35 @@ def _graph_oracles() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        # per-node local clustering coefficient: triangles credit all
+        # three corners; all quantities non-negative so // is floor
+        "clustering_coefficients": "WITH " + link_cte + """,
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM links),
+            nd AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT a AS h FROM e UNION ALL SELECT b FROM e)
+              GROUP BY h),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pertri AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS nt
+              FROM (SELECT x AS h FROM tri UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+              GROUP BY h)
+            SELECT nd.h AS host, nd.degree,
+                   CAST(coalesce(p.nt, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN nd.degree < 2 THEN NULL
+                        ELSE (2000000 * coalesce(p.nt, 0))
+                             // (nd.degree * (nd.degree - 1)) END
+                        AS BIGINT) AS cc_ppm
+            FROM nd LEFT JOIN pertri p ON p.h = nd.h
+            ORDER BY host
         """,
         "edge_negatives": "WITH " + link_cte + """,
             nodes AS (SELECT DISTINCT h FROM (

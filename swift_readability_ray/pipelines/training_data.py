@@ -12282,3 +12282,17 @@ def csv_roundtrip(sf_dir: str) -> pa.Table:
 def jsonl_roundtrip(sf_dir: str) -> pa.Table:
     """JSON-lines sink+source certificate — see :func:`_format_roundtrip`."""
     return _format_roundtrip(sf_dir, "jsonl")
+
+
+def clustering_coefficients(
+    sf_dir: str, force_distributed: bool = False,
+) -> pa.Table:
+    """Per-host local clustering coefficient (degree, triangle membership,
+    cc in exact integer ppm); semantics and regimes in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "degree": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64()),
+                         "cc_ppm": pa.array([], pa.int64())})
+    return G.clustering_coefficients(_weighted_host_edges(sf_dir),
+                                     force_distributed=force_distributed)

@@ -709,3 +709,122 @@ def hits(
         tbl = pa.concat_tables(ew.iter_batches(batch_format="pyarrow"))
         return _hits_numpy(tbl, iterations).sort_by("host")
     return _hits_distributed(ew, iterations, join_partitions)
+
+
+def clustering_coefficients(
+    ew: ray.data.Dataset,
+    driver_limit: int = 500_000,
+    join_partitions: int | None = None,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """LOCAL clustering coefficient per host — the per-node refinement of
+    :func:`triangle_count`: degree, triangle membership count, and
+    ``cc_ppm = ⌊2·10⁶·tri ÷ (deg·(deg−1))⌋`` (NULL under degree 2, where
+    no wedge exists) → (host, degree, n_triangles, cc_ppm) by host.
+    High degree + near-zero coefficient is the hub signature; high
+    coefficient at moderate degree marks cliquey link farms.
+
+    Scale shape mirrors triangle_count: edges canonicalize to a<b and
+    dedup once; the driver path intersects higher-neighbor sets per edge
+    and credits all three corners; above the gate the SAME two-join
+    wedge-closure plan runs distributed, with per-corner counts folded
+    from the closed-triangle rows (3 thin rows per triangle, grouped
+    before the driver sees them).  Degrees fold from per-block endpoint
+    partials either way."""
+    from ray.data.aggregate import Count
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "a": pc.min_element_wise(b.column("src"), b.column("dst")),
+            "b": pc.max_element_wise(b.column("src"), b.column("dst")),
+        })
+
+    und = ew.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["a", "b"]).aggregate(Count()).map_batches(
+        lambda t: t.select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "degree": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64()),
+                      "cc_ppm": pa.array([], pa.int64())})
+    n_edges = und.count()
+    if n_edges == 0:
+        return empty
+
+    def finalize(hosts: list, deg: dict, tri: dict) -> pa.Table:
+        hs = sorted(hosts)
+        d = [deg.get(h, 0) for h in hs]
+        t = [tri.get(h, 0) for h in hs]
+        cc = [None if dd < 2 else (2_000_000 * tt) // (dd * (dd - 1))
+              for dd, tt in zip(d, t)]
+        return pa.table({"host": pa.array(hs, pa.string()),
+                         "degree": pa.array(d, pa.int64()),
+                         "n_triangles": pa.array(t, pa.int64()),
+                         "cc_ppm": pa.array(cc, pa.int64())})
+
+    if not force_distributed and n_edges <= driver_limit:
+        tbl = pa.concat_tables(und.iter_batches(batch_format="pyarrow"))
+        aa = tbl.column("a").to_pylist()
+        bb = tbl.column("b").to_pylist()
+        up: dict[str, set] = {}
+        deg: dict[str, int] = {}
+        for a, b in zip(aa, bb):
+            up.setdefault(a, set()).add(b)
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        tri: dict[str, int] = {}
+        for a, b in zip(aa, bb):
+            for c in up.get(a, set()) & up.get(b, set()):
+                tri[a] = tri.get(a, 0) + 1
+                tri[b] = tri.get(b, 0) + 1
+                tri[c] = tri.get(c, 0) + 1
+        return finalize(list(deg), deg, tri)
+
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(und)
+    # degrees: bounded per-block endpoint partials (host space is bounded)
+    deg_parts = und.map_batches(
+        lambda t: pa.table({"host": pa.concat_arrays(
+            [t.column("a").combine_chunks(),
+             t.column("b").combine_chunks()]),
+            "n": pa.array([1] * (2 * t.num_rows), pa.int64())}
+        ).group_by(["host"]).aggregate([("n", "sum")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg_tbl = pa.concat_tables(
+        deg_parts.iter_batches(batch_format="pyarrow"))
+    deg_tbl = deg_tbl.group_by(["host"]).aggregate([("n_sum", "sum")])
+    deg = dict(zip(deg_tbl.column("host").to_pylist(),
+                   deg_tbl.column("n_sum_sum").to_pylist()))
+
+    wedges = und.join(
+        und, join_type="inner", num_partitions=join_partitions,
+        on=("b",), right_on=("a",), right_suffix="_2",
+    ).map_batches(
+        lambda t: pa.table({"a": t.column("a"), "b": t.column("b"),
+                            "c": t.column("b_2")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    closed = wedges.join(
+        und, join_type="inner", num_partitions=join_partitions,
+        on=("a", "c"), right_on=("a", "b"), right_suffix="_3",
+    )
+    corner_parts = closed.map_batches(
+        lambda t: pa.table({"host": pa.concat_arrays(
+            [t.column("a").combine_chunks(),
+             t.column("b").combine_chunks(),
+             t.column("c").combine_chunks()]),
+            "n": pa.array([1] * (3 * t.num_rows), pa.int64())}
+        ).group_by(["host"]).aggregate([("n", "sum")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tri_tbl = pa.concat_tables(
+        corner_parts.iter_batches(batch_format="pyarrow"))
+    tri: dict[str, int] = {}
+    if tri_tbl.num_rows:
+        tri_tbl = tri_tbl.group_by(["host"]).aggregate([("n_sum", "sum")])
+        tri = dict(zip(tri_tbl.column("host").to_pylist(),
+                       tri_tbl.column("n_sum_sum").to_pylist()))
+    return finalize(list(deg), deg, tri)

@@ -170,7 +170,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "systematic_sample",
            # row-format roundtrips: fuzz hits empty-string texts (CSV
            # empty-field round trip) through the real sink+source
-           "csv_roundtrip", "jsonl_roundtrip"]
+           "csv_roundtrip", "jsonl_roundtrip",
+           # local clustering: fuzz hits degree-1 hosts (NULL cc) and
+           # triangle-free neighborhoods (cc 0)
+           "clustering_coefficients"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

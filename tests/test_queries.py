@@ -102,6 +102,18 @@ def test_systematic_sample_distributed_fallback(ray_session):
     assert gate.equals(forced)
 
 
+def test_clustering_coefficients_distributed_fallback(ray_session):
+    """The wedge-closure distributed path credits the same per-corner
+    triangle counts as the driver set-intersection path."""
+    from swift_readability_ray.pipelines.training_data import (
+        clustering_coefficients,
+    )
+
+    gate = clustering_coefficients(SF)
+    forced = clustering_coefficients(SF, force_distributed=True)
+    assert gate.equals(forced)
+
+
 def test_dup_ngram_stats_distributed_fallback(ray_session):
     """Above the driver-merge gate the gram/doc combines run as distributed
     groupbys (with the dup-key broadcast) and produce identical results."""
