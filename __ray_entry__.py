@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via the io sink, read back typed, md5-digest the text
         "csv_roundtrip": TD.csv_roundtrip,
         "jsonl_roundtrip": TD.jsonl_roundtrip,
+        # privacy: quasi-identifier groups below k (re-identification risk)
+        "k_anonymity_audit": TD.k_anonymity_audit,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -268,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": TD.triangle_count,
         # per-node refinement: local clustering coefficient in exact ppm
         "clustering_coefficients": TD.clustering_coefficients,
+        # global degree-degree Pearson correlation (exact: sqrt collapses
+        # under both-orientation symmetry)
+        "degree_assortativity": TD.degree_assortativity,
         # composed end-to-end certificate: gate -> dedup -> split counts
         "pipeline_certificate": TD.pipeline_certificate,
         # CCNet-style per-language head/middle/tail quality bucketing
@@ -602,6 +607,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type, hod), (event_type),
                                     (hod), ())
             ORDER BY grp_id, event_type, hod
+        """,
+        # k-anonymity: quasi-identifier combos with fewer than k members
+        "k_anonymity_audit": """
+            SELECT lang, source,
+                   CAST(n_chars AS BIGINT) // 256 AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY lang, source, len_bucket
+            HAVING count(*) < 5
+            ORDER BY lang, source, len_bucket
         """,
         # row-format roundtrips: the oracle reads the ORIGINAL parquet —
         # the Ray side must round-trip text byte-exactly through the
@@ -3625,6 +3640,33 @@ def _graph_oracles() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        # degree assortativity: both orientations make the marginals
+        # equal, so Pearson r needs no sqrt; numerator may be negative —
+        # DuckDB // truncates toward zero and the impl matches
+        "degree_assortativity": "WITH " + link_cte + """,
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM links),
+            nd AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS h FROM e UNION ALL SELECT b FROM e)
+              GROUP BY h),
+            p AS (
+              SELECT da.d AS x, db.d AS y
+              FROM e JOIN nd da ON da.h = e.a JOIN nd db ON db.h = e.b
+              UNION ALL
+              SELECT db.d, da.d
+              FROM e JOIN nd da ON da.h = e.a JOIN nd db ON db.h = e.b),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM p)
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (1000000 * (n * sxy - sx * sx))
+                             // (n * sxx - sx * sx) END AS BIGINT) AS r_ppm
+            FROM st
         """,
         # per-node local clustering coefficient: triangles credit all
         # three corners; all quantities non-negative so // is floor

@@ -12296,3 +12296,56 @@ def clustering_coefficients(
                          "cc_ppm": pa.array([], pa.int64())})
     return G.clustering_coefficients(_weighted_host_edges(sf_dir),
                                      force_distributed=force_distributed)
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5, bucket: int = 256) -> pa.Table:
+    """Privacy k-anonymity audit over the release quasi-identifiers
+    (lang, source, length bucket): any combination shared by fewer than
+    ``k`` documents re-identifies its members and must be suppressed or
+    generalized before release → the VIOLATION table
+    (lang, source, len_bucket, n_docs) with n_docs < k, ordered.
+    The PII-scrub sibling (pii_scrub) masks direct identifiers; this op
+    audits the indirect ones.
+
+    Scale shape: quasi-identifier cardinality is bounded (langs × sources
+    × buckets), so per-block count partials fold in one bounded driver
+    merge — one scan, no shuffle, and only violating rows are emitted."""
+    path = f"{sf_dir}/documents.parquet"
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "len_bucket": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lb = pc.divide(pc.cast(b.column("n_chars"), pa.int64()),
+                       pa.scalar(bucket, pa.int64()))
+        return pa.table({
+            "lang": b.column("lang"), "source": b.column("source"),
+            "len_bucket": lb,
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+        }).group_by(["lang", "source", "len_bucket"]).aggregate(
+            [("n_docs", "sum")])
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang", "source", "len_bucket"], [("n_docs_sum", "sum")],
+        fallback_schema={"lang": pa.string(), "source": pa.string(),
+                         "len_bucket": pa.int64(),
+                         "n_docs_sum": pa.int64()})
+    m = m.rename_columns(["lang", "source", "len_bucket", "n_docs"])
+    m = m.filter(pc.less(m.column("n_docs"), pa.scalar(k, pa.int64())))
+    return m.sort_by([("lang", "ascending"), ("source", "ascending"),
+                      ("len_bucket", "ascending")])
+
+
+def degree_assortativity(sf_dir: str) -> pa.Table:
+    """Global degree assortativity of the host graph in exact integer ppm;
+    semantics and scale shape in stages/graph.py."""
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "r_ppm": pa.array([None], pa.int64())})
+    return G.degree_assortativity(_weighted_host_edges(sf_dir))

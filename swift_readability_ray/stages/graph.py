@@ -828,3 +828,85 @@ def clustering_coefficients(
         tri = dict(zip(tri_tbl.column("host").to_pylist(),
                        tri_tbl.column("n_sum_sum").to_pylist()))
     return finalize(list(deg), deg, tri)
+
+
+def degree_assortativity(ew: ray.data.Dataset) -> pa.Table:
+    """Global degree assortativity of the undirected host graph →
+    (n_edges, r_ppm): the Pearson correlation of endpoint degrees over
+    both edge orientations.  With both orientations included the two
+    marginals are identical (Σx = Σy, Σx² = Σy²), so the usual sqrt
+    denominator collapses and r = (n·Σxy − (Σx)²) ÷ (n·Σxx − (Σx)²) is
+    EXACT in integers — reported in truncating-division ppm, NULL for a
+    degree-regular graph (zero variance).  Negative r = hubs prefer
+    leaves (disassortative, the usual web shape).
+
+    Scale shape: degrees fold from bounded per-block endpoint partials
+    (host space is bounded) and broadcast once via ``ray.put``; the edge
+    scan folds the four sufficient statistics per block — no shuffle,
+    nothing bigger than the host catalog ever moves."""
+    from ray.data.aggregate import Count
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "a": pc.min_element_wise(b.column("src"), b.column("dst")),
+            "b": pc.max_element_wise(b.column("src"), b.column("dst")),
+        })
+
+    und = ew.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["a", "b"]).aggregate(Count()).map_batches(
+        lambda t: t.select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def one_row(n_edges: int, r_ppm) -> pa.Table:
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "r_ppm": pa.array([r_ppm], pa.int64())})
+
+    if und.count() == 0:
+        return one_row(0, None)
+
+    deg_parts = und.map_batches(
+        lambda t: pa.table({"host": pa.concat_arrays(
+            [t.column("a").combine_chunks(),
+             t.column("b").combine_chunks()]),
+            "n": pa.array([1] * (2 * t.num_rows), pa.int64())}
+        ).group_by(["host"]).aggregate([("n", "sum")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg_tbl = pa.concat_tables(
+        deg_parts.iter_batches(batch_format="pyarrow"))
+    deg_tbl = deg_tbl.group_by(["host"]).aggregate([("n_sum", "sum")])
+    hosts = np.asarray(deg_tbl.column("host").to_pylist(), dtype=object)
+    degs = deg_tbl.column("n_sum_sum").to_numpy().astype(np.int64)
+    horder = np.argsort(hosts)
+    ref = ray.put((hosts[horder], degs[horder]))
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        hs, dg = ray.get(ref)
+        ai = np.searchsorted(hs, np.asarray(t.column("a").to_pylist(),
+                                            dtype=object))
+        bi = np.searchsorted(hs, np.asarray(t.column("b").to_pylist(),
+                                            dtype=object))
+        da, db = dg[ai], dg[bi]
+        return pa.table({
+            "n": pa.array([2 * len(da)], pa.int64()),
+            "sx": pa.array([int((da + db).sum())], pa.int64()),
+            "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+            "sxy": pa.array([2 * int((da * db).sum())], pa.int64())})
+
+    st = pa.concat_tables(
+        und.map_batches(stat_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    n = int(pa.compute.sum(st.column("n")).as_py())
+    sx = int(pa.compute.sum(st.column("sx")).as_py())
+    sxx = int(pa.compute.sum(st.column("sxx")).as_py())
+    sxy = int(pa.compute.sum(st.column("sxy")).as_py())
+    den = n * sxx - sx * sx
+    if den == 0:
+        return one_row(n // 2, None)
+    num = 1_000_000 * (n * sxy - sx * sx)
+    q = abs(num) // abs(den)
+    return one_row(n // 2, q if (num >= 0) == (den >= 0) else -q)

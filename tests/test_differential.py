@@ -173,7 +173,12 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "csv_roundtrip", "jsonl_roundtrip",
            # local clustering: fuzz hits degree-1 hosts (NULL cc) and
            # triangle-free neighborhoods (cc 0)
-           "clustering_coefficients"]
+           "clustering_coefficients",
+           # k-anonymity: fuzz hits singleton quasi-identifier groups
+           "k_anonymity_audit",
+           # assortativity: fuzz hits negative correlations (truncating
+           # division) and near-regular subgraphs
+           "degree_assortativity"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
@@ -266,6 +271,13 @@ def test_new_ops_on_empty_tables(tmp_path, ray_session):
             assert out.num_rows == 1, name
             assert out.column("n_events").to_pylist() == [0]
             assert out.column("sum_value_c").to_pylist() == [None]
+            continue
+        if name == "degree_assortativity":
+            # ungrouped-aggregate oracle: one (0 edges, NULL r) row even
+            # over an empty corpus
+            assert out.num_rows == 1, name
+            assert out.column("n_edges").to_pylist() == [0]
+            assert out.column("r_ppm").to_pylist() == [None]
             continue
         if name == "split_leakage_audit":
             # its oracle UNION ALLs three ungrouped aggregates (one per
