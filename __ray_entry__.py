@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": TD.jsonl_roundtrip,
         # privacy: quasi-identifier groups below k (re-identification risk)
         "k_anonymity_audit": TD.k_anonymity_audit,
+        # scan planning: answer a range predicate reading only matching
+        # hive partitions + residual filter, certified vs a full scan
+        "partition_prune_certificate": TD.partition_prune_certificate,
+        # incremental view maintenance: checkpointed base view + delta
+        # partials must equal the full recompute
+        "incremental_agg_maintenance": TD.incremental_agg_maintenance,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -607,6 +613,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type, hod), (event_type),
                                     (hod), ())
             ORDER BY grp_id, event_type, hod
+        """,
+        # pruned partitioned scan must equal the oracle's full scan
+        "partition_prune_certificate": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE n_chars >= 256
+            GROUP BY lang ORDER BY lang
+        """,
+        # maintained view must equal the full recompute
+        "incremental_agg_maintenance": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # k-anonymity: quasi-identifier combos with fewer than k members
         "k_anonymity_audit": """

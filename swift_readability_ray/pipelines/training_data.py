@@ -12349,3 +12349,150 @@ def degree_assortativity(sf_dir: str) -> pa.Table:
         return pa.table({"n_edges": pa.array([0], pa.int64()),
                          "r_ppm": pa.array([None], pa.int64())})
     return G.degree_assortativity(_weighted_host_edges(sf_dir))
+
+
+def partition_prune_certificate(
+    sf_dir: str, cut: int = 256, bucket: int = 64,
+) -> pa.Table:
+    """Scan-PLANNING certificate: write the docs hive-partitioned by
+    ``len_bucket = n_chars // bucket``, then answer a range predicate
+    (``n_chars ≥ cut``) by reading ONLY the partition directories whose
+    bucket range can intersect it (``len_bucket ≥ cut // bucket``) plus a
+    residual per-row filter → per-lang (n_docs, sum_chars).  The oracle
+    full-scans the original parquet, so a planner bug that prunes a
+    qualifying partition (or forgets the residual filter at the boundary
+    bucket) changes the sums.  This is the min/max-manifest pruning the
+    IVF/SQ probes use for vectors, certified for the tabular layout;
+    ``prune_stats()`` on the result's metadata is asserted in pytest
+    (dirs_read < dirs_total)."""
+    import os
+    import shutil
+    import tempfile
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    root = tempfile.mkdtemp(prefix="partition_prune_")
+    try:
+        with_bucket = ds.map_batches(
+            lambda b: b.append_column(
+                "len_bucket",
+                pc.divide(pc.cast(b.column("n_chars"), pa.int64()),
+                          pa.scalar(bucket, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        with_bucket.write_parquet(root, partition_cols=["len_bucket"])
+
+        min_bucket = cut // bucket
+        dirs = sorted(d for d in os.listdir(root)
+                      if d.startswith("len_bucket="))
+        picked_dirs = [f"{root}/{d}" for d in dirs
+                       if int(d.split("=", 1)[1]) >= min_bucket]
+        # read_parquet wants FILES when given a list — expand each
+        # surviving partition directory
+        picked = [f"{d}/{f}" for d in picked_dirs
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        n_total, n_read = len(dirs), len(picked_dirs)
+        if not picked:
+            return empty.replace_schema_metadata(
+                {"dirs_total": str(n_total), "dirs_read": "0"})
+        back = ray.data.read_parquet(picked, columns=["lang", "n_chars"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            keep = pc.greater_equal(pc.cast(b.column("n_chars"),
+                                            pa.int64()),
+                                    pa.scalar(cut, pa.int64()))
+            b = b.filter(keep)
+            return pa.table({
+                "lang": pc.cast(b.column("lang"), pa.string()),
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                "sum_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            }).group_by(["lang"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")])
+
+        m = _merge_partials(
+            back.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["lang"], [("n_docs_sum", "sum"), ("sum_chars_sum", "sum")],
+            fallback_schema={"lang": pa.string(), "n_docs_sum": pa.int64(),
+                             "sum_chars_sum": pa.int64()})
+        out = m.rename_columns(["lang", "n_docs", "sum_chars"]
+                               ).sort_by("lang")
+        return out.replace_schema_metadata(
+            {"dirs_total": str(n_total), "dirs_read": str(n_read)})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def incremental_agg_maintenance(sf_dir: str) -> pa.Table:
+    """Incremental VIEW MAINTENANCE certificate: the per-type
+    (n_events, sum_value_c) view is first built over the BASE partition
+    (event_id % 10 < 8), checkpointed to parquet, and then maintained by
+    folding ONLY the delta partition's partials into the stored view —
+    the streaming-ingest pattern where a day's delta never re-scans the
+    corpus.  The maintained view must equal the oracle's full recompute
+    bit for bit (mergeable-aggregate property made into a certificate;
+    delta_dedup is the dedup-family sibling).
+
+    Scale shape: the stored view is bounded (one row per type); the
+    maintenance run reads the tiny checkpoint plus the delta rows only."""
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value_c": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["event_id", "event_type", "value"])
+
+    def view_partial(b: pa.Table, want_base: bool) -> pa.Table:
+        # event_id % 10 < 8 → base; Arrow ships no modulo kernel, so
+        # x − (x // 10) · 10 (event_id is non-negative)
+        sel = pc.less(pc.subtract(
+            b.column("event_id"),
+            pc.multiply(pc.divide(b.column("event_id"),
+                                  pa.scalar(10, pa.int64())),
+                        pa.scalar(10, pa.int64()))),
+            pa.scalar(8, pa.int64()))
+        if not want_base:
+            sel = pc.invert(sel)
+        b = b.filter(sel)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.ones(b.num_rows, np.int64)),
+            "sum_value_c": _cents(b.column("value")),
+        }).group_by(["event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value_c", "sum")]).rename_columns(
+            ["event_type", "n_events", "sum_value_c"])
+
+    root = tempfile.mkdtemp(prefix="ivm_")
+    try:
+        base = _merge_partials(
+            ds.map_batches(view_partial, fn_kwargs={"want_base": True},
+                           batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"], [("n_events", "sum"), ("sum_value_c", "sum")],
+            fallback_schema={"event_type": pa.string(),
+                             "n_events": pa.int64(),
+                             "sum_value_c": pa.int64()})
+        import pyarrow.parquet as pq
+
+        pq.write_table(base, f"{root}/view.parquet")  # the checkpoint
+        stored = pq.read_table(f"{root}/view.parquet")
+        delta = _merge_partials(
+            ds.map_batches(view_partial, fn_kwargs={"want_base": False},
+                           batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"], [("n_events", "sum"), ("sum_value_c", "sum")],
+            fallback_schema={"event_type": pa.string(),
+                             "n_events": pa.int64(),
+                             "sum_value_c": pa.int64()})
+        merged = pa.concat_tables([stored, delta]).group_by(
+            ["event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value_c", "sum")]).rename_columns(
+            ["event_type", "n_events", "sum_value_c"])
+        return merged.sort_by("event_type")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

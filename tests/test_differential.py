@@ -178,7 +178,13 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "k_anonymity_audit",
            # assortativity: fuzz hits negative correlations (truncating
            # division) and near-regular subgraphs
-           "degree_assortativity"]
+           "degree_assortativity",
+           # scan planning: fuzz hits all-pruned corpora (every doc below
+           # the cut) and the boundary bucket's residual filter
+           "partition_prune_certificate",
+           # view maintenance: fuzz hits types present only in the delta
+           # partition (new key folded into the stored view)
+           "incremental_agg_maintenance"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

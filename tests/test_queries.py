@@ -102,6 +102,20 @@ def test_systematic_sample_distributed_fallback(ray_session):
     assert gate.equals(forced)
 
 
+def test_partition_prune_actually_prunes(ray_session):
+    """The planner must read strictly fewer partition directories than
+    exist (the certificate's value-match alone can't prove pruning)."""
+    from swift_readability_ray.pipelines.training_data import (
+        partition_prune_certificate,
+    )
+
+    t = partition_prune_certificate(SF)
+    md = {k.decode(): int(v.decode()) for k, v in t.schema.metadata.items()
+          if k in (b"dirs_total", b"dirs_read")}
+    assert md["dirs_read"] < md["dirs_total"], md
+    assert t.num_rows > 0
+
+
 def test_clustering_coefficients_distributed_fallback(ray_session):
     """The wedge-closure distributed path credits the same per-corner
     triangle counts as the driver set-intersection path."""
