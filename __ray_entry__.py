@@ -82,6 +82,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental view maintenance: checkpointed base view + delta
         # partials must equal the full recompute
         "incremental_agg_maintenance": TD.incremental_agg_maintenance,
+        # growth accounting: first-seen arrivals per day + running total
+        "new_users_daily": TD.new_users_daily,
+        # lakehouse maintenance: many-small-files → compacted rewrite,
+        # value-certified against the original
+        "compaction_certificate": TD.compaction_certificate,
+        # schema drift: two generations (added column) read as one
+        # dataset with NULL back-fill, certified per lang
+        "schema_evolution_certificate": TD.schema_evolution_certificate,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -620,6 +628,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE n_chars >= 256
             GROUP BY lang ORDER BY lang
+        """,
+        # first-seen day histogram + cumulative
+        "new_users_daily": """
+            WITH f AS (
+              SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+              FROM events GROUP BY user_id),
+            h AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+                  FROM f GROUP BY day)
+            SELECT CAST(day AS BIGINT) AS day, n_new_users,
+                   CAST(sum(n_new_users) OVER (
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM h ORDER BY day
+        """,
+        # compacted rewrite must preserve every row
+        "compaction_certificate": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # the unified two-generation read must match the parity rule
+        "schema_evolution_certificate": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_versioned,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # maintained view must equal the full recompute
         "incremental_agg_maintenance": """

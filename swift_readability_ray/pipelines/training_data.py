@@ -12496,3 +12496,179 @@ def incremental_agg_maintenance(sf_dir: str) -> pa.Table:
         return merged.sort_by("event_type")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def new_users_daily(sf_dir: str) -> pa.Table:
+    """User-acquisition curve: per epoch-day, the count of users whose
+    FIRST-ever event lands that day, plus the running cumulative — the
+    growth-accounting view behind events_dau_wau (DAU counts presence;
+    this counts arrivals exactly once).
+
+    Scale shape: per-block (user, min day) partials fold in one bounded
+    driver merge (user catalog is bounded); the first-seen histogram and
+    its cumsum run over that bounded table — one scan, no shuffle."""
+    path = f"{sf_dir}/events.parquet"
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "n_new_users": pa.array([], pa.int64()),
+                      "cum_users": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "day": day}
+                        ).group_by(["user_id"]).aggregate([("day", "min")])
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("day_min", "min")],
+        fallback_schema={"user_id": pa.int64(), "day_min": pa.int64()})
+    if m.num_rows == 0:
+        return empty
+    first = m.column("day_min").to_numpy().astype(np.int64)
+    days, counts = np.unique(first, return_counts=True)
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "n_new_users": pa.array(counts.astype(np.int64),
+                                             pa.int64()),
+                     "cum_users": pa.array(np.cumsum(counts).astype(np.int64),
+                                           pa.int64())})
+
+
+def compaction_certificate(
+    sf_dir: str, small_files: int = 48, target_files: int = 4,
+) -> pa.Table:
+    """Small-file COMPACTION certificate — the lakehouse maintenance job:
+    the docs table is first written as ``small_files`` fragments (the
+    pathological many-tiny-files layout streaming ingest leaves behind),
+    then compacted by a streaming read → repartition(``target_files``) →
+    rewrite, and certified per lang (n_docs, sum_chars) against the
+    oracle's scan of the ORIGINAL parquet — a compactor that drops or
+    duplicates a row changes the sums.  pytest asserts the file count
+    actually shrank.
+
+    Scale shape: both write legs stream block-at-a-time (never one giant
+    file); the repartition is the one intentional exchange — exactly what
+    a real compactor pays to re-bin data."""
+    import os
+    import shutil
+    import tempfile
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    root = tempfile.mkdtemp(prefix="compaction_")
+    try:
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+            override_num_blocks=small_files,
+        ).write_parquet(f"{root}/small")
+        n_small = len(os.listdir(f"{root}/small"))
+        ray.data.read_parquet(f"{root}/small").repartition(
+            target_files).write_parquet(f"{root}/compact")
+        n_compact = len(os.listdir(f"{root}/compact"))
+        back = ray.data.read_parquet(f"{root}/compact",
+                                     columns=["lang", "n_chars"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b.column("lang"),
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                "sum_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            }).group_by(["lang"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")])
+
+        m = _merge_partials(
+            back.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["lang"], [("n_docs_sum", "sum"), ("sum_chars_sum", "sum")],
+            fallback_schema={"lang": pa.string(), "n_docs_sum": pa.int64(),
+                             "sum_chars_sum": pa.int64()})
+        out = m.rename_columns(["lang", "n_docs", "sum_chars"]
+                               ).sort_by("lang")
+        return out.replace_schema_metadata(
+            {"files_small": str(n_small), "files_compact": str(n_compact)})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def schema_evolution_certificate(sf_dir: str) -> pa.Table:
+    """Schema-DRIFT tolerant source certificate: half the corpus is
+    written with the ORIGINAL schema (even doc_id) and half with an
+    evolved one (odd doc_id: an added ``pipeline_version`` column), then
+    both generations are read back as ONE dataset with the unified schema
+    (missing column → NULL, the Iceberg/Lance add-column contract) →
+    per-lang (n_docs, n_versioned, sum_chars).  A reader that can't union
+    drifted schemas — or that drops the old generation — changes the
+    counts.  The oracle recomputes the doc_id parity rule on the original
+    parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_versioned": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        def parity(b: pa.Table, want_even: bool) -> pa.Table:
+            did = b.column("doc_id")
+            even = pc.equal(
+                pc.subtract(did, pc.multiply(
+                    pc.divide(did, pa.scalar(2, pa.int64())),
+                    pa.scalar(2, pa.int64()))),
+                pa.scalar(0, pa.int64()))
+            b = b.filter(even if want_even else pc.invert(even))
+            if want_even:
+                return b
+            return b.append_column(
+                "pipeline_version",
+                pa.array(np.full(b.num_rows, 2, np.int64), pa.int64()))
+
+        ds.map_batches(parity, fn_kwargs={"want_even": True},
+                       batch_format="pyarrow", zero_copy_batch=True
+                       ).write_parquet(f"{root}/gen1")
+        ds.map_batches(parity, fn_kwargs={"want_even": False},
+                       batch_format="pyarrow", zero_copy_batch=True
+                       ).write_parquet(f"{root}/gen2")
+        back = ray.data.read_parquet([
+            f"{root}/gen1/{f}" for f in sorted(os.listdir(f"{root}/gen1"))
+        ] + [
+            f"{root}/gen2/{f}" for f in sorted(os.listdir(f"{root}/gen2"))
+        ])
+
+        def partial(b: pa.Table) -> pa.Table:
+            if "pipeline_version" in b.schema.names:
+                ver = pc.cast(
+                    pc.is_valid(b.column("pipeline_version")), pa.int64())
+            else:  # a block wholly from the old generation
+                ver = pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+            return pa.table({
+                "lang": b.column("lang"),
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_versioned": ver,
+                "sum_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            }).group_by(["lang"]).aggregate(
+                [("n_docs", "sum"), ("n_versioned", "sum"),
+                 ("sum_chars", "sum")])
+
+        m = _merge_partials(
+            back.map_batches(partial, batch_format="pyarrow"),
+            ["lang"], [("n_docs_sum", "sum"), ("n_versioned_sum", "sum"),
+                       ("sum_chars_sum", "sum")],
+            fallback_schema={"lang": pa.string(), "n_docs_sum": pa.int64(),
+                             "n_versioned_sum": pa.int64(),
+                             "sum_chars_sum": pa.int64()})
+        return m.rename_columns(
+            ["lang", "n_docs", "n_versioned", "sum_chars"]).sort_by("lang")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

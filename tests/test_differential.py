@@ -184,7 +184,16 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "partition_prune_certificate",
            # view maintenance: fuzz hits types present only in the delta
            # partition (new key folded into the stored view)
-           "incremental_agg_maintenance"]
+           "incremental_agg_maintenance",
+           # growth accounting: fuzz hits all-users-arrive-day-one and
+           # single-event users
+           "new_users_daily",
+           # compaction: fuzz hits corpora smaller than the fragment
+           # count (empty fragments)
+           "compaction_certificate",
+           # schema drift: fuzz hits all-even / all-odd doc_id corpora
+           # (one generation empty)
+           "schema_evolution_certificate"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -116,6 +116,17 @@ def test_partition_prune_actually_prunes(ray_session):
     assert t.num_rows > 0
 
 
+def test_compaction_shrinks_file_count(ray_session):
+    """The compacted layout must hold the same rows in far fewer files."""
+    from swift_readability_ray.pipelines.training_data import (
+        compaction_certificate,
+    )
+
+    t = compaction_certificate(SF)
+    md = {k.decode(): int(v.decode()) for k, v in t.schema.metadata.items()}
+    assert md["files_compact"] < md["files_small"], md
+
+
 def test_clustering_coefficients_distributed_fallback(ray_session):
     """The wedge-closure distributed path credits the same per-corner
     triangle counts as the driver set-intersection path."""
