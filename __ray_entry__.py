@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema drift: two generations (added column) read as one
         # dataset with NULL back-fill, certified per lang
         "schema_evolution_certificate": TD.schema_evolution_certificate,
+        # snapshot isolation: manifest-pinned v1 read beside appended v2
+        "time_travel_certificate": TD.time_travel_certificate,
+        # exact per-source mean/variance from integer sufficient stats
+        "source_length_moments": TD.source_length_moments,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -647,6 +651,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # manifest-pinned v1 sees only evens; the live v2 read sees all
+        "time_travel_certificate": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_v1,
+                   CAST(count(*) AS BIGINT) AS n_docs_v2,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars_v2
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # exact integer moments: mean and population variance in ppm
+        "source_length_moments": """
+            WITH st AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     sum(CAST(n_chars AS BIGINT)) AS sx,
+                     sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                         AS sxx
+              FROM documents GROUP BY source)
+            SELECT source, n_docs,
+                   CAST((1000000 * sx) // n_docs AS BIGINT) AS mean_ppm,
+                   CAST((1000000 * (n_docs * sxx - sx * sx))
+                        // (n_docs * n_docs) AS BIGINT) AS var_ppm
+            FROM st ORDER BY source
         """,
         # the unified two-generation read must match the parity rule
         "schema_evolution_certificate": """

@@ -12672,3 +12672,143 @@ def schema_evolution_certificate(sf_dir: str) -> pa.Table:
             ["lang", "n_docs", "n_versioned", "sum_chars"]).sort_by("lang")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def time_travel_certificate(sf_dir: str) -> pa.Table:
+    """Snapshot-isolation TIME TRAVEL certificate — the third lakehouse
+    maintenance primitive (compaction_certificate rewrites files,
+    schema_evolution_certificate adds columns, this one reads AS OF a
+    version): version 1 writes the even-doc_id generation and records its
+    file MANIFEST; version 2 appends the odd generation as new files in
+    the same directory.  Reading the v1 manifest must see ONLY the old
+    snapshot even though v2 files sit beside it, while the live read sees
+    both → per-lang (n_docs_v1, n_docs_v2, sum_chars_v2).  A reader that
+    lists the directory instead of the manifest breaks v1; one that
+    drops appended files breaks v2.  The oracle replays the doc_id
+    parity rule on the original parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs_v1": pa.array([], pa.int64()),
+                      "n_docs_v2": pa.array([], pa.int64()),
+                      "sum_chars_v2": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    root = tempfile.mkdtemp(prefix="time_travel_")
+    try:
+        def parity(b: pa.Table, want_even: bool) -> pa.Table:
+            did = b.column("doc_id")
+            even = pc.equal(
+                pc.subtract(did, pc.multiply(
+                    pc.divide(did, pa.scalar(2, pa.int64())),
+                    pa.scalar(2, pa.int64()))),
+                pa.scalar(0, pa.int64()))
+            return b.filter(even if want_even else pc.invert(even))
+
+        data = f"{root}/table"
+        ds.map_batches(parity, fn_kwargs={"want_even": True},
+                       batch_format="pyarrow", zero_copy_batch=True
+                       ).write_parquet(data)
+        manifest_v1 = sorted(
+            f"{data}/{f}" for f in os.listdir(data) if f.endswith(".parquet"))
+        ds.map_batches(parity, fn_kwargs={"want_even": False},
+                       batch_format="pyarrow", zero_copy_batch=True
+                       ).write_parquet(data)
+        manifest_v2 = sorted(
+            f"{data}/{f}" for f in os.listdir(data) if f.endswith(".parquet"))
+
+        def counts(files: list[str], with_chars: bool) -> pa.Table:
+            if not files:
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())})
+            back = ray.data.read_parquet(files, columns=["lang", "n_chars"])
+
+            def partial(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "lang": b.column("lang"),
+                    "n": pa.array(np.ones(b.num_rows, np.int64)),
+                    "s": pc.cast(b.column("n_chars"), pa.int64()),
+                }).group_by(["lang"]).aggregate([("n", "sum"), ("s", "sum")])
+
+            return _merge_partials(
+                back.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                ["lang"], [("n_sum", "sum"), ("s_sum", "sum")],
+                fallback_schema={"lang": pa.string(), "n_sum": pa.int64(),
+                                 "s_sum": pa.int64()}
+            ).rename_columns(["lang", "n", "s"])
+
+        v1 = counts(manifest_v1, False)
+        v2 = counts(manifest_v2, True)
+        langs = sorted(set(v1.column("lang").to_pylist())
+                       | set(v2.column("lang").to_pylist()))
+        d1 = dict(zip(v1.column("lang").to_pylist(),
+                      v1.column("n").to_pylist()))
+        d2n = dict(zip(v2.column("lang").to_pylist(),
+                       v2.column("n").to_pylist()))
+        d2s = dict(zip(v2.column("lang").to_pylist(),
+                       v2.column("s").to_pylist()))
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n_docs_v1": pa.array([d1.get(l, 0) for l in langs], pa.int64()),
+            "n_docs_v2": pa.array([d2n.get(l, 0) for l in langs],
+                                  pa.int64()),
+            "sum_chars_v2": pa.array([d2s.get(l, 0) for l in langs],
+                                     pa.int64())})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def source_length_moments(sf_dir: str) -> pa.Table:
+    """Per-source EXACT first two moments of doc length from integer
+    sufficient statistics: mean_ppm = 10⁶·Σx ÷ n and population
+    var_ppm = 10⁶·(n·Σx² − (Σx)²) ÷ n² — the algebraic-aggregate pattern
+    (event_rate_trends' regression sibling) for the length profile a
+    mixture-weighting job broadcasts.  All quantities non-negative, so
+    truncating and floor division agree with the oracle bit for bit.
+
+    Scale shape: per-block (n, Σx, Σx²) partials per source fold in one
+    bounded driver merge — one scan, no shuffle."""
+    path = f"{sf_dir}/documents.parquet"
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "mean_ppm": pa.array([], pa.int64()),
+                      "var_ppm": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _read_sized(path, columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("n_chars"), pa.int64())
+        return pa.table({
+            "source": b.column("source"),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "sx": x,
+            "sxx": pc.multiply(x, x),
+        }).group_by(["source"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"], [("n_sum", "sum"), ("sx_sum", "sum"),
+                     ("sxx_sum", "sum")],
+        fallback_schema={"source": pa.string(), "n_sum": pa.int64(),
+                         "sx_sum": pa.int64(), "sxx_sum": pa.int64()})
+    src = m.column("source").to_pylist()
+    n = m.column("n_sum").to_pylist()
+    sx = m.column("sx_sum").to_pylist()
+    sxx = m.column("sxx_sum").to_pylist()
+    order = np.argsort(np.asarray(src, dtype=object))
+    mean = [1_000_000 * sx[i] // n[i] for i in order]
+    var = [(1_000_000 * (n[i] * sxx[i] - sx[i] * sx[i])) // (n[i] * n[i])
+           for i in order]
+    return pa.table({
+        "source": pa.array([src[i] for i in order], pa.string()),
+        "n_docs": pa.array([n[i] for i in order], pa.int64()),
+        "mean_ppm": pa.array(mean, pa.int64()),
+        "var_ppm": pa.array(var, pa.int64())})

@@ -193,7 +193,13 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "compaction_certificate",
            # schema drift: fuzz hits all-even / all-odd doc_id corpora
            # (one generation empty)
-           "schema_evolution_certificate"]
+           "schema_evolution_certificate",
+           # time travel: fuzz hits langs present only in the appended
+           # generation (v1 count 0)
+           "time_travel_certificate",
+           # moments: fuzz hits singleton sources (variance 0) and
+           # constant-length sources
+           "source_length_moments"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
