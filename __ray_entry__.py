@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_travel_certificate": TD.time_travel_certificate,
         # exact per-source mean/variance from integer sufficient stats
         "source_length_moments": TD.source_length_moments,
+        # training ingest: concurrent streaming_split ranks must cover
+        # the corpus exactly once
+        "streaming_split_certificate": TD.streaming_split_certificate,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -648,6 +651,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # compacted rewrite must preserve every row
         "compaction_certificate": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # concurrent rank drains must union to the full scan
+        "streaming_split_certificate": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang

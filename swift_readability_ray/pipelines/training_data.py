@@ -12812,3 +12812,58 @@ def source_length_moments(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([n[i] for i in order], pa.int64()),
         "mean_ppm": pa.array(mean, pa.int64()),
         "var_ppm": pa.array(var, pa.int64())})
+
+
+def streaming_split_certificate(sf_dir: str, n_shards: int = 4) -> pa.Table:
+    """Training-ingest certificate for ``Dataset.streaming_split`` — the
+    data-loader primitive a multi-worker trainer consumes (one stream per
+    rank, backed by ONE shared streaming executor): ``n_shards`` splits
+    are drained CONCURRENTLY (each in its own thread, as ranks would),
+    each folding its own per-lang partials; the union of the shard
+    partials must equal the oracle's full scan (no row lost, duplicated
+    or double-delivered across shards) → per-lang (n_docs, sum_chars).
+    The observed fan-out rides in schema metadata (``shards_nonempty``)
+    and pytest asserts it is > 1 — the value match alone can't prove the
+    split actually sharded.
+
+    Scale shape: this IS the scale path — each rank pulls blocks with
+    backpressure from the shared executor; nothing materializes.  Per-
+    batch folding is a vectorized group_by; the Python dict fold touches
+    only langs × batches tiny partials."""
+    import threading
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["lang", "n_chars"])
+    splits = ds.streaming_split(n_shards, equal=False)
+    results: list = [None] * n_shards
+
+    def drain(rank: int) -> None:
+        parts = []
+        for batch in splits[rank].iter_batches(batch_format="pyarrow"):
+            parts.append(pa.table({
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }).group_by(["lang"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")]))
+        results[rank] = pa.concat_tables(parts) if parts else None
+
+    threads = [threading.Thread(target=drain, args=(r,))
+               for r in range(n_shards)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    shard_tables = [r for r in results if r is not None and r.num_rows]
+    if not shard_tables:
+        return empty
+    out = pa.concat_tables(shard_tables).group_by(["lang"]).aggregate(
+        [("n_docs_sum", "sum"), ("sum_chars_sum", "sum")]).rename_columns(
+        ["lang", "n_docs", "sum_chars"]).sort_by("lang")
+    return out.replace_schema_metadata(
+        {"shards_nonempty": str(len(shard_tables)),
+         "n_shards": str(n_shards)})

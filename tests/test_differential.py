@@ -199,7 +199,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "time_travel_certificate",
            # moments: fuzz hits singleton sources (variance 0) and
            # constant-length sources
-           "source_length_moments"]
+           "source_length_moments",
+           # streaming split: fuzz hits single-block corpora (one rank
+           # gets everything, others drain empty)
+           "streaming_split_certificate"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the

@@ -116,6 +116,17 @@ def test_partition_prune_actually_prunes(ray_session):
     assert t.num_rows > 0
 
 
+def test_streaming_split_fans_out(ray_session):
+    """More than one concurrent rank must actually receive blocks."""
+    from swift_readability_ray.pipelines.training_data import (
+        streaming_split_certificate,
+    )
+
+    t = streaming_split_certificate(SF)
+    md = {k.decode(): int(v.decode()) for k, v in t.schema.metadata.items()}
+    assert md["shards_nonempty"] >= 2, md
+
+
 def test_compaction_shrinks_file_count(ray_session):
     """The compacted layout must hold the same rows in far fewer files."""
     from swift_readability_ray.pipelines.training_data import (
