@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": TD.token_counts,
         "fingerprints": TD.fingerprints,
         "langid": TD.langid_table,
+        # classifier evaluation: langid prediction vs stored label
+        "langid_confusion": TD.langid_confusion,
         "quality": TD.quality_table,
         # aggregates / filters / sorts / windows
         "doc_stats": TD.doc_stats,
@@ -894,6 +896,40 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_fr >= h_de THEN 'fr'
                    ELSE 'de' END AS lang_pred
             FROM h ORDER BY doc_id
+        """,
+        # confusion matrix over the SAME langid CTE, joined to the stored
+        # label — the classifier-evaluation view of the heuristic
+        "langid_confusion": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                                x -> x <> ''),
+                                    x -> lower(x)) AS toks,
+                     substr(text, 1, 400) AS sample
+              FROM documents),
+            h AS (
+              SELECT doc_id, lang, toks, sample,
+                len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS h_en,
+                len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','no','por'], x))) AS h_es,
+                len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], x))) AS h_fr,
+                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS h_de
+              FROM t),
+            p AS (
+              SELECT lang AS lang_true,
+                CASE WHEN len(toks) = 0 THEN 'und'
+                     WHEN regexp_matches(sample, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                     WHEN regexp_matches(sample, '[\x{0400}-\x{04ff}]') THEN 'ru'
+                     WHEN regexp_matches(sample, '[\x{0600}-\x{06ff}]') THEN 'ar'
+                     WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                     WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                     WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                     WHEN h_fr >= h_de THEN 'fr'
+                     ELSE 'de' END AS lang_pred
+              FROM h)
+            SELECT lang_true, lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY lang_true, lang_pred
+            ORDER BY lang_true, lang_pred
         """,
         # quality formula mirrored term-by-term; floor(x*1e6+0.5)/1e6 is the
         # shared half-up rounding (see functions/text_stats.py)

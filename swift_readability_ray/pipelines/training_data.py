@@ -12867,3 +12867,42 @@ def streaming_split_certificate(sf_dir: str, n_shards: int = 4) -> pa.Table:
     return out.replace_schema_metadata(
         {"shards_nonempty": str(len(shard_tables)),
          "n_shards": str(n_shards)})
+
+
+def langid_confusion(sf_dir: str) -> pa.Table:
+    """Language-ID EVALUATION matrix: confusion counts between the n-gram
+    heuristic's prediction and the table's stored ``lang`` label →
+    (lang_true, lang_pred, n_docs) — the precision/recall raw material a
+    filtering job reviews before trusting the classifier at fleet scale.
+
+    Scale shape: the langid kernel runs in the same per-block stage that
+    already carries both columns, folding straight into bounded
+    (true × pred) count partials — one scan, no shuffle, and the doc_id
+    never leaves the block."""
+    path = f"{sf_dir}/documents.parquet"
+    empty = pa.table({"lang_true": pa.array([], pa.string()),
+                      "lang_pred": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text", "lang"],
+                     rows_per_block=1024)
+
+    def partial(b: pa.Table) -> pa.Table:
+        scored = TA.add_lang_id(b)
+        return pa.table({
+            "lang_true": b.column("lang"),
+            "lang_pred": scored.column("lang_pred"),
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+        }).group_by(["lang_true", "lang_pred"]).aggregate(
+            [("n_docs", "sum")])
+
+    m = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang_true", "lang_pred"], [("n_docs_sum", "sum")],
+        fallback_schema={"lang_true": pa.string(),
+                         "lang_pred": pa.string(),
+                         "n_docs_sum": pa.int64()})
+    return m.rename_columns(["lang_true", "lang_pred", "n_docs"]).sort_by(
+        [("lang_true", "ascending"), ("lang_pred", "ascending")])

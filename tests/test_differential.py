@@ -202,7 +202,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "source_length_moments",
            # streaming split: fuzz hits single-block corpora (one rank
            # gets everything, others drain empty)
-           "streaming_split_certificate"]
+           "streaming_split_certificate",
+           # confusion matrix: fuzz hits 'und' predictions (empty docs)
+           # against every stored label
+           "langid_confusion"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
