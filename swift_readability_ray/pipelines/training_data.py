@@ -12640,11 +12640,19 @@ def schema_evolution_certificate(sf_dir: str) -> pa.Table:
         ds.map_batches(parity, fn_kwargs={"want_even": False},
                        batch_format="pyarrow", zero_copy_batch=True
                        ).write_parquet(f"{root}/gen2")
-        back = ray.data.read_parquet([
-            f"{root}/gen1/{f}" for f in sorted(os.listdir(f"{root}/gen1"))
-        ] + [
-            f"{root}/gen2/{f}" for f in sorted(os.listdir(f"{root}/gen2"))
-        ])
+        def _gen_files(gen: str) -> list[str]:
+            # an all-even/all-odd corpus leaves one generation EMPTY:
+            # write_parquet of a no-row dataset creates no directory
+            d = f"{root}/{gen}"
+            if not os.path.isdir(d):
+                return []
+            return [f"{d}/{f}" for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")]
+
+        files = _gen_files("gen1") + _gen_files("gen2")
+        if not files:
+            return empty
+        back = ray.data.read_parquet(files)
 
         def partial(b: pa.Table) -> pa.Table:
             if "pipeline_version" in b.schema.names:
@@ -12709,16 +12717,23 @@ def time_travel_certificate(sf_dir: str) -> pa.Table:
             return b.filter(even if want_even else pc.invert(even))
 
         data = f"{root}/table"
+
+        def _manifest() -> list[str]:
+            # an all-odd corpus writes NO v1 files (write_parquet of a
+            # no-row dataset creates no directory)
+            if not os.path.isdir(data):
+                return []
+            return sorted(f"{data}/{f}" for f in os.listdir(data)
+                          if f.endswith(".parquet"))
+
         ds.map_batches(parity, fn_kwargs={"want_even": True},
                        batch_format="pyarrow", zero_copy_batch=True
                        ).write_parquet(data)
-        manifest_v1 = sorted(
-            f"{data}/{f}" for f in os.listdir(data) if f.endswith(".parquet"))
+        manifest_v1 = _manifest()
         ds.map_batches(parity, fn_kwargs={"want_even": False},
                        batch_format="pyarrow", zero_copy_batch=True
                        ).write_parquet(data)
-        manifest_v2 = sorted(
-            f"{data}/{f}" for f in os.listdir(data) if f.endswith(".parquet"))
+        manifest_v2 = _manifest()
 
         def counts(files: list[str], with_chars: bool) -> pa.Table:
             if not files:
