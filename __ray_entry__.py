@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training ingest: concurrent streaming_split ranks must cover
         # the corpus exactly once
         "streaming_split_certificate": TD.streaming_split_certificate,
+        # heterogeneous federation: parquet + CSV + JSONL shards unioned
+        # into one Dataset, md5-certified
+        "federated_union_certificate": TD.federated_union_certificate,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -656,6 +659,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # the three-format federation must cover the corpus byte-exactly
+        "federated_union_certificate": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 12))
+                                 AS BIGINT)) AS BIGINT) AS text_digest_sum
+            FROM documents GROUP BY source ORDER BY source
         """,
         # concurrent rank drains must union to the full scan
         "streaming_split_certificate": """

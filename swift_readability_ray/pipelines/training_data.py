@@ -12921,3 +12921,105 @@ def langid_confusion(sf_dir: str) -> pa.Table:
                          "n_docs_sum": pa.int64()})
     return m.rename_columns(["lang_true", "lang_pred", "n_docs"]).sort_by(
         [("lang_true", "ascending"), ("lang_pred", "ascending")])
+
+
+def federated_union_certificate(sf_dir: str) -> pa.Table:
+    """HETEROGENEOUS-source federation certificate: the corpus is split
+    three ways by ``doc_id % 3`` — shard 0 stays Parquet, shard 1 is
+    written CSV, shard 2 JSON-lines — then read back through
+    :func:`sources.io.read_documents` (typed: pinned schemas, CSV
+    ``newlines_in_values``) and UNIONED into one Dataset
+    (``Dataset.union``: the multi-catalog ingest shape) → per-source
+    (n_docs, sum_chars, text_digest_sum) with the md5 digest computed
+    from the round-tripped text.  Losing a shard, a row, or a byte of
+    text in ANY of the three formats changes the sums; the oracle scans
+    the original parquet once."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import io as sio
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64()),
+                      "text_digest_sum": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _docs_sized(sf_dir, columns=cols)
+    root = tempfile.mkdtemp(prefix="federated_")
+    try:
+        def shard(b: pa.Table, r: int) -> pa.Table:
+            did = b.column("doc_id")
+            m = pc.subtract(did, pc.multiply(
+                pc.divide(did, pa.scalar(3, pa.int64())),
+                pa.scalar(3, pa.int64())))
+            return b.filter(pc.equal(m, pa.scalar(r, pa.int64())))
+
+        parts = []
+        specs = [("parquet", f"{root}/s0"), ("csv", f"{root}/s1.csv"),
+                 ("jsonl", f"{root}/s2.jsonl")]
+        for r, (fmt, out) in enumerate(specs):
+            sds = ds.map_batches(shard, fn_kwargs={"r": r},
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            sio.write_table(sds, out)
+            if not os.path.isdir(out):  # empty shard: nothing written
+                continue
+            if fmt == "parquet":
+                parts.append(ray.data.read_parquet(out))
+            elif fmt == "csv":
+                import pyarrow.csv as pacsv
+
+                parts.append(sio.read_documents(
+                    out,
+                    parse_options=pacsv.ParseOptions(
+                        newlines_in_values=True),
+                    convert_options=pacsv.ConvertOptions(column_types={
+                        "doc_id": pa.int64(), "text": pa.string(),
+                        "lang": pa.string(), "source": pa.string(),
+                        "n_chars": pa.int64()})))
+            else:
+                import pyarrow.json as pajson
+
+                parts.append(sio.read_documents(
+                    out,
+                    parse_options=pajson.ParseOptions(
+                        explicit_schema=pa.schema([
+                            ("doc_id", pa.int64()), ("text", pa.string()),
+                            ("lang", pa.string()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64())]))))
+        if not parts:
+            return empty
+        fed = parts[0]
+        for p in parts[1:]:
+            fed = fed.union(p)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            dig = [int(hashlib.md5((t or "").encode("utf-8"))
+                       .hexdigest()[:12], 16) for t in texts]
+            return pa.table({
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "text_digest_sum": pa.array(dig, pa.int64()),
+            }).group_by(["source"]).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum"),
+                 ("text_digest_sum", "sum")])
+
+        m = _merge_partials(
+            fed.map_batches(partial, batch_format="pyarrow"),
+            ["source"], [("n_docs_sum", "sum"), ("sum_chars_sum", "sum"),
+                         ("text_digest_sum_sum", "sum")],
+            fallback_schema={"source": pa.string(), "n_docs_sum": pa.int64(),
+                             "sum_chars_sum": pa.int64(),
+                             "text_digest_sum_sum": pa.int64()})
+        return m.rename_columns(
+            ["source", "n_docs", "sum_chars", "text_digest_sum"]
+        ).sort_by("source")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -205,7 +205,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "streaming_split_certificate",
            # confusion matrix: fuzz hits 'und' predictions (empty docs)
            # against every stored label
-           "langid_confusion"]
+           "langid_confusion",
+           # federation: fuzz hits empty shards (a format with no rows
+           # writes nothing) and empty-string texts through CSV
+           "federated_union_certificate"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
