@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": TD.exact_dedup,
         "minhash_dedup": TD.minhash_dedup,
         "minhash_dedup_docs": TD.minhash_dedup_docs,
+        # dedup health report: component-size histogram incl. singletons
+        "minhash_cluster_sizes": TD.minhash_cluster_sizes,
         "simhash_dedup": TD.simhash_dedup,
         "embedding_neardup": TD.embedding_neardup,
         "embedding_neardup_lsh": TD.embedding_neardup_lsh_query,
@@ -1433,6 +1435,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
             WHERE doc_id NOT IN (SELECT u FROM minlab WHERE label < u)
             ORDER BY doc_id
+        """,
+        # cluster-size histogram over the same component labeling;
+        # singletons = docs never touched by an edge
+        "minhash_cluster_sizes": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / len(list_distinct(a.sh || b.sh))::DOUBLE END >= 0.5),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            lab AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+            cs AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM lab GROUP BY label),
+            h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+                  FROM cs GROUP BY cluster_size),
+            s AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                         CAST((SELECT count(*) FROM documents)
+                              - (SELECT count(*) FROM lab) AS BIGINT)
+                             AS n_clusters)
+            SELECT * FROM h
+            UNION ALL
+            SELECT * FROM s WHERE n_clusters > 0
+            ORDER BY cluster_size
         """,
         "minhash_dedup": r"""
             WITH toks AS (

@@ -13023,3 +13023,42 @@ def federated_union_certificate(sf_dir: str) -> pa.Table:
         ).sort_by("source")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def minhash_cluster_sizes(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Near-duplicate CLUSTER-SIZE distribution → (cluster_size,
+    n_clusters) incl. the singleton row — the dedup health report a
+    corpus release publishes (a heavy tail of giant clusters means
+    boilerplate or mirror floods; minhash_dedup_docs tells you WHAT to
+    keep, this tells you what the duplication looks like).
+
+    Scale shape: reuses the session-cached verified pair table (one
+    MinHash pass serves all four minhash queries) and the SAME
+    driver/distributed component labeling as the collapse; sizes fold
+    from label counts (bounded by cluster count) and singletons are
+    arithmetic: total docs − labeled docs."""
+    pairs = _minhash_pairs_cached(sf_dir, threshold)
+    n_docs = _footer_rows(f"{sf_dir}/documents.parquet") or 0
+    empty = pa.table({"cluster_size": pa.array([], pa.int64()),
+                      "n_clusters": pa.array([], pa.int64())})
+    if n_docs == 0:
+        return empty
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table({"cluster_size": pa.array([1], pa.int64()),
+                         "n_clusters": pa.array([n_docs], pa.int64())})
+    labels = D.component_labels(pairs)
+    sizes = labels.groupby("label").count()
+    st = _collect(sizes, fallback_schema={"label": pa.int64(),
+                                          "count()": pa.int64()})
+    cnt = st.column(st.schema.names[1]).to_numpy().astype(np.int64)
+    labeled = int(cnt.sum())
+    size_vals, size_counts = np.unique(cnt, return_counts=True)
+    rows_s = size_vals.astype(np.int64).tolist()
+    rows_n = size_counts.astype(np.int64).tolist()
+    singles = n_docs - labeled
+    if singles > 0:
+        rows_s.insert(0, 1)
+        rows_n.insert(0, singles)
+    return pa.table({"cluster_size": pa.array(rows_s, pa.int64()),
+                     "n_clusters": pa.array(rows_n, pa.int64())})

@@ -208,7 +208,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "langid_confusion",
            # federation: fuzz hits empty shards (a format with no rows
            # writes nothing) and empty-string texts through CSV
-           "federated_union_certificate"]
+           "federated_union_certificate",
+           # cluster sizes: fuzz hits pair-free corpora (all singletons)
+           # and empty-doc clusters (jaccard 1.0 between empties)
+           "minhash_cluster_sizes"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
