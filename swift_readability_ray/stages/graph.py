@@ -820,13 +820,16 @@ def clustering_coefficients(
             "n": pa.array([1] * (3 * t.num_rows), pa.int64())}
         ).group_by(["host"]).aggregate([("n", "sum")]),
         batch_format="pyarrow", zero_copy_batch=True)
-    tri_tbl = pa.concat_tables(
-        corner_parts.iter_batches(batch_format="pyarrow"))
+    # a triangle-free graph yields ZERO batches here — concat would raise
+    corner_batches = list(corner_parts.iter_batches(batch_format="pyarrow"))
     tri: dict[str, int] = {}
-    if tri_tbl.num_rows:
-        tri_tbl = tri_tbl.group_by(["host"]).aggregate([("n_sum", "sum")])
-        tri = dict(zip(tri_tbl.column("host").to_pylist(),
-                       tri_tbl.column("n_sum_sum").to_pylist()))
+    if corner_batches:
+        tri_tbl = pa.concat_tables(corner_batches)
+        if tri_tbl.num_rows:
+            tri_tbl = tri_tbl.group_by(["host"]).aggregate(
+                [("n_sum", "sum")])
+            tri = dict(zip(tri_tbl.column("host").to_pylist(),
+                           tri_tbl.column("n_sum_sum").to_pylist()))
     return finalize(list(deg), deg, tri)
 
 

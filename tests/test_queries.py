@@ -150,6 +150,24 @@ def test_clustering_coefficients_distributed_fallback(ray_session):
     assert gate.equals(forced)
 
 
+def test_clustering_coefficients_triangle_free_forced(ray_session):
+    """A triangle-free graph produces ZERO closed-wedge batches on the
+    distributed path — must yield cc 0/NULL, not an empty-concat crash."""
+    import pyarrow as pa
+    import ray
+
+    from swift_readability_ray.stages.graph import clustering_coefficients
+
+    edges = ray.data.from_arrow(pa.table(
+        {"src": ["a", "b"], "dst": ["b", "c"],
+         "w": pa.array([1, 1], pa.int64())}))
+    t = clustering_coefficients(edges, force_distributed=True)
+    rows = {r["host"]: r for r in t.to_pylist()}
+    assert rows["b"]["degree"] == 2 and rows["b"]["n_triangles"] == 0
+    assert rows["b"]["cc_ppm"] == 0
+    assert rows["a"]["cc_ppm"] is None  # degree 1: no wedge exists
+
+
 def test_dup_ngram_stats_distributed_fallback(ray_session):
     """Above the driver-merge gate the gram/doc combines run as distributed
     groupbys (with the dup-key broadcast) and produce identical results."""
