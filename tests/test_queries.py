@@ -786,3 +786,40 @@ def test_cdc_chunk_stats_distributed_fallback(ray_session):
     assert driver.to_pylist() == dist.to_pylist()
     # the corpus genuinely contains cross-doc duplicate chunks
     assert sum(r["n_dup_chunks"] for r in driver.to_pylist()) > 0
+
+
+def _gate_exposing_ops():
+    import inspect
+
+    from swift_readability_ray.pipelines import training_data as TD
+
+    out = []
+    for name in sorted(dir(TD)):
+        if name.startswith("_"):
+            continue
+        f = getattr(TD, name)
+        if not callable(f):
+            continue
+        try:
+            sig = inspect.signature(f)
+        except (TypeError, ValueError):
+            continue
+        if "force_distributed" in sig.parameters and "sf_dir" in sig.parameters:
+            out.append(name)
+    return out
+
+
+@pytest.mark.parametrize("name", _gate_exposing_ops())
+def test_every_gate_pins_forced_equal(ray_session, name):
+    """META-pin: EVERY op exposing ``force_distributed`` must produce the
+    identical table on its distributed path — collected by signature
+    inspection so a future gated op can never ship without this pin."""
+    from swift_readability_ray.pipelines import training_data as TD
+
+    f = getattr(TD, name)
+    gate = f(SF)
+    forced = f(SF, force_distributed=True)
+    g = gate if isinstance(gate, pa.Table) else pa.table(gate.to_pandas())
+    fo = forced if isinstance(forced, pa.Table) else pa.table(
+        forced.to_pandas())
+    assert g.to_pylist() == fo.to_pylist(), name
