@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heterogeneous federation: parquet + CSV + JSONL shards unioned
         # into one Dataset, md5-certified
         "federated_union_certificate": TD.federated_union_certificate,
+        # path mining: top length-3 behavioral paths per user stream
+        "event_trigrams": TD.event_trigrams,
+        # release changelog: keyed full-outer digest diff of two versions
+        "corpus_diff": TD.corpus_diff,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -661,6 +665,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # length-3 paths with the impl's (-n, t1, t2, t3) tie-break
+        "event_trigrams": """
+            WITH o AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t2,
+                     lead(event_type, 2) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t3
+              FROM events),
+            c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+                  FROM o WHERE t3 IS NOT NULL GROUP BY t1, t2, t3)
+            SELECT t1, t2, t3, n FROM c
+            ORDER BY n DESC, t1, t2, t3 LIMIT 25
+        """,
+        # the diff replays the synthesis rules: %7 absent from the old
+        # version (added), %5 mutated (changed), rest unchanged
+        "corpus_diff": """
+            SELECT source,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(0 AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM documents GROUP BY source ORDER BY source
         """,
         # the three-format federation must cover the corpus byte-exactly
         "federated_union_certificate": """

@@ -13062,3 +13062,210 @@ def minhash_cluster_sizes(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         rows_n.insert(0, singles)
     return pa.table({"cluster_size": pa.array(rows_s, pa.int64()),
                      "n_clusters": pa.array(rows_n, pa.int64())})
+
+
+def event_trigrams(
+    sf_dir: str, top_k: int = 25, driver_limit: int = 1_000_000,
+) -> pa.Table:
+    """Top behavioral PATHS of length 3: per user, order events by
+    (ts, event_id) and count consecutive (t1 → t2 → t3) type triples
+    globally → the top ``top_k`` by (-n, t1, t2, t3) — the path-mining
+    extension of ``event_transitions``' pair matrix (what sessions DO,
+    three steps at a time).
+
+    Scale shape mirrors event_transitions: ordering is only needed within
+    one user, so the shuffle key is user_id; per group a vectorized
+    lexsort + two adjacent shifts emit ≤types³-row partials and ONE
+    native groupby-Sum combines them.  Under ``driver_limit`` the whole
+    stream is one driver lexsort (pinned equal by the meta-pin via
+    driver_limit=0 is not exposed — this op gates on row count only, and
+    the distributed sibling is pinned in its own test)."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "t3": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    path = f"{sf_dir}/events.parquet"
+    if _footer_rows(path) == 0:
+        return empty
+    cols = ["user_id", "ts", "event_id", "event_type"]
+
+    def tri_counts(uid, ts, eid, types) -> pa.Table:
+        uniq, codes = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        if len(u) < 3:
+            return empty
+        same = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+        if not same.any():
+            return empty
+        k = len(uniq)
+        tri = (c[:-2][same] * k + c[1:-1][same]) * k + c[2:][same]
+        vals, cnt = np.unique(tri, return_counts=True)
+        return pa.table({
+            "t1": pa.array(uniq[vals // (k * k)], pa.string()),
+            "t2": pa.array(uniq[(vals // k) % k], pa.string()),
+            "t3": pa.array(uniq[vals % k], pa.string()),
+            "n": pa.array(cnt, pa.int64())})
+
+    def top(out: pa.Table) -> pa.Table:
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[("n", "descending"), ("t1", "ascending"),
+                            ("t2", "ascending"), ("t3", "ascending")]))
+        return out.slice(0, top_k)
+
+    n_rows = _footer_rows(path)
+    if n_rows is not None and n_rows <= driver_limit:
+        tbl = _collect(_read_sized(path, columns=cols))
+        return top(tri_counts(
+            tbl.column("user_id").to_numpy(),
+            tbl.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            tbl.column("event_id").to_numpy(),
+            np.asarray(tbl.column("event_type").to_pylist(),
+                       dtype=object)))
+
+    ds = _read_sized(path, columns=cols)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        return tri_counts(
+            group.column("user_id").to_numpy(),
+            group.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            group.column("event_id").to_numpy(),
+            np.asarray(group.column("event_type").to_pylist(),
+                       dtype=object))
+
+    partials = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+    merged = partials.groupby(["t1", "t2", "t3"]).aggregate(Sum("n"))
+    out = _collect(merged, fallback_schema={
+        "t1": pa.string(), "t2": pa.string(), "t3": pa.string(),
+        "sum(n)": pa.int64()}).rename_columns(["t1", "t2", "t3", "n"])
+    return top(out)
+
+
+def corpus_diff(sf_dir: str) -> pa.Table:
+    """Dataset-release CHANGELOG: diff two corpus versions per source →
+    (source, n_added, n_removed, n_changed, n_unchanged).  The old
+    version is derived deterministically (docs with ``doc_id % 7 == 0``
+    absent — "added" in the new release; docs with ``doc_id % 5 == 0``
+    carry a mutated text digest — "changed"), so the oracle replays the
+    same rules; a real release would diff two actual snapshots with the
+    identical keyed comparison.
+
+    Scale shape: both sides ship (doc_id, source, 8-byte digest) thin
+    rows only; the keyed FULL-OUTER comparison runs as one hash
+    repartition by doc_id with both sides tagged, compared vectorized
+    inside each co-located block, folding straight into bounded
+    per-source partials — text never moves, nothing driver-side."""
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_added": pa.array([], pa.int64()),
+                      "n_removed": pa.array([], pa.int64()),
+                      "n_changed": pa.array([], pa.int64()),
+                      "n_unchanged": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    with _pinned_hash_shuffle():
+        ds = _docs_sized(sf_dir, columns=["doc_id", "text", "source"])
+
+        def sides(b: pa.Table) -> pa.Table:
+            import hashlib
+
+            did = b.column("doc_id").to_numpy().astype(np.int64)
+            src = b.column("source").to_pylist()
+            texts = b.column("text").to_pylist()
+            dig = np.fromiter(
+                (int(hashlib.md5((t or "").encode()).hexdigest()[:12], 16)
+                 for t in texts), np.int64, len(texts))
+            # new version: every doc, current digest
+            new_side = pa.table({
+                "doc_id": pa.array(did, pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "digest": pa.array(dig, pa.int64()),
+                "side": pa.array(np.ones(len(did), np.int8), pa.int8())})
+            # old version: doc_id % 7 == 0 didn't exist yet; % 5 == 0 had
+            # different text (digest xor marker)
+            keep = did % 7 != 0
+            old_dig = np.where(did % 5 == 0, dig ^ 0x5A5A5A, dig)
+            old_side = pa.table({
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "source": pa.array(np.asarray(src, dtype=object)[keep],
+                                   pa.string()),
+                "digest": pa.array(old_dig[keep], pa.int64()),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int8),
+                                 pa.int8())})
+            return pa.concat_tables([old_side, new_side])
+
+        both = ds.map_batches(sides, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(
+            num_blocks=D._default_join_partitions(ds), keys=["doc_id"])
+
+        kind_empty = pa.table({"source": pa.array([], pa.string()),
+                               "kind": pa.array([], pa.string()),
+                               "n": pa.array([], pa.int64())})
+
+        def diff_block(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return kind_empty
+            did = b.column("doc_id").to_numpy().astype(np.int64)
+            src = np.asarray(b.column("source").to_pylist(), dtype=object)
+            dig = b.column("digest").to_numpy().astype(np.int64)
+            side = b.column("side").to_numpy().astype(np.int8)
+            order = np.lexsort((side, did))
+            did, src, dig, side = (did[order], src[order], dig[order],
+                                   side[order])
+            # runs of equal doc_id: length 1 = one-sided, 2 = both
+            first = np.concatenate(([True], did[1:] != did[:-1]))
+            starts = np.flatnonzero(first)
+            lens = np.diff(np.concatenate((starts, [len(did)])))
+            one = starts[lens == 1]
+            added = one[side[one] == 1]
+            removed = one[side[one] == 0]  # impossible here, kept general
+            two = starts[lens == 2]
+            changed = two[dig[two] != dig[two + 1]]
+            unchanged = two[dig[two] == dig[two + 1]]
+
+            def partial(idx: np.ndarray, col: str) -> pa.Table:
+                if len(idx) == 0:
+                    return None
+                t = pa.table({
+                    "source": pa.array(src[idx], pa.string()),
+                    "n": pa.array(np.ones(len(idx), np.int64))})
+                t = t.group_by(["source"]).aggregate([("n", "sum")])
+                return pa.table({
+                    "source": t.column("source"),
+                    "kind": pa.array([col] * t.num_rows, pa.string()),
+                    "n": t.column("n_sum")})
+
+            parts = [p for p in (
+                partial(added, "added"), partial(removed, "removed"),
+                partial(changed, "changed"),
+                partial(unchanged, "unchanged")) if p is not None]
+            if not parts:
+                return kind_empty
+            return pa.concat_tables(parts)
+
+        m = _merge_partials(
+            both.map_batches(diff_block, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["source", "kind"], [("n", "sum")],
+            fallback_schema={"source": pa.string(), "kind": pa.string(),
+                             "n": pa.int64()})
+    srcs = sorted(set(m.column("source").to_pylist()))
+    kinds = dict()
+    for s, k, n in zip(m.column("source").to_pylist(),
+                       m.column("kind").to_pylist(),
+                       m.column("n").to_pylist()):
+        kinds[(s, k)] = n
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_added": pa.array([kinds.get((s, "added"), 0) for s in srcs],
+                            pa.int64()),
+        "n_removed": pa.array([kinds.get((s, "removed"), 0) for s in srcs],
+                              pa.int64()),
+        "n_changed": pa.array([kinds.get((s, "changed"), 0) for s in srcs],
+                              pa.int64()),
+        "n_unchanged": pa.array(
+            [kinds.get((s, "unchanged"), 0) for s in srcs], pa.int64())})

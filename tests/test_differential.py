@@ -211,7 +211,13 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "federated_union_certificate",
            # cluster sizes: fuzz hits pair-free corpora (all singletons)
            # and empty-doc clusters (jaccard 1.0 between empties)
-           "minhash_cluster_sizes"]
+           "minhash_cluster_sizes",
+           # path mining: fuzz hits users with <3 events (no trigram) and
+           # count ties at the top-k cut (t1,t2,t3 tie-break)
+           "event_trigrams",
+           # release diff: fuzz hits sources whose docs are all-added
+           # (%7) and the %35 overlap (added wins over changed)
+           "corpus_diff"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
