@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": TD.event_trigrams,
         # release changelog: keyed full-outer digest diff of two versions
         "corpus_diff": TD.corpus_diff,
+        # exact quantized Gram matrix (the PCA/covariance statistic)
+        "embedding_gram": TD.embedding_gram,
         # out-of-orderness audit (watermark sizing): per-user late counts
         "events_watermark_late": TD.events_watermark_late,
         "events_value_buckets": TD.events_value_buckets,
@@ -665,6 +667,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # gram matrix over the same sq quantization bridge; dimension-
+        # adaptive via len(code)
+        "embedding_gram": """
+            WITH s AS (SELECT 127.0 / max(abs(x)) AS sc
+                       FROM embeddings, unnest(embedding) AS t(x)),
+            qz AS (SELECT list_transform(embedding,
+                       v -> CAST(floor(v * sc + 0.5) AS BIGINT)) AS code
+                   FROM embeddings, s),
+            p AS (SELECT i.i AS i, j.j AS j, code[i.i] * code[j.j] AS v
+                  FROM qz,
+                       unnest(generate_series(1, len(code))) AS i(i),
+                       unnest(generate_series(1, len(code))) AS j(j)
+                  WHERE j.j >= i.i)
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(sum(v) AS BIGINT) AS g
+            FROM p GROUP BY i, j ORDER BY i, j
         """,
         # length-3 paths with the impl's (-n, t1, t2, t3) tie-break
         "event_trigrams": """

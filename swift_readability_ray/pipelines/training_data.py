@@ -13269,3 +13269,48 @@ def corpus_diff(sf_dir: str) -> pa.Table:
                               pa.int64()),
         "n_unchanged": pa.array(
             [kinds.get((s, "unchanged"), 0) for s in srcs], pa.int64())})
+
+
+def embedding_gram(sf_dir: str) -> pa.Table:
+    """EXACT quantized Gram matrix of the embedding corpus — the Σ xxᵀ
+    sufficient statistic behind PCA / covariance / whitening, accumulated
+    distributedly: vectors quantize to int codes with the corpus-global
+    sq scale (``floor(v·sc + 0.5)``, sc = 127/max|x| — the same bridge
+    sq_topk pinned), each block contributes one d×d integer matmul
+    partial (CᵀC), and the bounded (i ≤ j, 1-based) upper triangle folds
+    in one driver merge → (i, j, g).
+
+    Scale shape: the corpus is scanned once; what crosses the wire is
+    d(d+1)/2 rows per block regardless of block size — the textbook
+    gram-accumulation pattern (at 10⁹ vectors the partials are still
+    ~2080 rows each)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    empty = pa.table({"i": pa.array([], pa.int64()),
+                      "j": pa.array([], pa.int64()),
+                      "g": pa.array([], pa.int64())})
+    if _footer_rows(path) == 0:
+        return empty
+    ds = ray.data.read_parquet(path, columns=["embedding"])
+    max_abs = S.corpus_max_abs(ds)
+    sc = 127.0 / max_abs if max_abs > 0 else 0.0
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        codes = np.floor(
+            S._to_matrix(b, "embedding").astype(np.float64) * sc + 0.5
+        ).astype(np.int64)
+        if codes.size == 0:
+            return empty
+        gram = codes.T @ codes  # exact int64: |code| <= 127
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "g": pa.array(gram[iu, ju], pa.int64())})
+
+    m = _merge_partials(
+        ds.map_batches(gram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["i", "j"], [("g", "sum")],
+        fallback_schema={"i": pa.int64(), "j": pa.int64(),
+                         "g": pa.int64()})
+    return m.sort_by([("i", "ascending"), ("j", "ascending")])

@@ -217,7 +217,10 @@ NEW_OPS = ["dsir_weights", "centroid_outliers", "winnow_fingerprints",
            "event_trigrams",
            # release diff: fuzz hits sources whose docs are all-added
            # (%7) and the %35 overlap (added wins over changed)
-           "corpus_diff"]
+           "corpus_diff",
+           # gram: fuzz hits the zero vector (all-zero codes) and
+           # duplicate vectors; dimension-adaptive oracle (d=8 here)
+           "embedding_gram"]
 
 # established operators fuzzed over the same randomized tables — degenerate
 # inputs (empty docs, 1-token docs, tiny groups, duplicate embeddings) the
