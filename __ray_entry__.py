@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_rates": TD.events_asof_rates,
         "readerable_flags": TD.readerable_flags,
         "ngram_dedup": TD.ngram_dedup,
+        # asymmetric containment near-dup (quote inclusion / boilerplate
+        # wrap): PPJoin-style prefix-filter join, ordered pairs
+        "containment_pairs": TD.containment_pairs,
         "top_docs_per_source": TD.top_docs_per_source,
         # extraction metadata (SQL-oracled end-to-end check)
         "extract_metadata": TD.extract_metadata,
@@ -1417,6 +1420,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
                    floor(jaccard * 1000000 + 0.5) / 1000000 AS jaccard
             FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        # asymmetric containment: |S(a) ∩ S(b)| / |S(a)| over the SAME
+        # word-trigram shingles as ngram_dedup — ordered pairs, a-empty
+        # excluded; the quadratic oracle checks the prefix-filter join's
+        # exact recall
+        "containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS containment
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              WHERE len(a.sh) > 0)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                   floor(containment * 1000000 + 0.5) / 1000000 AS containment
+            FROM pairs WHERE containment >= 0.6 ORDER BY doc_a, doc_b
         """,
         # SimHash all-pairs mirror: token hash is md5-first-8-bytes on BOTH
         # sides (bit-identical signatures verified), and 4-band pigeonhole

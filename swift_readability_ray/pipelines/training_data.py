@@ -1248,6 +1248,33 @@ def ngram_dedup(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
 
 
+def containment_pairs(
+    sf_dir: str, threshold: float = 0.6, force_distributed: bool = False,
+) -> pa.Table:
+    """ASYMMETRIC near-dup (the sixth dedup family): ordered pairs where
+    doc_a's word-trigram shingle set is ≥ ``threshold``-contained in
+    doc_b's — the quote-inclusion / boilerplate-wrap detector Jaccard
+    misses (a short doc fully embedded in a long one has containment 1.0
+    but low Jaccard).  → (doc_a, doc_b, containment) ordered by
+    (doc_a, doc_b); zero-shingle docs excluded (containment undefined).
+
+    Scale shape lives in :func:`~..stages.dedup.containment_dedup_pairs`:
+    PPJoin-style prefix-filter candidates (global df-ascending shingle
+    ranks, exact recall by pigeonhole), thin int-row postings exchanges,
+    hash-join / broadcast-gated verification over packed shingle buffers.
+    The driver gate is meta-pinned equal to the distributed path."""
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"])
+    pairs = D.containment_dedup_pairs(
+        ds, threshold=threshold,
+        broadcast_limit=0 if force_distributed else 50_000,
+        force_distributed=force_distributed,
+    )
+    tbl = _collect(pairs, fallback_schema={
+        "doc_a": pa.int64(), "doc_b": pa.int64(),
+        "containment": pa.float64()})
+    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def delta_neardup(
     sf_dir: str, threshold: float = 0.5, new_mod: int = 10
 ) -> pa.Table:

@@ -300,6 +300,39 @@ def _bucket_pairs(
     return _distinct_pairs(pairs, value_col=value_col)
 
 
+def _ensure_block_schema(
+    mds: ray.data.Dataset, schema: dict[str, pa.DataType]
+) -> ray.data.Dataset:
+    """Drop ZERO-ROW blocks from a MATERIALIZED dataset so a downstream
+    ``Dataset.join`` never sees a schema-less shard.
+
+    Ray's hash groupby-aggregate emits a zero-COLUMN empty block for every
+    hash partition that received no rows; the join's per-partition
+    ``ArrowBlockBuilder`` then assembles a schema-less table and pyarrow
+    fails with ``No match or multiple matches for key field reference``
+    (observed on a 1-pair corpus — whether it bites depends on shard
+    arrival ORDER, so it is racy at any size).  A ``map_batches``
+    normalizer can NOT fix this: Ray skips empty blocks without calling
+    the UDF.  Instead the scrub is metadata-only — block refs with
+    ``num_rows == 0`` are dropped without fetching any block; an all-empty
+    result collapses to one typed empty table."""
+    try:
+        good = [
+            ref
+            for bundle in mds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+    except Exception:  # API drift guard: pass through unscrubbed
+        logger.warning("block-schema scrub unavailable", exc_info=True)
+        return mds
+    if not good:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], t) for n, t in schema.items()})
+        )
+    return ray.data.from_arrow_refs(good)
+
+
 def _distinct_pairs(
     pairs: ray.data.Dataset, value_col: str | None = None
 ) -> ray.data.Dataset:
@@ -463,6 +496,7 @@ def minhash_dedup_pairs(
     # columns, then verify VECTORIZED per batch — no per-pair groupby and
     # no 1-row table construction (at billions of candidates, per-pair
     # Python dispatch would dominate)
+    pairs = _ensure_block_schema(pairs, {"doc_a": idt, "doc_b": idt})
     with_a = pairs.join(
         shingles.map_batches(as_side("a"), batch_format="pyarrow"),
         join_type="inner", num_partitions=join_partitions, on=("doc_a",),
@@ -1205,7 +1239,9 @@ def embedding_neardup_lsh(
             )
         return rename
 
-    with_a = pairs.join(
+    with_a = _ensure_block_schema(
+        pairs, {"doc_a": pa.int64(), "doc_b": pa.int64()}
+    ).join(
         vecs.map_batches(as_side("a"), batch_format="pyarrow"),
         join_type="inner", num_partitions=join_partitions, on=("doc_a",),
     )
@@ -1346,4 +1382,331 @@ def embedding_neardup_pairs(
 
     return idx_ds.map_batches(
         block_pair, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+    )
+
+
+# ------------------------------------------------------------- containment
+
+MAX_CONTAINMENT_BUCKET = 256
+
+
+def _containment_emit(doc_ids: np.ndarray, roles: np.ndarray):
+    """ORDERED candidate pairs within one shingle bucket: (a, b) where a is
+    a PREFIX occupant of the bucket and b any other member.  Shared verbatim
+    by the gated driver scan and the distributed groupby so both paths emit
+    bit-identical candidate sets.
+
+    Buckets larger than ``MAX_CONTAINMENT_BUCKET`` emit each prefix doc
+    against the bucket's min member plus its sorted successor only — the
+    ordered-pair analog of ``_emit_pairs``' hub+chain cap (recall trade
+    documented in :func:`containment_dedup_pairs`).  Under df-ascending
+    prefix ordering a capped bucket requires a prefix shingle with df > 256,
+    which only a pathological corpus produces."""
+    order = np.argsort(doc_ids, kind="mergesort")
+    ids = doc_ids[order]
+    rl = roles[order]
+    pref = ids[rl != 0]
+    if len(pref) == 0 or len(ids) < 2:
+        return [], []
+    a_out: list = []
+    b_out: list = []
+    if len(ids) > MAX_CONTAINMENT_BUCKET:
+        logger.warning(
+            "containment: degenerate bucket of %d docs capped at %d — each "
+            "prefix doc pairs with the hub + its successor only",
+            len(ids), MAX_CONTAINMENT_BUCKET,
+        )
+        hub = int(ids[0])
+        n = len(ids)
+        for a in pref.tolist():
+            if a != hub:
+                a_out.append(a)
+                b_out.append(hub)
+            i = int(np.searchsorted(ids, a))
+            succ = int(ids[(i + 1) % n])
+            if succ != a:
+                a_out.append(a)
+                b_out.append(succ)
+    else:
+        members = ids.tolist()
+        for a in pref.tolist():
+            for b in members:
+                if a != b:
+                    a_out.append(a)
+                    b_out.append(b)
+    return a_out, b_out
+
+
+def _containment_packed(sh_a: list, sh_b: list) -> np.ndarray:
+    """containment(a→b) = |S(a) ∩ S(b)| / |S(a)| per pair of packed
+    sorted-unique uint32 shingle buffers (a-empty rows never reach here —
+    postings exclude zero-shingle docs)."""
+    c = np.empty(len(sh_a), dtype=np.float64)
+    for i, (ra, rb) in enumerate(zip(sh_a, sh_b)):
+        sa = np.frombuffer(ra or b"", dtype=np.uint32)
+        sb = np.frombuffer(rb or b"", dtype=np.uint32)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        c[i] = inter / sa.size if sa.size else 0.0
+    return c
+
+
+def _prefix_len(n_sh: int, threshold: float) -> int:
+    """Prefix-filter width: containment(a→b) ≥ t means at most
+    ⌊(1-t)·n_a⌋ of a's shingles are missing from b, so among a's first
+    ⌊(1-t)·n_a⌋+1 shingles (any GLOBAL total order) at least one is shared
+    with b — joining prefixes against full postings is exact-recall."""
+    return min(n_sh, int((1.0 - threshold) * n_sh) + 1)
+
+
+def containment_dedup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    join_partitions: int | None = None,
+    broadcast_limit: int = 50_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """ASYMMETRIC near-dup: ordered pairs (doc_a, doc_b, containment) with
+    ``|S(a) ∩ S(b)| / |S(a)| ≥ threshold`` over word-trigram shingle sets —
+    the quote-inclusion / boilerplate-wrap detector Jaccard misses (a short
+    doc fully quoted inside a long one has high containment but low
+    Jaccard).  Zero-shingle docs are excluded (containment undefined).
+
+    Candidates come from a PPJoin-style prefix-filter join: every shingle
+    gets a global (df ASC, shingle ASC) rank; doc a's PREFIX is its
+    ⌊(1-t)·n_a⌋+1 first-ranked shingles, and a bucket groupby on the
+    shingle joins prefix postings against full postings — exact recall by
+    pigeonhole (see :func:`_prefix_len`), with candidate volume driven by
+    RARE shingles (df-ascending prefixes land in cold buckets).
+
+    Scale shape: postings are thin (shingle, doc_id, n_sh) int rows; df is
+    a native pre-combined groupby-Sum; the prefix mark is a per-doc
+    map_groups (each group ≤ the doc's shingle count); verification
+    attaches packed shingle buffers by hash join (or a ``ray.put``
+    broadcast map under the gate) and computes containment vectorized.
+    Under ``broadcast_limit`` (parquet-metadata row count) the candidate
+    generation runs on the driver over the collected postings — same emit
+    helper per bucket slice, bit-identical semantics (meta-pinned via
+    ``force_distributed``)."""
+    if join_partitions is None:
+        join_partitions = _default_join_partitions(ds)
+    idt = _id_type(ds, "doc_id")
+
+    def add_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sh = [
+            np.array(sorted(T.word_shingles(t or "")), dtype=np.uint32).tobytes()
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "__shingles": pa.array(sh, pa.binary())}
+        )
+
+    shingles_lazy = ds.map_batches(
+        add_shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def empty_out() -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], idt), "doc_b": pa.array([], idt),
+                      "containment": pa.array([], pa.float64())})
+        )
+
+    n_rows = _metadata_row_count(ds)
+    gated = (
+        not force_distributed
+        and n_rows is not None
+        and n_rows <= broadcast_limit
+    )
+
+    if gated:
+        # driver regime: postings fit comfortably (rows × shingles small
+        # ints); one lexsort replaces four shuffles, same emit per bucket
+        doc_ids: list = []
+        bufs: list = []
+        for b in shingles_lazy.iter_batches(batch_format="pyarrow"):
+            doc_ids.extend(b.column("doc_id").to_pylist())
+            bufs.extend(b.column("__shingles").to_pylist())
+        sets = [np.frombuffer(s or b"", dtype=np.uint32) for s in bufs]
+        keep = [i for i, s in enumerate(sets) if s.size]
+        if not keep:
+            return empty_out()
+        all_sh = np.concatenate([sets[i] for i in keep])
+        all_doc = np.concatenate(
+            [np.full(sets[i].size, doc_ids[i], dtype=np.int64) for i in keep]
+        )
+        uniq, inv, df = np.unique(all_sh, return_inverse=True,
+                                  return_counts=True)
+        post_df = df[inv]
+        # per-doc prefix mark: postings are doc-contiguous by construction
+        roles = np.zeros(len(all_sh), dtype=np.int8)
+        pos = 0
+        for i in keep:
+            n = sets[i].size
+            p = _prefix_len(n, threshold)
+            seg = slice(pos, pos + n)
+            order = np.lexsort((all_sh[seg], post_df[seg]))
+            roles[pos + order[:p]] = 1
+            pos += n
+        # bucket scan: sort postings by shingle, slice runs, shared emit
+        order = np.argsort(all_sh, kind="mergesort")
+        s_sh, s_doc, s_role = all_sh[order], all_doc[order], roles[order]
+        cut = np.flatnonzero(np.diff(s_sh)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(s_sh)]))
+        pair_a: list = []
+        pair_b: list = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b2 = _containment_emit(s_doc[s:e], s_role[s:e])
+            pair_a.extend(a)
+            pair_b.extend(b2)
+        if not pair_a:
+            return empty_out()
+        cand = np.unique(
+            np.stack([np.asarray(pair_a, np.int64),
+                      np.asarray(pair_b, np.int64)], axis=1), axis=0
+        )
+        cand_ds = ray.data.from_arrow(
+            pa.table({"doc_a": pa.array(cand[:, 0]).cast(idt),
+                      "doc_b": pa.array(cand[:, 1]).cast(idt)})
+        )
+        sh_map = {doc_ids[i]: bufs[i] for i in keep}
+        sh_ref = ray.put(sh_map)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            m = ray.get(sh_ref)
+            ids_a = batch.column("doc_a").to_pylist()
+            ids_b = batch.column("doc_b").to_pylist()
+            c = _containment_packed(
+                [m.get(i) for i in ids_a], [m.get(i) for i in ids_b]
+            )
+            out = pa.table(
+                {"doc_a": batch.column("doc_a"),
+                 "doc_b": batch.column("doc_b"),
+                 "containment": pa.array(_round6_half_up(c))}
+            )
+            return out.filter(pa.array(c >= threshold))
+
+        verified = cand_ds.map_batches(
+            verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        return verified if verified.count() else empty_out()
+
+    # distributed regime (PPJoin shape): postings → native df groupby →
+    # df join → per-doc prefix mark → bucket pair emission → distinct →
+    # hash-join verification.  Every stage is a thin-int-row exchange.
+    from ray.data.aggregate import Sum
+
+    shingles = shingles_lazy.materialize()
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bufs = batch.column("__shingles").to_pylist()
+        out_sh: list = []
+        out_doc: list = []
+        out_n: list = []
+        for i, buf in zip(ids, bufs):
+            arr = np.frombuffer(buf or b"", dtype=np.uint32)
+            if arr.size == 0:
+                continue
+            out_sh.append(arr.astype(np.int64))
+            out_doc.append(np.full(arr.size, i, dtype=np.int64))
+            out_n.append(np.full(arr.size, arr.size, dtype=np.int64))
+        if not out_sh:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64())})
+        return pa.table(
+            {"sh": pa.array(np.concatenate(out_sh)),
+             "doc_id": pa.array(np.concatenate(out_doc)),
+             "n_sh": pa.array(np.concatenate(out_n))}
+        )
+
+    postings = shingles.map_batches(
+        to_postings, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("sh").to_numpy(), return_counts=True)
+        return pa.table({"sh": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    df_tbl = (
+        postings.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("sh").aggregate(Sum("n"))
+        .rename_columns(["sh", "df"])
+    )
+    post_df = postings.join(
+        df_tbl, join_type="inner", num_partitions=join_partitions,
+        on=("sh",),
+    )
+
+    def mark_prefix(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy()
+        dfv = group.column("df").to_numpy()
+        n = int(group.column("n_sh")[0].as_py())
+        p = _prefix_len(n, threshold)
+        order = np.lexsort((sh, dfv))
+        roles = np.zeros(len(sh), dtype=np.int8)
+        roles[order[:p]] = 1
+        return pa.table(
+            {"sh": group.column("sh"), "doc_id": group.column("doc_id"),
+             "role": pa.array(roles)}
+        )
+
+    marked = post_df.groupby("doc_id").map_groups(
+        mark_prefix, batch_format="pyarrow"
+    )
+
+    def emit_group(group: pa.Table) -> pa.Table:
+        a, b = _containment_emit(
+            group.column("doc_id").to_numpy().astype(np.int64),
+            group.column("role").to_numpy(),
+        )
+        return pa.table({"doc_a": pa.array(a, pa.int64()).cast(idt),
+                         "doc_b": pa.array(b, pa.int64()).cast(idt)})
+
+    pairs = _ensure_block_schema(
+        _distinct_pairs(
+            marked.groupby("sh").map_groups(emit_group, batch_format="pyarrow")
+        ).materialize(),
+        {"doc_a": idt, "doc_b": idt},
+    )
+    if pairs.count() == 0:
+        return empty_out()
+
+    def as_side(side: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"doc_{side}": batch.column("doc_id"),
+                 f"__sh_{side}": batch.column("__shingles")}
+            )
+        return rename
+
+    with_a = pairs.join(
+        shingles.map_batches(as_side("a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_a",),
+    )
+    with_ab = with_a.join(
+        shingles.map_batches(as_side("b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_partitions, on=("doc_b",),
+    )
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        c = _containment_packed(
+            batch.column("__sh_a").to_pylist(),
+            batch.column("__sh_b").to_pylist(),
+        )
+        out = pa.table(
+            {"doc_a": batch.column("doc_a"), "doc_b": batch.column("doc_b"),
+             "containment": pa.array(_round6_half_up(c))}
+        )
+        return out.filter(pa.array(c >= threshold))
+
+    return with_ab.map_batches(
+        verify_batch, batch_format="pyarrow", zero_copy_batch=True
     )

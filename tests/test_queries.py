@@ -823,3 +823,58 @@ def test_every_gate_pins_forced_equal(ray_session, name):
     fo = forced if isinstance(forced, pa.Table) else pa.table(
         forced.to_pandas())
     assert g.to_pylist() == fo.to_pylist(), name
+
+
+def test_containment_asymmetric_semantics(ray_session):
+    """Hand-built corpus: a short doc fully embedded in a long one has
+    containment 1.0 (short → long) but the reverse direction falls below
+    threshold — the asymmetry Jaccard cannot express.  Zero-shingle docs
+    never appear on either side.  Both paths checked."""
+    import ray.data as rd
+
+    from swift_readability_ray.stages.dedup import containment_dedup_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(12))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([short, long_, ""], pa.string()),
+    }))
+    for forced in (False, True):
+        out = pa.concat_tables(list(
+            containment_dedup_pairs(
+                corpus, threshold=0.8,
+                broadcast_limit=0 if forced else 50_000,
+                force_distributed=forced,
+            ).iter_batches(batch_format="pyarrow")
+        )).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        rows = out.to_pylist()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)], rows
+        assert rows[0]["containment"] == 1.0
+        # doc 3 (empty) excluded; (2, 1) below threshold — its shingles are
+        # mostly filler absent from the short doc
+
+
+def test_single_pair_forced_distributed_minhash(ray_session):
+    """Regression: a 1-pair corpus through the FORCED distributed minhash
+    path used to crash the verify hash join — Ray's aggregate emits
+    zero-column blocks for empty hash partitions and the join's partition
+    builder assembled a schema-less table (racy on shard order).  The
+    metadata-only block scrub (_ensure_block_schema) must keep this
+    alive end-to-end."""
+    import ray.data as rd
+
+    from swift_readability_ray.stages.dedup import minhash_dedup_pairs
+
+    text = " ".join(f"w{i}" for i in range(40))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([text, text + " tail"], pa.string()),
+    }))
+    out = pa.concat_tables(list(
+        minhash_dedup_pairs(corpus, threshold=0.5, broadcast_limit=0)
+        .iter_batches(batch_format="pyarrow")
+    ))
+    rows = out.to_pylist()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)], rows
+    assert rows[0]["jaccard"] > 0.9
