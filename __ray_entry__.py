@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every distinct sentence survives only at its first corpus
         # occurrence; documents rebuilt from kept sentences
         "sentence_dedup": TD.sentence_dedup,
+        # per-source template-chunk audit (CCNet boilerplate signal):
+        # chunk doc-frequency within source vs a frac-of-source threshold
+        "boilerplate_lines": TD.boilerplate_lines,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -3478,6 +3481,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global sentence dedup: 3-word-chunk sentencization, keep each
         # distinct sentence only at min (doc_id, idx), rebuild docs
+        # per-source template chunks: same 3-word chunking as
+        # sentence_dedup; doc frequency is DISTINCT docs per (source,
+        # chunk); threshold max(2, ceil(frac*n_docs)) computed with the
+        # same double arithmetic as the engine
+        "boilerplate_lines": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            sents AS (
+              SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS idx,
+                     string_agg(word, ' ' ORDER BY i) AS chunk
+              FROM words GROUP BY 1, 2),
+            dchunks AS (
+              SELECT DISTINCT s.doc_id, d.source, s.chunk
+              FROM sents s JOIN documents d USING (doc_id)),
+            df AS (SELECT source, chunk, count(*) AS df
+                   FROM dchunks GROUP BY 1, 2),
+            tot AS (SELECT source, count(*) AS n_docs
+                    FROM documents GROUP BY 1)
+            SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+                   CAST(coalesce(count(*) FILTER (
+                     d.df >= GREATEST(2, CAST(ceil(0.05 * t.n_docs) AS BIGINT))
+                   ), 0) AS BIGINT) AS n_template_chunks,
+                   CAST(coalesce(max(d.df), 0) AS BIGINT) AS max_df
+            FROM tot t LEFT JOIN df d ON d.source = t.source
+            GROUP BY 1, 2 ORDER BY 1
+        """,
         "sentence_dedup": """
             WITH words AS (
               SELECT doc_id,

@@ -13341,3 +13341,113 @@ def embedding_gram(sf_dir: str) -> pa.Table:
         fallback_schema={"i": pa.int64(), "j": pa.int64(),
                          "g": pa.int64()})
     return m.sort_by([("i", "ascending"), ("j", "ascending")])
+
+
+def boilerplate_lines(
+    sf_dir: str, sent_words: int = 3, frac: float = 0.05,
+) -> pa.Table:
+    """Per-SOURCE template-chunk audit (the CCNet/trafilatura boilerplate
+    signal): a chunk (consecutive ``sent_words``-word window of the
+    space-split text, ``sentence_dedup``'s chunking) is TEMPLATE for a
+    source when it appears in ≥ max(2, ceil(frac·n_docs)) distinct docs of
+    that source — navigation straplines, footers, cookie banners repeat
+    per site while article bodies don't.  → (source, n_docs,
+    n_template_chunks, max_df) ordered by source.
+
+    Scale shape: per-doc chunk keys are DEDUPED inside the batch (the
+    shuffle never carries within-doc repeats), the (source, chunk) doc
+    frequency is ONE native pre-combined groupby-Sum (vocabulary-row
+    exchange — the word_counts discipline), and the per-source rollup is
+    bounded per-block partials (≤ sources rows each) + a driver merge.
+    Per-source doc totals come from one pruned single-column read."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_template_chunks": pa.array([], pa.int64()),
+                      "max_df": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+    import math
+
+    # per-source doc totals: thin single-column scan, bounded partials
+    src_ds = _docs_sized(sf_dir, columns=["source"], rows_per_block=8192)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            np.asarray(batch.column("source").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({"source": pa.array(u, pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    totals = _merge_partials(
+        src_ds.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["source"], [("n", "sum")],
+        fallback_schema={"source": pa.string(), "n": pa.int64()})
+    n_docs_map = dict(zip(totals.column("source").to_pylist(),
+                          totals.column("n").to_pylist()))
+    thr_map = {s: max(2, math.ceil(frac * n)) for s, n in n_docs_map.items()}
+
+    ds = _docs_sized(sf_dir, columns=["text", "source"], rows_per_block=512)
+    w = int(sent_words)
+
+    def chunk_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out_s: list = []
+        out_k: list = []
+        for t, s in zip(texts, srcs):
+            keys = np.unique(_sent_keys(_sent_chunks(t or "", w)))
+            out_k.append(keys)
+            out_s.extend([s] * keys.size)
+        if not out_s:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"source": pa.array(out_s, pa.string()),
+                      "k": pa.array(np.concatenate(out_k)),
+                      "n": pa.array(np.ones(len(out_s), np.int64))})
+        # combine within the batch: the shuffle ships one row per
+        # (source, chunk) per batch, not one per occurrence
+        t = t.group_by(["source", "k"]).aggregate([("n", "sum")])
+        return t.rename_columns(["source", "k", "n"])
+
+    df = (
+        ds.map_batches(chunk_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["source", "k"]).aggregate(Sum("n"))
+        .rename_columns(["source", "k", "df"])
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        dfv = batch.column("df").to_numpy()
+        u, inv = np.unique(srcs, return_inverse=True)
+        thr = np.fromiter((thr_map.get(s, 2) for s in u), np.int64, len(u))
+        tmpl = np.zeros(len(u), np.int64)
+        mx = np.zeros(len(u), np.int64)
+        np.add.at(tmpl, inv, (dfv >= thr[inv]).astype(np.int64))
+        np.maximum.at(mx, inv, dfv)
+        return pa.table({"source": pa.array(u, pa.string()),
+                         "n_template_chunks": pa.array(tmpl),
+                         "max_df": pa.array(mx)})
+
+    merged = _merge_partials(
+        df.map_batches(rollup, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_template_chunks", "sum"), ("max_df", "max")],
+        fallback_schema={"source": pa.string(),
+                         "n_template_chunks": pa.int64(),
+                         "max_df": pa.int64()})
+    agg = {s: (t, m) for s, t, m in zip(
+        merged.column("source").to_pylist(),
+        merged.column("n_template_chunks").to_pylist(),
+        merged.column("max_df").to_pylist())}
+    srcs = sorted(n_docs_map)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array([n_docs_map[s] for s in srcs], pa.int64()),
+        "n_template_chunks": pa.array([agg.get(s, (0, 0))[0] for s in srcs],
+                                      pa.int64()),
+        "max_df": pa.array([agg.get(s, (0, 0))[1] for s in srcs],
+                           pa.int64())})
