@@ -30,6 +30,7 @@ Five families (all first-class per the build brief):
 from __future__ import annotations
 
 import logging
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -1388,6 +1389,11 @@ def embedding_neardup_pairs(
 # ------------------------------------------------------------- containment
 
 MAX_CONTAINMENT_BUCKET = 256
+# Full-recall quadratic emission is allowed up to this many ordered pairs
+# per bucket (prefix_docs × (members − 1)); past it the hub+successor chain
+# takes over.  Budgeting on the PAIR count rather than bucket size keeps
+# full recall in large buckets that have only a handful of prefix docs.
+CONTAINMENT_PAIR_BUDGET = MAX_CONTAINMENT_BUCKET * MAX_CONTAINMENT_BUCKET
 
 
 def _containment_emit(doc_ids: np.ndarray, roles: np.ndarray):
@@ -1396,12 +1402,17 @@ def _containment_emit(doc_ids: np.ndarray, roles: np.ndarray):
     by the gated driver scan and the distributed groupby so both paths emit
     bit-identical candidate sets.
 
-    Buckets larger than ``MAX_CONTAINMENT_BUCKET`` emit each prefix doc
-    against the bucket's min member plus its sorted successor only — the
-    ordered-pair analog of ``_emit_pairs``' hub+chain cap (recall trade
-    documented in :func:`containment_dedup_pairs`).  Under df-ascending
-    prefix ordering a capped bucket requires a prefix shingle with df > 256,
-    which only a pathological corpus produces."""
+    Buckets whose quadratic pair count exceeds ``CONTAINMENT_PAIR_BUDGET``
+    emit each prefix doc against the bucket's min member plus its sorted
+    successor only — the ordered-pair analog of ``_emit_pairs``' hub+chain
+    cap.  The REAL trigger is any near-duplicate cluster large enough that
+    a shared shingle's bucket blows the pair budget (~65k ordered pairs,
+    e.g. an exact-dup cluster of ≥257 docs each contributing a prefix
+    shingle) — common in real dedup corpora, NOT just pathological ones.
+    In a capped bucket the chain keeps every member connected (so corpus
+    collapse still merges the cluster) but ordered-pair recall drops below
+    the quadratic oracle; callers needing full pair enumeration on huge
+    clusters should collapse first and enumerate within clusters."""
     order = np.argsort(doc_ids, kind="mergesort")
     ids = doc_ids[order]
     rl = roles[order]
@@ -1410,11 +1421,12 @@ def _containment_emit(doc_ids: np.ndarray, roles: np.ndarray):
         return [], []
     a_out: list = []
     b_out: list = []
-    if len(ids) > MAX_CONTAINMENT_BUCKET:
+    if len(pref) * (len(ids) - 1) > CONTAINMENT_PAIR_BUDGET:
         logger.warning(
-            "containment: degenerate bucket of %d docs capped at %d — each "
-            "prefix doc pairs with the hub + its successor only",
-            len(ids), MAX_CONTAINMENT_BUCKET,
+            "containment: bucket of %d docs / %d prefix occupants exceeds "
+            "the %d-pair budget — each prefix doc pairs with the hub + its "
+            "successor only (connectivity kept, pair recall reduced)",
+            len(ids), len(pref), CONTAINMENT_PAIR_BUDGET,
         )
         hub = int(ids[0])
         n = len(ids)
@@ -1451,11 +1463,20 @@ def _containment_packed(sh_a: list, sh_b: list) -> np.ndarray:
 
 
 def _prefix_len(n_sh: int, threshold: float) -> int:
-    """Prefix-filter width: containment(a→b) ≥ t means at most
-    ⌊(1-t)·n_a⌋ of a's shingles are missing from b, so among a's first
-    ⌊(1-t)·n_a⌋+1 shingles (any GLOBAL total order) at least one is shared
-    with b — joining prefixes against full postings is exact-recall."""
-    return min(n_sh, int((1.0 - threshold) * n_sh) + 1)
+    """Prefix-filter width: containment(a→b) ≥ t means the intersection is
+    at least ⌈t·n_a⌉ (an integer), so at most n_a − ⌈t·n_a⌉ of a's shingles
+    are missing from b; among a's first n_a − ⌈t·n_a⌉ + 1 shingles (any
+    GLOBAL total order) at least one is shared with b — joining prefixes
+    against full postings is exact-recall.
+
+    Computed via ceil rather than ``int((1-t)*n)`` because 1-t is not
+    exactly representable for thresholds like 0.9/0.8: the float product
+    truncates below the exact decimal and undersizes the prefix by one,
+    silently dropping pairs sitting exactly at the threshold (e.g. 9/10
+    shingles shared at t=0.9).  The 1e-9 slack keeps ⌈t·n⌉ from rounding
+    UP past the exact integer when t·n is representable slightly high."""
+    missing = n_sh - math.ceil(threshold * n_sh - 1e-9)
+    return max(1, min(n_sh, missing + 1))
 
 
 def containment_dedup_pairs(
@@ -1491,6 +1512,16 @@ def containment_dedup_pairs(
     if join_partitions is None:
         join_partitions = _default_join_partitions(ds)
     idt = _id_type(ds, "doc_id")
+    if not pa.types.is_integer(idt):
+        # Postings/emission run in int64 numpy space on both paths; a
+        # string id would crash deep inside np.full with an opaque
+        # ValueError.  Fail fast at the API edge instead.
+        raise TypeError(
+            "containment_dedup_pairs requires an integer doc_id column, got "
+            f"{idt}. Factorize string ids to dense integers upstream (e.g. "
+            "a groupby-rank surrogate) and join the originals back onto the "
+            "emitted (doc_a, doc_b) pairs."
+        )
 
     def add_shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()

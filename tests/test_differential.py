@@ -755,6 +755,10 @@ HEAVY_OPS = [
     "neardup_keep_best", "media_dedup",
     "embedding_neardup_lsh", "ivf_topk_full", "ann_persisted_topk_full",
     "ann_append_topk_full", "knn_label_vote",
+    # round-4 additions: line-level boilerplate mining (fuzz hits empty
+    # docs / single-line docs / duplicated lines) and PPJoin containment
+    # (fuzz hits zero-shingle docs and exact-threshold ratios)
+    "boilerplate_lines", "containment_pairs",
 ]
 
 

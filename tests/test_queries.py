@@ -3,6 +3,7 @@
 over the same parquet tables (mini version of the correctness gate)."""
 
 import importlib.util
+import math
 import os
 
 import duckdb
@@ -853,6 +854,118 @@ def test_containment_asymmetric_semantics(ray_session):
         assert rows[0]["containment"] == 1.0
         # doc 3 (empty) excluded; (2, 1) below threshold — its shingles are
         # mostly filler absent from the short doc
+
+
+def test_containment_prefix_len_exact_threshold():
+    """Regression (ADVICE r4): int((1-t)*n)+1 truncates for t=0.9/0.8 where
+    1-t is not exactly representable, undersizing the prefix by one and
+    breaking the pigeonhole exact-recall guarantee for pairs sitting
+    exactly at the threshold."""
+    from swift_readability_ray.stages.dedup import _prefix_len
+
+    # t=0.9, n=10: intersection >= 9, at most 1 missing -> prefix 2
+    assert _prefix_len(10, 0.9) == 2
+    # t=0.8, n=10: at most 2 missing -> prefix 3
+    assert _prefix_len(10, 0.8) == 3
+    assert _prefix_len(10, 0.6) == 5
+    # exact-match threshold: prefix collapses to 1
+    assert _prefix_len(7, 1.0) == 1
+    # clamps: never exceeds n_sh, never below 1
+    assert _prefix_len(3, 0.0) == 3
+    assert _prefix_len(1, 0.5) == 1
+    # brute-force confirm the pigeonhole width over a grid: prefix must
+    # cover (n - ceil(t*n)) + 1 slots exactly (Fraction = ground truth)
+    from fractions import Fraction
+
+    for n in range(1, 40):
+        for t_num, t_den in ((9, 10), (8, 10), (6, 10), (3, 4), (19, 20)):
+            t = t_num / t_den
+            exact_missing = n - math.ceil(Fraction(t_num, t_den) * n)
+            want = max(1, min(n, exact_missing + 1))
+            assert _prefix_len(n, t) == want, (n, t)
+
+
+def test_containment_pair_at_exact_threshold(ray_session):
+    """Regression (ADVICE r4): 2-doc corpus with containment(a->b) exactly
+    9/10 at threshold=0.9 must return the pair on BOTH paths (it returned
+    zero pairs before the _prefix_len fix)."""
+    import ray.data as rd
+
+    from swift_readability_ray.functions.text_stats import word_shingles
+    from swift_readability_ray.stages.dedup import containment_dedup_pairs
+
+    words = [f"w{i}" for i in range(12)]           # 10 trigram shingles
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:11] + ["xx1", "xx2", "xx3"])  # 9 of a's 10
+    sa, sb = word_shingles(doc_a), word_shingles(doc_b)
+    assert len(sa) == 10 and len(sa & sb) == 9      # corpus as intended
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([doc_a, doc_b], pa.string()),
+    }))
+    for forced in (False, True):
+        rows = pa.concat_tables(list(
+            containment_dedup_pairs(
+                corpus, threshold=0.9,
+                broadcast_limit=0 if forced else 50_000,
+                force_distributed=forced,
+            ).iter_batches(batch_format="pyarrow")
+        )).to_pylist()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)], (
+            forced, rows)
+        assert rows[0]["containment"] == 0.9
+
+
+def test_containment_rejects_string_ids(ray_session):
+    """ADVICE r4 (low): non-integer doc_id used to crash deep inside
+    np.full; now a clear TypeError at the API edge."""
+    import ray.data as rd
+
+    from swift_readability_ray.stages.dedup import containment_dedup_pairs
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["x y z w", "x y z w"], pa.string()),
+    }))
+    with pytest.raises(TypeError, match="integer doc_id"):
+        containment_dedup_pairs(corpus)
+
+
+def test_containment_emit_pair_budget():
+    """ADVICE r4 (low): the bucket cap now budgets on the PAIR count, so a
+    large bucket with few prefix docs keeps full quadratic recall, while a
+    large all-prefix bucket (e.g. an exact-dup cluster >256 docs) falls to
+    the hub+successor chain that still connects every member."""
+    import numpy as np
+
+    from swift_readability_ray.stages.dedup import _containment_emit
+
+    # 600 members, 2 prefix docs: 2*599 pairs, well under budget -> full
+    ids = np.arange(600, dtype=np.int64)
+    roles = np.zeros(600, dtype=np.int8)
+    roles[[5, 300]] = 1
+    a, b = _containment_emit(ids, roles)
+    assert len(a) == 2 * 599
+    assert set(zip(a, b)) == {
+        (x, y) for x in (5, 300) for y in range(600) if y != x
+    }
+
+    # 600 members all prefix: 600*599 > budget -> capped chain, but the
+    # union-find over emitted pairs must still be a single component
+    roles_all = np.ones(600, dtype=np.int8)
+    a, b = _containment_emit(ids, roles_all)
+    assert 0 < len(a) < 600 * 599
+    parent = list(range(600))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(int(x))] = find(int(y))
+    assert len({find(i) for i in range(600)}) == 1
 
 
 def test_single_pair_forced_distributed_minhash(ray_session):
