@@ -434,6 +434,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source template-chunk audit (CCNet boilerplate signal):
         # chunk doc-frequency within source vs a frac-of-source threshold
         "boilerplate_lines": TD.boilerplate_lines,
+        # Good-Turing frequency-of-frequencies: distributed vocab groupby
+        # then an O(√N)-row histogram merge
+        "count_of_counts": TD.count_of_counts,
+        # per-doc first-occurrence novelty over 8-gram md5 keys (min
+        # doc_id owns the gram) — gated driver merge / distributed Min
+        "gram_novelty": TD.gram_novelty,
+        # shuffle-key skew diagnostics: exact integer Gini (ppm) of key
+        # frequencies from a two-level histogram aggregation
+        "key_skew_audit": TD.key_skew_audit,
+        # deterministic weighted priority sample: k smallest md5-hash /
+        # (n_chars+1) — per-block top-k partials, no global sort
+        "weighted_sample": TD.weighted_sample,
+        # bipartite (user, event_type) co-engagement projection via the
+        # bitmask fold — exact-integer Jaccard ppm, no pair self-join
+        "event_type_affinity": TD.event_type_affinity,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -3509,6 +3524,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(max(d.df), 0) AS BIGINT) AS max_df
             FROM tot t LEFT JOIN df d ON d.source = t.source
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Good-Turing frequency-of-frequencies over the oracle-pinned
+        # tokenizer; mass = freq * n_types (all exact integers)
+        "count_of_counts": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS token
+              FROM documents),
+            tc AS (SELECT token, count(*) AS n FROM toks
+                   WHERE token <> '' GROUP BY token)
+            SELECT n AS freq, count(*) AS n_types,
+                   CAST(n * count(*) AS BIGINT) AS mass
+            FROM tc GROUP BY n ORDER BY freq
+        """,
+        # first-occurrence novelty: a gram belongs to its min doc_id;
+        # docs with < 8 tokens emit no grams (inner-join semantics)
+        "gram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ts[i.g : i.g+7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(ts)-7)) AS i(g)),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            f AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   floor(CAST(sum(CASE WHEN f.first_doc = d.doc_id
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*) * 1000000 + 0.5) / 1000000 AS novel_frac
+            FROM dg d JOIN f USING (gram)
+            GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # exact integer Gini (ppm) of key frequencies via row_number —
+        # equals the engine's histogram formulation because tied counts
+        # make the rank assignment irrelevant
+        "key_skew_audit": """
+            WITH cu AS (SELECT user_id AS k, count(*) AS n
+                        FROM events GROUP BY 1),
+            ru AS (SELECT n, row_number() OVER (ORDER BY n, k) AS i FROM cu),
+            su AS (SELECT count(*) AS nk, sum(n) AS tot, max(n) AS mx,
+                          sum(i * n) AS s1 FROM ru),
+            ct AS (SELECT event_type AS k, count(*) AS n
+                   FROM events GROUP BY 1),
+            rt AS (SELECT n, row_number() OVER (ORDER BY n, k) AS i FROM ct),
+            st AS (SELECT count(*) AS nk, sum(n) AS tot, max(n) AS mx,
+                          sum(i * n) AS s1 FROM rt)
+            SELECT key_col, n_keys, n_rows, max_n, gini_ppm FROM (
+              SELECT 'event_type' AS key_col,
+                     CAST(coalesce(nk, 0) AS BIGINT) AS n_keys,
+                     CAST(coalesce(tot, 0) AS BIGINT) AS n_rows,
+                     CAST(coalesce(mx, 0) AS BIGINT) AS max_n,
+                     CASE WHEN coalesce(nk, 0) = 0 OR coalesce(tot, 0) = 0
+                          THEN 0
+                          ELSE CAST(((2*s1 - (nk+1)*tot) * 2000000 + nk*tot)
+                                    // (2*nk*tot) AS BIGINT) END AS gini_ppm
+              FROM st
+              UNION ALL
+              SELECT 'user_id',
+                     CAST(coalesce(nk, 0) AS BIGINT),
+                     CAST(coalesce(tot, 0) AS BIGINT),
+                     CAST(coalesce(mx, 0) AS BIGINT),
+                     CASE WHEN coalesce(nk, 0) = 0 OR coalesce(tot, 0) = 0
+                          THEN 0
+                          ELSE CAST(((2*s1 - (nk+1)*tot) * 2000000 + nk*tot)
+                                    // (2*nk*tot) AS BIGINT) END
+              FROM su)
+            ORDER BY key_col
+        """,
+        # priority = 32-bit md5 key / (n_chars+1): one exactly-rounded
+        # IEEE division of the same integers on both engines, so the
+        # ordering is bit-identical; ties break by doc_id
+        "weighted_sample": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     CAST(CAST(('0x' || substr(md5('wsample:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          AS DOUBLE) / (n_chars + 1) AS pr
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM p ORDER BY pr, doc_id LIMIT 50
+        """,
+        # co-engagement projection: pairs of event types sharing >= 1
+        # user; jaccard in exact-integer floor-half-up ppm
+        "event_type_affinity": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            pc AS (SELECT event_type, count(*) AS nu FROM d GROUP BY 1),
+            pr AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                          count(*) AS shared
+                   FROM d a JOIN d b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT t1, t2, CAST(shared AS BIGINT) AS shared_users,
+                   CAST(p1.nu AS BIGINT) AS n_users_t1,
+                   CAST(p2.nu AS BIGINT) AS n_users_t2,
+                   CAST((shared * 2000000 + (p1.nu + p2.nu - shared))
+                        // (2 * (p1.nu + p2.nu - shared)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM pr JOIN pc p1 ON p1.event_type = pr.t1
+                    JOIN pc p2 ON p2.event_type = pr.t2
+            ORDER BY t1, t2
         """,
         "sentence_dedup": """
             WITH words AS (

@@ -13451,3 +13451,441 @@ def boilerplate_lines(
                                       pa.int64()),
         "max_df": pa.array([agg.get(s, (0, 0))[1] for s in srcs],
                            pa.int64())})
+
+
+def count_of_counts(sf_dir: str) -> pa.Table:
+    """Good-Turing frequency-of-frequencies: for every observed token
+    frequency r, the number of distinct types N_r occurring exactly r times
+    (plus the probability mass r·N_r) — the sufficient statistic for
+    Good-Turing / Katz smoothing and the standard "how heavy is the tail"
+    diagnostic before vocabulary truncation.
+
+    Distributed shape (two-level aggregation, both exchanges vocabulary-
+    bounded or smaller):
+      1. per-batch Counter partials (one row per distinct token per batch —
+         the word_counts combiner) → distributed groupby(token) Sum: the
+         vocabulary is unbounded, so this level must stay distributed;
+      2. per-block ``np.unique`` over the count column → driver merge on
+         the frequency value: distinct frequencies are O(√total_tokens)
+         (f_1<f_2<… distinct values need Σf_i ≥ k(k+1)/2 ≤ N), ~1.4M rows
+         even at 10^12 tokens, so the second exchange is metadata-tiny.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs_sized(sf_dir, columns=["text"], rows_per_block=512)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_GRAM_TOKEN_RE.findall((t or "").lower()))
+        return pa.table(
+            {"token": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").aggregate(Sum("n")).rename_columns(["token", "n"])
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("n").to_numpy(), return_counts=True)
+        return pa.table({"freq": pa.array(u, pa.int64()),
+                         "n_types": pa.array(c, pa.int64())})
+
+    hist = _merge_partials(
+        counts.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["freq"], [("n_types", "sum")],
+        fallback_schema={"freq": pa.int64(), "n_types": pa.int64()})
+    hist = hist.sort_by([("freq", "ascending")])
+    freq = hist.column("freq").to_numpy()
+    n_types = hist.column("n_types").to_numpy()
+    return pa.table({
+        "freq": pa.array(freq, pa.int64()),
+        "n_types": pa.array(n_types, pa.int64()),
+        "mass": pa.array(freq * n_types, pa.int64())})
+
+
+def gram_novelty(
+    sf_dir: str, n: int = 8, driver_limit: int = 5_000_000
+) -> pa.Table:
+    """Per-document novelty attribution over word ``n``-grams: how many of a
+    doc's distinct grams FIRST appear in that doc (first = minimum doc_id),
+    i.e. each document's marginal contribution to corpus coverage — the
+    ordering-aware complement of :func:`dup_ngram_stats` used to pick which
+    member of a duplicate cluster "owns" the shared text.
+
+    Distributed shape (mirrors dup_ngram_stats: 8-byte gram keys only):
+      1. map_batches: per-doc DISTINCT grams as 64-bit md5 keys;
+      2. first-occurrence per gram: per-block (gram_h, min doc_id) partials,
+         driver-merged under the gram-row metadata gate, distributed
+         groupby(gram_h) Min above it;
+      3. the (gram→first_doc) map flows back onto the gram rows — sorted-key
+         ``ray.put`` broadcast + searchsorted when ≤2M keys, else a hash
+         join on gram_h;
+      4. per-doc totals/novel counts: per-block partials, driver merge under
+         the same gate, distributed groupby(doc_id) Sum above it.
+    Docs with fewer than ``n`` tokens emit no grams and are absent — the
+    oracle's inner join has identical semantics.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    token_re = _GRAM_TOKEN_RE
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=1024)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_id, out_h = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = token_re.findall((t or "").lower())
+            seen: set = set()
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j : j + n])
+                h = int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big", signed=True
+                )
+                if h not in seen:
+                    seen.add(h)
+                    out_id.append(doc_id)
+                    out_h.append(h)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "gram_h": pa.array(out_h, pa.int64())}
+        )
+
+    gram_rows = ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: first-occurrence + flag pass
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"gram_h": batch.column("gram_h"),
+                      "first_doc": batch.column("doc_id")})
+        t = t.group_by(["gram_h"]).aggregate([("first_doc", "min")])
+        return t.rename_columns(["gram_h", "first_doc"])
+
+    n_gram_rows = D._metadata_row_count(gram_rows)
+    small = n_gram_rows is not None and n_gram_rows <= driver_limit
+    first_np: tuple[np.ndarray, np.ndarray] | None = None
+    if small:
+        ftbl = _merge_partials(
+            gram_rows.map_batches(first_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+            ["gram_h"], [("first_doc", "min")],
+            fallback_schema={"gram_h": pa.int64(), "first_doc": pa.int64()})
+        keys = ftbl.column("gram_h").to_numpy()
+        order = np.argsort(keys)
+        first_np = (keys[order], ftbl.column("first_doc").to_numpy()[order])
+    else:
+        from ray.data.aggregate import Min
+
+        first_ds = (
+            gram_rows.map_batches(first_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("gram_h").aggregate(Min("first_doc"))
+            .rename_columns(["gram_h", "first_doc"])
+            .materialize()
+        )
+        n_keys = D._metadata_row_count(first_ds)
+        if n_keys is not None and n_keys <= 2_000_000:
+            parts = [b for b in first_ds.iter_batches(batch_format="pyarrow")]
+            ftbl = pa.concat_tables(parts) if parts else pa.table(
+                {"gram_h": pa.array([], pa.int64()),
+                 "first_doc": pa.array([], pa.int64())})
+            keys = ftbl.column("gram_h").to_numpy()
+            order = np.argsort(keys)
+            first_np = (keys[order], ftbl.column("first_doc").to_numpy()[order])
+
+    if first_np is not None:
+        keys_ref = ray.put(first_np)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            keys, firsts = ray.get(keys_ref)
+            h = batch.column("gram_h").to_numpy()
+            d = batch.column("doc_id").to_numpy()
+            idx = np.searchsorted(keys, h)  # every gram is in the map
+            novel = (firsts[idx] == d).astype(np.int64)
+            return pa.table({"doc_id": pa.array(d, pa.int64()),
+                             "n_grams": pa.array(np.ones(len(d), np.int64)),
+                             "n_novel": pa.array(novel)})
+
+        flagged = gram_rows.map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        joined = gram_rows.join(
+            first_ds, join_type="inner",
+            num_partitions=D._default_join_partitions(gram_rows),
+            on=("gram_h",),
+        )
+
+        def flag_joined(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy()
+            novel = (batch.column("first_doc").to_numpy() == d).astype(np.int64)
+            return pa.table({"doc_id": pa.array(d, pa.int64()),
+                             "n_grams": pa.array(np.ones(len(d), np.int64)),
+                             "n_novel": pa.array(novel)})
+
+        flagged = joined.map_batches(
+            flag_joined, batch_format="pyarrow", zero_copy_batch=True)
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["doc_id"]).aggregate(
+            [("n_grams", "sum"), ("n_novel", "sum")])
+        return t.rename_columns(["doc_id", "n_grams", "n_novel"])
+
+    partials = flagged.map_batches(
+        doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if small:
+        per_doc = _merge_partials(
+            partials, ["doc_id"], [("n_grams", "sum"), ("n_novel", "sum")],
+            fallback_schema={"doc_id": pa.int64(), "n_grams": pa.int64(),
+                             "n_novel": pa.int64()})
+    else:
+        per_doc = _collect(
+            partials.groupby("doc_id")
+            .aggregate(Sum("n_grams"), Sum("n_novel"))
+            .rename_columns(["doc_id", "n_grams", "n_novel"]),
+            fallback_schema={"doc_id": pa.int64(), "n_grams": pa.int64(),
+                             "n_novel": pa.int64()})
+    per_doc = per_doc.sort_by([("doc_id", "ascending")])
+    ng = per_doc.column("n_grams").to_numpy().astype(np.float64)
+    nv = per_doc.column("n_novel").to_numpy().astype(np.float64)
+    # floor-half-up at 1e-6, the same operation order as the SQL mirror
+    frac = np.floor(np.divide(nv, ng, out=np.zeros_like(nv), where=ng > 0)
+                    * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "doc_id": per_doc.column("doc_id"),
+        "n_grams": per_doc.column("n_grams"),
+        "n_novel": per_doc.column("n_novel"),
+        "novel_frac": pa.array(frac, pa.float64())})
+
+
+def key_skew_audit(sf_dir: str) -> pa.Table:
+    """Partitioning-skew diagnostics for the events table's two natural
+    shuffle keys (``event_type``, ``user_id``): key cardinality, row count,
+    hottest-key size and an EXACT integer Gini coefficient (ppm) of the
+    key-frequency distribution — the "will this groupby straggle" audit run
+    before picking a partitioning key at 100 TB.
+
+    Distributed shape: per-block ``np.unique`` partials → distributed
+    groupby(key) Sum (key-cardinality sized) → per-block frequency
+    HISTOGRAM partials (count value → #keys; distinct count values are
+    O(√rows)) → tiny driver merge.  The Gini is computed from the histogram
+    in exact integer arithmetic: for count value c with k keys at ranks
+    (r, r+k], Σ rank·x contributions are c·(k·r + k(k+1)/2); ties make the
+    rank assignment irrelevant, so the histogram path equals the oracle's
+    row_number() formulation exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "user_id"], rows_per_block=8192)
+
+    def audit(key_col: str) -> tuple[int, int, int, int]:
+        def count_partial(batch: pa.Table) -> pa.Table:
+            col = batch.column(key_col)
+            if pa.types.is_string(col.type):
+                u, c = np.unique(
+                    np.asarray(col.to_pylist(), dtype=object),
+                    return_counts=True)
+                karr = pa.array(u, pa.string())
+            else:
+                u, c = np.unique(col.to_numpy(), return_counts=True)
+                karr = pa.array(u, col.type)
+            return pa.table({"k": karr, "n": pa.array(c, pa.int64())})
+
+        counts = (
+            ev.select_columns([key_col])
+            .map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("k").aggregate(Sum("n")).rename_columns(["k", "n"])
+        )
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(batch.column("n").to_numpy(), return_counts=True)
+            return pa.table({"c": pa.array(u, pa.int64()),
+                             "n_keys": pa.array(c, pa.int64())})
+
+        hist = _merge_partials(
+            counts.map_batches(hist_partial, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["c"], [("n_keys", "sum")],
+            fallback_schema={"c": pa.int64(), "n_keys": pa.int64()})
+        hist = hist.sort_by([("c", "ascending")])
+        cs = hist.column("c").to_pylist()
+        ks = hist.column("n_keys").to_pylist()
+        nk = sum(ks)
+        tot = sum(c * k for c, k in zip(cs, ks))
+        mx = cs[-1] if cs else 0
+        s1 = 0
+        r = 0
+        for c, k in zip(cs, ks):  # ascending count values
+            s1 += c * (k * r + k * (k + 1) // 2)
+            r += k
+        if nk and tot:
+            # floor-half-up of ((2·S1 − (nk+1)·tot) / (nk·tot)) · 1e6,
+            # exact in arbitrary-precision ints
+            gini_ppm = ((2 * s1 - (nk + 1) * tot) * 2_000_000
+                        + nk * tot) // (2 * nk * tot)
+        else:
+            gini_ppm = 0
+        return nk, tot, mx, gini_ppm
+
+    rows = [("event_type", *audit("event_type")),
+            ("user_id", *audit("user_id"))]
+    return pa.table({
+        "key_col": pa.array([r[0] for r in rows], pa.string()),
+        "n_keys": pa.array([r[1] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "max_n": pa.array([r[3] for r in rows], pa.int64()),
+        "gini_ppm": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Deterministic weighted priority sample (PPS-without-replacement
+    shape): each doc gets priority ``h / (n_chars+1)`` where ``h`` is the
+    32-bit md5 key of ``'wsample:'||doc_id``; the k SMALLEST priorities win,
+    so selection probability grows with document length — the
+    Efraimidis–Spirakis exponential-clock scheme with the hash as the
+    clock.  Both engines compute the priority as one IEEE-double division
+    of the same integers (exactly rounded, no libm), so the order is
+    bit-identical cross-engine; ties break by doc_id.
+
+    Distributed shape: priorities are a shuffle-free per-block map; each
+    block keeps its own k smallest (partial top-k), and the driver merges
+    ≤ k×blocks thin rows — never a global sort.
+    """
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "n_chars"],
+                     rows_per_block=8192)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16)
+             for i in ids),
+            np.int64, len(ids))
+        w = batch.column("n_chars").to_numpy().astype(np.int64) + 1
+        pr = h.astype(np.float64) / w.astype(np.float64)
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "n_chars": batch.column("n_chars"),
+                      "pr": pa.array(pr, pa.float64())})
+        keys = [("pr", "ascending"), ("doc_id", "ascending")]
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:k])
+
+    tops = _collect(
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        fallback_schema={"doc_id": pa.int64(), "n_chars": pa.int64(),
+                         "pr": pa.float64()})
+    keys = [("pr", "ascending"), ("doc_id", "ascending")]
+    win = tops.take(pc.sort_indices(tops, sort_keys=keys)[:k])
+    return pa.table({"doc_id": win.column("doc_id"),
+                     "n_chars": win.column("n_chars")})
+
+
+def event_type_affinity(sf_dir: str) -> pa.Table:
+    """Bipartite co-engagement projection of the (user, event_type) graph:
+    for every type pair (t1 < t2), how many users touched BOTH, each type's
+    user count, and the exact-integer Jaccard (ppm) — the affinity matrix
+    behind "users who do X also do Y" mixing decisions.
+
+    Distributed shape (the vocab_overlap bitmask fold, never a pair
+    self-join): the bounded type vocabulary (driver-merged distinct) maps
+    each type to a bit; per-block partials OR each user's bits, a thin
+    (user_id, mask) groupby folds cross-block masks, and a histogram over
+    the ≤ min(users, 2^T) distinct masks driver-merges; pair counts then
+    come from mask combinatorics on the histogram — no per-pair exchange
+    at any point.  Type vocabularies beyond 63 bits raise (documented
+    bound; real event taxonomies are far smaller).
+    """
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type"], rows_per_block=8192)
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch.column("event_type").to_pylist(),
+                                 dtype=object))
+        return pa.table({"event_type": pa.array(u, pa.string()),
+                         "n": pa.array(np.ones(len(u), np.int64))})
+
+    vocab = _merge_partials(
+        ev.select_columns(["event_type"]).map_batches(
+            type_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("n", "sum")],
+        fallback_schema={"event_type": pa.string(), "n": pa.int64()})
+    types = sorted(vocab.column("event_type").to_pylist())
+    if len(types) > 63:
+        raise ValueError(
+            f"event_type_affinity bitmask fold supports <= 63 distinct "
+            f"types, got {len(types)}; split the taxonomy or add bit planes"
+        )
+    bit = {t: 1 << i for i, t in enumerate(types)}
+    bit_ref = ray.put(bit)
+
+    def mask_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bit_ref)
+        users = batch.column("user_id").to_numpy()
+        tys = batch.column("event_type").to_pylist()
+        bits = np.fromiter((b[t] for t in tys), np.int64, len(tys))
+        u, inv = np.unique(users, return_inverse=True)
+        masks = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(masks, inv, bits)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "mask": pa.array(masks, pa.int64())})
+
+    def or_fold(group: pa.Table) -> pa.Table:
+        m = np.bitwise_or.reduce(group.column("mask").to_numpy())
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "mask": pa.array([int(m)], pa.int64())})
+
+    user_masks = (
+        ev.map_batches(mask_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id").map_groups(or_fold, batch_format="pyarrow")
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("mask").to_numpy(), return_counts=True)
+        return pa.table({"mask": pa.array(u, pa.int64()),
+                         "n_users": pa.array(c, pa.int64())})
+
+    hist = _merge_partials(
+        user_masks.map_batches(hist_partial, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        ["mask"], [("n_users", "sum")],
+        fallback_schema={"mask": pa.int64(), "n_users": pa.int64()})
+    masks = hist.column("mask").to_pylist()
+    cnts = hist.column("n_users").to_pylist()
+    per_type = {t: 0 for t in types}
+    shared: dict = {}
+    for m, c in zip(masks, cnts):
+        present = [t for t in types if m & bit[t]]
+        for t in present:
+            per_type[t] += c
+        for i, t1 in enumerate(present):
+            for t2 in present[i + 1:]:
+                shared[(t1, t2)] = shared.get((t1, t2), 0) + c
+    rows = sorted(shared)
+    t1s = [r[0] for r in rows]
+    t2s = [r[1] for r in rows]
+    sh = [shared[r] for r in rows]
+    n1 = [per_type[r[0]] for r in rows]
+    n2 = [per_type[r[1]] for r in rows]
+    # exact integer floor-half-up of shared/(n1+n2-shared) in ppm
+    jac = [((s * 2_000_000 + (a + b - s)) // (2 * (a + b - s)))
+           for s, a, b in zip(sh, n1, n2)]
+    return pa.table({
+        "t1": pa.array(t1s, pa.string()),
+        "t2": pa.array(t2s, pa.string()),
+        "shared_users": pa.array(sh, pa.int64()),
+        "n_users_t1": pa.array(n1, pa.int64()),
+        "n_users_t2": pa.array(n2, pa.int64()),
+        "jaccard_ppm": pa.array(jac, pa.int64())})

@@ -250,6 +250,15 @@ BROAD_OPS = [
     "events_outliers", "events_dau_wau", "skipgram_pairs",
     "sentence_dedup", "mixture_weights", "attribution_linear",
     "cross_source_contamination",
+    # round-5 corpus-statistics family: fuzz hits empty docs (no tokens),
+    # singleton frequencies (N_1 mass), docs with < 8 tokens (absent from
+    # gram_novelty), duplicated texts (novelty owned by min doc_id) and
+    # single-event users (gini over near-uniform counts)
+    "count_of_counts", "gram_novelty", "key_skew_audit",
+    # round-5 sampling + projection: fuzz hits n_chars=0 docs (weight 1)
+    # and fewer docs than k; single-type users (no pairs) and users
+    # touching every type (full-mask histogram bucket)
+    "weighted_sample", "event_type_affinity",
 ]
 
 
