@@ -449,6 +449,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bipartite (user, event_type) co-engagement projection via the
         # bitmask fold — exact-integer Jaccard ppm, no pair self-join
         "event_type_affinity": TD.event_type_affinity,
+        # Heaps'-law vocabulary saturation curve: groupby(token) Min
+        # bucket, bounded histogram merge + cumulative
+        "vocab_growth": TD.vocab_growth,
+        # grouped top-k over the unbounded bigram space: pre-combined
+        # two-key shuffle, per-block per-lang top-k partials
+        "top_bigrams_per_lang": TD.top_bigrams_per_lang,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -3610,6 +3616,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM p ORDER BY pr, doc_id LIMIT 50
+        """,
+        # Heaps curve over bigram types: a type's bucket is
+        # min(doc_id // 10) over its occurrences; cumulative running sum
+        "vocab_growth": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            f AS (SELECT bg, min(doc_id // 10) AS bucket
+                  FROM big GROUP BY bg),
+            h AS (SELECT bucket, count(*) AS new_types FROM f GROUP BY bucket)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(new_types AS BIGINT) AS new_types,
+                   CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_types
+            FROM h ORDER BY bucket
+        """,
+        # per-language top-10 bigrams, count DESC then bigram ASC
+        "top_bigrams_per_lang": """
+            WITH toks AS (
+              SELECT lang,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT lang, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS i(g)),
+            bc AS (SELECT lang, bg, count(*) AS n FROM big GROUP BY 1, 2),
+            r AS (SELECT lang, bg, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, bg) AS rk
+                  FROM bc)
+            SELECT lang, bg AS bigram, CAST(n AS BIGINT) AS n,
+                   CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= 10 ORDER BY lang, rank
         """,
         # co-engagement projection: pairs of event types sharing >= 1
         # user; jaccard in exact-integer floor-half-up ppm

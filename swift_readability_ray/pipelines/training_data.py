@@ -13889,3 +13889,133 @@ def event_type_affinity(sf_dir: str) -> pa.Table:
         "n_users_t1": pa.array(n1, pa.int64()),
         "n_users_t2": pa.array(n2, pa.int64()),
         "jaccard_ppm": pa.array(jac, pa.int64())})
+
+
+def vocab_growth(sf_dir: str, bucket_docs: int = 10) -> pa.Table:
+    """Heaps'-law vocabulary-growth curve over word-BIGRAM types: new
+    distinct bigrams first appearing in each ``bucket_docs``-document
+    checkpoint of the doc_id order, plus the running cumulative — the "is
+    more crawl still adding vocabulary" saturation diagnostic that pairs
+    with :func:`count_of_counts` (bigram types keep growing long after the
+    unigram vocabulary saturates, so the curve carries signal).
+
+    Distributed shape: per-batch (bigram, min bucket) partials
+    (pre-combined inside the batch) → distributed groupby(type) Min (the
+    one vocabulary-sized exchange) → bounded per-bucket histogram partials
+    → tiny driver merge + cumulative sum.
+    """
+    from ray.data.aggregate import Min
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "text"], rows_per_block=512)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        first: dict = {}
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            b = doc_id // bucket_docs
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            for x, y in zip(toks, toks[1:]):
+                bg = x + " " + y
+                prev = first.get(bg)
+                if prev is None or b < prev:
+                    first[bg] = b
+        return pa.table(
+            {"bigram": pa.array(list(first.keys()), pa.string()),
+             "bucket": pa.array(list(first.values()), pa.int64())}
+        )
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram").aggregate(Min("bucket"))
+        .rename_columns(["bigram", "bucket"])
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("bucket").to_numpy(), return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "new_types": pa.array(c, pa.int64())})
+
+    hist = _merge_partials(
+        firsts.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["bucket"], [("new_types", "sum")],
+        fallback_schema={"bucket": pa.int64(), "new_types": pa.int64()})
+    hist = hist.sort_by([("bucket", "ascending")])
+    nt = hist.column("new_types").to_numpy()
+    return pa.table({
+        "bucket": hist.column("bucket"),
+        "new_types": hist.column("new_types"),
+        "cum_types": pa.array(np.cumsum(nt), pa.int64())})
+
+
+def top_bigrams_per_lang(sf_dir: str, k: int = 10) -> pa.Table:
+    """Per-language top-k word bigrams (count DESC, bigram ASC) — grouped
+    top-k over a HIGH-cardinality feature space: the bigram vocabulary is
+    unbounded, so the (lang, bigram) counts are pre-combined per batch,
+    shuffled once as two-key thin rows, then reduced by per-block per-lang
+    top-k partials; the driver merges ≤ langs × k × blocks candidate rows
+    and never sees the vocabulary.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs_sized(sf_dir, columns=["lang", "text"], rows_per_block=512)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _GRAM_TOKEN_RE.findall((t or "").lower())
+            for a, b in zip(toks, toks[1:]):
+                c[(lang, a + " " + b)] += 1
+        return pa.table(
+            {"lang": pa.array([x[0] for x in c], pa.string()),
+             "bigram": pa.array([x[1] for x in c], pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "bigram"]).aggregate(Sum("n"))
+        .rename_columns(["lang", "bigram", "n"])
+    )
+    keys = [("lang", "ascending"), ("n", "descending"), ("bigram", "ascending")]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        t = batch.take(pc.sort_indices(batch, sort_keys=keys))
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        # rank within each lang run of the sorted block, keep rank <= k
+        starts = np.flatnonzero(
+            np.concatenate(([True], langs[1:] != langs[:-1])))
+        rank = np.arange(len(langs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(langs)]))))
+        return t.filter(pa.array(rank < k))
+
+    tops = _collect(
+        counts.map_batches(block_topk, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        fallback_schema={"lang": pa.string(), "bigram": pa.string(),
+                         "n": pa.int64()})
+    t = tops.take(pc.sort_indices(tops, sort_keys=keys))
+    langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    if len(langs) == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    starts = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
+    rank = np.arange(len(langs)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(langs)]))))
+    t = t.filter(pa.array(rank < k))
+    langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    starts = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
+    rank = np.arange(len(langs)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(langs)]))))
+    return pa.table({
+        "lang": t.column("lang"),
+        "bigram": t.column("bigram"),
+        "n": t.column("n"),
+        "rank": pa.array(rank + 1, pa.int64())})

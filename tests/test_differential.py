@@ -259,6 +259,10 @@ BROAD_OPS = [
     # and fewer docs than k; single-type users (no pairs) and users
     # touching every type (full-mask histogram bucket)
     "weighted_sample", "event_type_affinity",
+    # round-5 growth + grouped top-k: fuzz hits bigram-free (0/1-token)
+    # docs, all-types-in-bucket-0 corpora, langs with < k bigrams and
+    # count ties at the rank-k cut (bigram ASC tie-break)
+    "vocab_growth", "top_bigrams_per_lang",
 ]
 
 
