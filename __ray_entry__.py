@@ -455,6 +455,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped top-k over the unbounded bigram space: pre-combined
         # two-key shuffle, per-block per-lang top-k partials
         "top_bigrams_per_lang": TD.top_bigrams_per_lang,
+        # order->ship latency weeks per priority: q12-style gated
+        # broadcast / hash-join dual path, bounded rollup
+        "ship_latency_histogram": TD.ship_latency_histogram,
+        # robust MAD outlier accounting in exact integer cents from one
+        # bounded-domain histogram pass (no sort, no second data pass)
+        "events_mad_outliers": TD.events_mad_outliers,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -3655,6 +3661,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bg AS bigram, CAST(n AS BIGINT) AS n,
                    CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk <= 10 ORDER BY lang, rank
+        """,
+        # whole-week latency buckets with FLOOR division (numpy //):
+        # DuckDB // truncates toward zero, so negative diffs (lines
+        # shipped before the order date exist — see q4) get the explicit
+        # floor form
+        "ship_latency_histogram": """
+            WITH j AS (
+              SELECT o.o_orderpriority,
+                     epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) AS d
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            w AS (
+              SELECT o_orderpriority,
+                     CASE WHEN d >= 0 THEN d // 604800000000
+                          ELSE -((-d + 604800000000 - 1) // 604800000000)
+                     END AS week
+              FROM j)
+            SELECT o_orderpriority, CAST(week AS BIGINT) AS week,
+                   count(*) AS n_lines
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # lower medians at rank ceil(n/2) in exact integer cents; MAD
+        # over |v - median|; outliers strictly beyond 3*MAD
+        "events_mad_outliers": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY c) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+            med AS (SELECT event_type, max(n) AS n,
+                           max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+                               AS median_c
+                    FROM r GROUP BY event_type),
+            d AS (SELECT v.event_type, abs(v.c - med.median_c) AS a
+                  FROM v JOIN med USING (event_type)),
+            r2 AS (SELECT event_type, a,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY a) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM d),
+            mad AS (SELECT event_type,
+                           max(CASE WHEN rn = (n + 1) // 2 THEN a END)
+                               AS mad_c
+                    FROM r2 GROUP BY event_type),
+            o AS (SELECT d.event_type,
+                         sum(CASE WHEN d.a > 3 * mad.mad_c
+                                  THEN 1 ELSE 0 END) AS n_outliers
+                  FROM d JOIN mad USING (event_type)
+                  GROUP BY d.event_type)
+            SELECT med.event_type, CAST(med.n AS BIGINT) AS n,
+                   CAST(med.median_c AS BIGINT) AS median_c,
+                   CAST(mad.mad_c AS BIGINT) AS mad_c,
+                   CAST(o.n_outliers AS BIGINT) AS n_outliers
+            FROM med JOIN mad USING (event_type) JOIN o USING (event_type)
+            ORDER BY event_type
         """,
         # co-engagement projection: pairs of event types sharing >= 1
         # user; jaccard in exact-integer floor-half-up ppm

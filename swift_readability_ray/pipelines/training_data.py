@@ -14019,3 +14019,178 @@ def top_bigrams_per_lang(sf_dir: str, k: int = 10) -> pa.Table:
         "bigram": t.column("bigram"),
         "n": t.column("n"),
         "rank": pa.array(rank + 1, pa.int64())})
+
+
+_SHIP_LATENCY_SCHEMA = {"o_orderpriority": pa.string(), "week": pa.int64(),
+                        "n_lines": pa.int64()}
+
+
+def ship_latency_histogram(
+    sf_dir: str, broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Order→ship latency distribution: lineitem rows bucketed by WHOLE
+    WEEKS between o_orderdate and l_shipdate, per order priority — the
+    fulfillment-SLA histogram (a bounded artifact: priorities × the
+    week span of the date domain, thousands of rows at most — negative
+    weeks appear for the shipped-before-order anomalies q4 audits)
+    built without ever shuffling the fact table's payload.
+
+    Scale shape (q12's dual-path discipline): under the orders footer
+    gate the (o_orderkey → orderdate, priority-id) map broadcasts sorted
+    and lineitem streams once with searchsorted + a bounded per-block
+    (priority, week) rollup; above it (or forced) a distributed hash
+    join on o_orderkey feeding the same rollup; paths pinned equal by
+    the meta-pin test."""
+    empty = pa.table({n: pa.array([], t)
+                      for n, t in _SHIP_LATENCY_SCHEMA.items()})
+    wk_us = 7 * 86_400_000_000
+
+    def order_slim(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "od_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                         "o_orderpriority": b.column("o_orderpriority")})
+
+    def rollup(prio, week: np.ndarray) -> pa.Table:
+        t = pa.table({"o_orderpriority": prio,
+                      "week": pa.array(week, pa.int64()),
+                      "n_lines": pa.array(np.ones(len(week), np.int64))})
+        return t.group_by(["o_orderpriority", "week"]).aggregate(
+            [("n_lines", "sum")]
+        ).rename_columns(["o_orderpriority", "week", "n_lines"])
+
+    def finish(partial) -> pa.Table:
+        return _merge_partials(
+            partial, ["o_orderpriority", "week"], [("n_lines", "sum")],
+            fallback_schema=_SHIP_LATENCY_SCHEMA
+        ).sort_by([("o_orderpriority", "ascending"), ("week", "ascending")])
+
+    li = _read_sized(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_shipdate"],
+                     rows_per_block=8192)
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"], rows_per_block=8192
+                       ).map_batches(order_slim, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        ot = _collect(ords, fallback_schema={
+            "o_orderkey": pa.int64(), "od_us": pa.int64(),
+            "o_orderpriority": pa.string()})
+        if ot.num_rows == 0:
+            return empty
+        ot = ot.sort_by("o_orderkey")
+        okeys = ot.column("o_orderkey").to_numpy()
+        od = ot.column("od_us").to_numpy()
+        # dictionary-encode priorities so only an int8 array broadcasts
+        prios = np.asarray(ot.column("o_orderpriority").to_pylist(),
+                           dtype=object)
+        uprio, pid = np.unique(prios, return_inverse=True)
+        refs = (ray.put(okeys), ray.put(od),
+                ray.put(pid.astype(np.int8)), ray.put(list(uprio)))
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            ks, ods, pids, up = (ray.get(r) for r in refs)
+            hit, oi = _sorted_member(ks, b.column("l_orderkey").to_numpy())
+            if not hit.any():
+                return empty
+            sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()[hit]
+            oi = oi[hit]
+            week = (sd - ods[oi]) // wk_us
+            return rollup(pa.array([up[i] for i in pids[oi]], pa.string()),
+                          week)
+
+        return finish(li.map_batches(li_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+    ofull = ords.materialize()
+    if ofull.count() == 0:
+        return empty
+    joined = li.join(
+        ofull, join_type="inner",
+        num_partitions=D._default_join_partitions(li),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def j_partial(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        week = (sd - b.column("od_us").to_numpy()) // wk_us
+        return rollup(b.column("o_orderpriority"), week)
+
+    return finish(joined.map_batches(j_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+def events_mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust per-event-type outlier accounting via the median absolute
+    deviation, all in exact integer cents: lower median m (the value at
+    rank ⌈n/2⌉), MAD = lower median of |v − m|, and the count of rows
+    with |v − m| > 3·MAD — the rule-of-thumb robust filter that, unlike
+    ``events_outliers``' mean rule, a single huge value cannot drag.
+
+    Scale shape: one pass of per-block (type, cents) value_counts
+    partials; the merged histogram is bounded by types × the cents
+    domain (values are bounded business amounts), so both medians come
+    from cumulative counts over the driver-merged histogram and the
+    outlier count is a third vectorized histogram scan — no sort, no
+    second data pass."""
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"], rows_per_block=8192)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value")).to_numpy()
+        tys = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        ut, inv = np.unique(tys, return_inverse=True)
+        out_t: list = []
+        out_c: list = []
+        out_n: list = []
+        for i, t in enumerate(ut):
+            u, cnt = np.unique(c[inv == i], return_counts=True)
+            out_t.extend([t] * len(u))
+            out_c.append(u)
+            out_n.append(cnt)
+        if not out_t:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "c": pa.array(np.concatenate(out_c), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64())})
+
+    hist = _merge_partials(
+        ev.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "c"], [("n", "sum")],
+        fallback_schema={"event_type": pa.string(), "c": pa.int64(),
+                         "n": pa.int64()})
+    hist = hist.sort_by([("event_type", "ascending"), ("c", "ascending")])
+    tys = np.asarray(hist.column("event_type").to_pylist(), dtype=object)
+    cs = hist.column("c").to_numpy()
+    ns = hist.column("n").to_numpy()
+
+    def lower_median(vals: np.ndarray, cnt: np.ndarray) -> int:
+        # value at rank ceil(n/2) of the expanded multiset, from the
+        # histogram's cumulative counts (vals ascending)
+        cum = np.cumsum(cnt)
+        rank = (cum[-1] + 1) // 2
+        return int(vals[np.searchsorted(cum, rank)])
+
+    rows = []
+    for t in np.unique(tys):
+        m = tys == t
+        v, n = cs[m], ns[m]
+        med = lower_median(v, n)
+        a = np.abs(v - med)
+        order = np.argsort(a, kind="mergesort")
+        mad = lower_median(a[order], n[order])
+        n_out = int(n[a > 3 * mad].sum())
+        rows.append((str(t), int(n.sum()), med, mad, n_out))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "median_c": pa.array([r[2] for r in rows], pa.int64()),
+        "mad_c": pa.array([r[3] for r in rows], pa.int64()),
+        "n_outliers": pa.array([r[4] for r in rows], pa.int64())})

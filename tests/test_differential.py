@@ -263,6 +263,10 @@ BROAD_OPS = [
     # docs, all-types-in-bucket-0 corpora, langs with < k bigrams and
     # count ties at the rank-k cut (bigram ASC tie-break)
     "vocab_growth", "top_bigrams_per_lang",
+    # round-5 robust outliers: fuzz hits even/odd counts at the lower-
+    # median rank, MAD 0 (constant values -> any deviation is an
+    # outlier) and cents HALF-UP rounding ties
+    "events_mad_outliers",
 ]
 
 
@@ -541,7 +545,11 @@ JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
             "q6_forecast_revenue", "q4_priority_anomalies",
             "q18_large_orders", "q13_order_distribution",
             "q10_returned_revenue", "orders_monthly",
-            "q16_part_suppliers"]
+            "q16_part_suppliers",
+            # round-5 latency histogram: fuzz hits lineitems without
+            # orders (inner join drops), shipped-before-order negative
+            # weeks (floor vs trunc division) and exact week boundaries
+            "ship_latency_histogram"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
