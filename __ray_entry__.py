@@ -461,6 +461,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust MAD outlier accounting in exact integer cents from one
         # bounded-domain histogram pass (no sort, no second data pass)
         "events_mad_outliers": TD.events_mad_outliers,
+        # link-graph symmetry audit: edge table joined against itself
+        # reversed; exact-integer reciprocity ppm per host
+        "host_link_reciprocity": TD.host_link_reciprocity,
+        # interval-count backlog: +1 at order month, -1 after last-ship
+        # month, cumulative over the bounded calendar rollup
+        "order_backlog_monthly": TD.order_backlog_monthly,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4085,6 +4091,39 @@ def _graph_oracles() -> dict[str, str]:
         "link_graph": "WITH " + link_cte + """
             SELECT src AS src_host, dst AS dst_host, w AS n_links
             FROM links ORDER BY 1, 2
+        """,
+        # reciprocity over DISTINCT directed edges; exact-integer
+        # floor-half-up ppm
+        "host_link_reciprocity": "WITH " + link_cte + """
+            SELECT l.src AS host, count(*) AS n_out,
+                   CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_recip,
+                   CAST((sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                         * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+                       AS reciprocity_ppm
+            FROM links l
+            LEFT JOIN links r ON r.src = l.dst AND r.dst = l.src
+            GROUP BY l.src ORDER BY host
+        """,
+        # backlog via +1/-1 month deltas and a running sum; completion
+        # month clamped to the order month for shipped-before-order rows
+        "order_backlog_monthly": """
+            WITH comp AS (SELECT l_orderkey, max(l_shipdate) AS done
+                          FROM lineitem GROUP BY 1),
+            j AS (SELECT year(o.o_orderdate)*12 + month(o.o_orderdate) - 1
+                         AS sm,
+                         greatest(
+                           year(o.o_orderdate)*12 + month(o.o_orderdate) - 1,
+                           year(c.done)*12 + month(c.done) - 1) AS em
+                  FROM orders o JOIN comp c ON c.l_orderkey = o.o_orderkey),
+            del AS (SELECT sm AS m, 1 AS dlt FROM j
+                    UNION ALL SELECT em + 1, -1 FROM j),
+            g AS (SELECT m, sum(dlt) AS d FROM del GROUP BY m),
+            c AS (SELECT m, sum(d) OVER (ORDER BY m) AS open_orders FROM g)
+            SELECT CAST(m // 12 AS BIGINT) AS year,
+                   CAST(m % 12 + 1 AS BIGINT) AS month,
+                   CAST(open_orders AS BIGINT) AS open_orders
+            FROM c ORDER BY year, month
         """,
         "pagerank_hosts": "WITH " + link_cte + """,
             outdeg AS (SELECT src AS h, sum(w) AS od FROM links GROUP BY 1),

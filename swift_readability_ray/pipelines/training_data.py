@@ -14194,3 +14194,220 @@ def events_mad_outliers(sf_dir: str) -> pa.Table:
         "median_c": pa.array([r[2] for r in rows], pa.int64()),
         "mad_c": pa.array([r[3] for r in rows], pa.int64()),
         "n_outliers": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def host_link_reciprocity(
+    sf_dir: str, force_distributed: bool = False,
+) -> pa.Table:
+    """Per-host link reciprocity: of each host's DISTINCT out-neighbors,
+    how many link back, in exact-integer ppm — the symmetry audit that
+    separates navigational link farms (reciprocal) from editorial
+    citation structure (one-way) before centrality weighting.
+
+    Scale shape: distinct (src, dst) pairs come from per-block dedup +
+    one native two-key groupby (host-pair cardinality is unbounded on a
+    real crawl); reciprocity is the edge table joined against ITSELF
+    reversed — a driver sorted-key membership under the gate (the
+    aggregated edge table is N_HOSTS²-bounded for this synthesis), a
+    Ray two-key hash join when forced; bounded per-src rollup either
+    way, paths pinned equal by the meta-pin test."""
+    edges_raw = _host_edges(sf_dir)
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["src_host", "dst_host"]).aggregate(
+            [("dst_host", "count")])
+        return t.rename_columns(["src_host", "dst_host", "n"])
+
+    partials = edges_raw.map_batches(distinct_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    def finish(src, has_rev: np.ndarray) -> pa.Table:
+        t = pa.table({"host": src,
+                      "n_out": pa.array(np.ones(len(has_rev), np.int64)),
+                      "n_recip": pa.array(has_rev.astype(np.int64))})
+        t = t.group_by(["host"]).aggregate(
+            [("n_out", "sum"), ("n_recip", "sum")]
+        ).rename_columns(["host", "n_out", "n_recip"])
+        t = t.sort_by([("host", "ascending")])
+        no = t.column("n_out").to_numpy()
+        nr = t.column("n_recip").to_numpy()
+        ppm = (nr * 2_000_000 + no) // (2 * no)
+        return pa.table({"host": t.column("host"),
+                         "n_out": t.column("n_out"),
+                         "n_recip": t.column("n_recip"),
+                         "reciprocity_ppm": pa.array(ppm, pa.int64())})
+
+    if not force_distributed:
+        et = _merge_partials(
+            partials, ["src_host", "dst_host"], [("n", "sum")],
+            fallback_schema={"src_host": pa.string(),
+                             "dst_host": pa.string(), "n": pa.int64()})
+        src = np.asarray(et.column("src_host").to_pylist(), dtype=object)
+        dst = np.asarray(et.column("dst_host").to_pylist(), dtype=object)
+        # sorted composite keys: reverse membership via searchsorted
+        fwd = np.array([f"{a}\x00{b}" for a, b in zip(src, dst)])
+        rev = np.array([f"{b}\x00{a}" for a, b in zip(src, dst)])
+        fwd_sorted = np.sort(fwd)
+        idx = np.searchsorted(fwd_sorted, rev)
+        idx[idx == len(fwd_sorted)] = 0
+        has_rev = (fwd_sorted[idx] == rev) if len(fwd) else np.array([], bool)
+        return finish(pa.array(list(src), pa.string()), has_rev)
+
+    from ray.data.aggregate import Sum
+
+    edges = (
+        partials.groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n"))
+        .rename_columns(["src_host", "dst_host", "n"])
+        .materialize()
+    )
+
+    def rev_names(b: pa.Table) -> pa.Table:
+        return pa.table({"src_host": b.column("dst_host"),
+                         "dst_host": b.column("src_host"),
+                         "is_rev": pa.array(
+                             np.ones(b.num_rows, np.int8))})
+
+    joined = edges.join(
+        edges.map_batches(rev_names, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=D._default_join_partitions(edges),
+        on=("src_host", "dst_host"),
+    )
+
+    def mark(b: pa.Table) -> pa.Table:
+        has = pc.is_valid(b.column("is_rev")).to_numpy(zero_copy_only=False)
+        return pa.table({"host": b.column("src_host"),
+                         "n_out": pa.array(np.ones(len(has), np.int64)),
+                         "n_recip": pa.array(has.astype(np.int64))})
+
+    per_src = _merge_partials(
+        joined.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"], [("n_out", "sum"), ("n_recip", "sum")],
+        fallback_schema={"host": pa.string(), "n_out": pa.int64(),
+                         "n_recip": pa.int64()})
+    per_src = per_src.sort_by([("host", "ascending")])
+    no = per_src.column("n_out").to_numpy()
+    nr = per_src.column("n_recip").to_numpy()
+    ppm = (nr * 2_000_000 + no) // (2 * no)
+    return pa.table({"host": per_src.column("host"),
+                     "n_out": per_src.column("n_out"),
+                     "n_recip": per_src.column("n_recip"),
+                     "reciprocity_ppm": pa.array(ppm, pa.int64())})
+
+
+def order_backlog_monthly(
+    sf_dir: str, broadcast_limit: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Open-order backlog over time: for every month where it changes,
+    how many orders have been placed but not yet fully shipped (an order
+    completes at its max l_shipdate; completion is clamped to the order
+    month for the shipped-before-order anomalies) — the interval-count
+    aggregation (+1 at start, −1 after end, cumulative) that no windowed
+    groupby expresses directly.
+
+    Scale shape: per-block (orderkey, max shipdate) partials collapse
+    lineitem before any exchange; under the orders footer gate both
+    sides merge on the driver (rows bounded by order count), above it
+    one distributed groupby-Max + one hash join on o_orderkey; the
+    month-delta rollup is calendar-bounded either way and the cumulative
+    sum runs over that tiny table.  Orders with no lineitems never open
+    (inner-join semantics, matching the oracle)."""
+    from ray.data.aggregate import Max
+
+    li = _read_sized(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_shipdate"],
+                     rows_per_block=8192)
+    ords = _read_sized(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"],
+                       rows_per_block=8192)
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": b.column("l_orderkey"),
+                      "done_us": pc.cast(b.column("l_shipdate"), pa.int64())})
+        t = t.group_by(["o_orderkey"]).aggregate([("done_us", "max")])
+        return t.rename_columns(["o_orderkey", "done_us"])
+
+    def month_idx(us: np.ndarray) -> np.ndarray:
+        ts = pa.array(us, pa.int64()).cast(pa.timestamp("us"))
+        y = pc.year(ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        return y * 12 + m - 1
+
+    def finish(sm: np.ndarray, em: np.ndarray) -> pa.Table:
+        em = np.maximum(em, sm)  # clamp shipped-before-order anomalies
+        months = np.concatenate([sm, em + 1])
+        deltas = np.concatenate([np.ones(len(sm), np.int64),
+                                 np.full(len(em), -1, np.int64)])
+        u, inv = np.unique(months, return_inverse=True)
+        d = np.zeros(len(u), np.int64)
+        np.add.at(d, inv, deltas)
+        open_orders = np.cumsum(d)
+        return pa.table({
+            "year": pa.array(u // 12, pa.int64()),
+            "month": pa.array(u % 12 + 1, pa.int64()),
+            "open_orders": pa.array(open_orders, pa.int64())})
+
+    n_ords = _footer_rows(f"{sf_dir}/orders.parquet")
+    if not force_distributed and (n_ords is not None
+                                  and n_ords <= broadcast_limit):
+        comp = _merge_partials(
+            li.map_batches(max_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["o_orderkey"], [("done_us", "max")],
+            fallback_schema={"o_orderkey": pa.int64(),
+                             "done_us": pa.int64()})
+        ot = _collect(ords, fallback_schema={
+            "o_orderkey": pa.int64(), "o_orderdate": pa.timestamp("us")})
+        if comp.num_rows == 0 or ot.num_rows == 0:
+            return pa.table({"year": pa.array([], pa.int64()),
+                             "month": pa.array([], pa.int64()),
+                             "open_orders": pa.array([], pa.int64())})
+        ot = ot.sort_by("o_orderkey")
+        okeys = ot.column("o_orderkey").to_numpy()
+        ostart = pc.cast(ot.column("o_orderdate"), pa.int64()).to_numpy()
+        ck = comp.column("o_orderkey").to_numpy()
+        hit, oi = _sorted_member(okeys, ck)
+        sm = month_idx(ostart[oi[hit]])
+        em = month_idx(comp.column("done_us").to_numpy()[hit])
+        return finish(sm, em)
+
+    comp_ds = (
+        li.map_batches(max_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("o_orderkey").aggregate(Max("done_us"))
+        .rename_columns(["o_orderkey", "done_us"])
+    )
+    joined = comp_ds.join(
+        ords.materialize(), join_type="inner",
+        num_partitions=D._default_join_partitions(comp_ds),
+        on=("o_orderkey",),
+    )
+
+    def delta_partial(b: pa.Table) -> pa.Table:
+        sm = month_idx(pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy())
+        em = np.maximum(month_idx(b.column("done_us").to_numpy()), sm)
+        months = np.concatenate([sm, em + 1])
+        deltas = np.concatenate([np.ones(len(sm), np.int64),
+                                 np.full(len(em), -1, np.int64)])
+        u, inv = np.unique(months, return_inverse=True)
+        d = np.zeros(len(u), np.int64)
+        np.add.at(d, inv, deltas)
+        return pa.table({"m": pa.array(u, pa.int64()),
+                         "d": pa.array(d, pa.int64())})
+
+    g = _merge_partials(
+        joined.map_batches(delta_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["m"], [("d", "sum")],
+        fallback_schema={"m": pa.int64(), "d": pa.int64()})
+    g = g.sort_by([("m", "ascending")])
+    # delta months with net-zero change still appear in the oracle's
+    # grouped table, so keep them (they carry the running value)
+    u = g.column("m").to_numpy()
+    open_orders = np.cumsum(g.column("d").to_numpy())
+    return pa.table({
+        "year": pa.array(u // 12, pa.int64()),
+        "month": pa.array(u % 12 + 1, pa.int64()),
+        "open_orders": pa.array(open_orders, pa.int64())})

@@ -549,7 +549,11 @@ JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
             # round-5 latency histogram: fuzz hits lineitems without
             # orders (inner join drops), shipped-before-order negative
             # weeks (floor vs trunc division) and exact week boundaries
-            "ship_latency_histogram"]
+            "ship_latency_histogram",
+            # round-5 backlog: fuzz hits orders with no lineitems (never
+            # open), completion clamped to the order month, and multiple
+            # orders opening/closing in the same month (net-zero deltas)
+            "order_backlog_monthly"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
@@ -816,7 +820,10 @@ def test_neardup_keep_best_forced_distributed(tmp_path, ray_session):
 GRAPH_OPS = ["link_graph", "pagerank_hosts", "hits_hosts", "host_components",
              "host_profiles", "random_walks", "attribution_last_touch",
              "media_dedup", "triangle_count", "edge_negatives", "retention_cohorts",
-             "cooccurrence_pairs"]
+             "cooccurrence_pairs",
+             # round-5 symmetry audit: fuzz hits hosts with zero
+             # reciprocal edges and fully-mutual pairs (ppm 1e6)
+             "host_link_reciprocity"]
 
 
 @pytest.mark.parametrize("seed", [3, 31, 77])
