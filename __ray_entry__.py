@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval-count backlog: +1 at order month, -1 after last-ship
         # month, cumulative over the bounded calendar rollup
         "order_backlog_monthly": TD.order_backlog_monthly,
+        # the north-rule ORDER invariant: per-doc kind sequence + media
+        # ordinal from the real span pipeline, synthesis-mirrored in SQL
+        "span_order_certificate": TD.span_order_certificate,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -1356,6 +1359,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_paras = 1 THEN 4 ELSE n_paras + 1 END AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_media_spans,
                    CAST(CASE WHEN n_paras = 1 THEN chars + 10 ELSE chars END AS BIGINT) AS text_chars
+            FROM f ORDER BY doc_id
+        """,
+        # ORDER certificate: full kind sequence + media ordinal per doc;
+        # multi-para pages emit media LAST, single-para body-fallback
+        # pages emit nav/para/media/footer (ttmt, media at 2)
+        "span_order_certificate": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) AS idx FROM toks),
+            paras AS (
+              SELECT doc_id, (idx - 1) // 40 AS para FROM w GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+            f AS (
+              SELECT d.doc_id, coalesce(a.n_paras, 1) AS n_paras
+              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN n_paras = 1 THEN 4 ELSE n_paras + 1 END
+                        AS BIGINT) AS n_spans,
+                   CASE WHEN n_paras = 1 THEN 'ttmt'
+                        ELSE repeat('t', CAST(n_paras AS INTEGER)) || 'm'
+                   END AS kind_seq,
+                   CAST(CASE WHEN n_paras = 1 THEN 2 ELSE n_paras END
+                        AS BIGINT) AS media_index
             FROM f ORDER BY doc_id
         """,
         # DOM-content certificate: md5 of the FULL extracted text_content

@@ -14411,3 +14411,50 @@ def order_backlog_monthly(
         "year": pa.array(u // 12, pa.int64()),
         "month": pa.array(u % 12 + 1, pa.int64()),
         "open_orders": pa.array(open_orders, pa.int64())})
+
+
+def span_order_certificate(sf_dir: str) -> pa.Table:
+    """ORDER certificate for the flagship span extraction: per document,
+    the full kind sequence (``t``/``m`` per span, concatenated in emission
+    order) and the media span's ordinal — pinning the north-rule invariant
+    (kind, text, media_ref, ORDER) that ``extract_certificate`` (content
+    md5 + counts) does not: a transposed span sequence with identical
+    content would pass the count/md5 certificate but fail this one.
+
+    The oracle reconstructs both from the deterministic synthesis:
+    multi-paragraph pages emit one text span per paragraph with the
+    inline media LAST (it sits before the final ``</p>`` in the page, so
+    every paragraph's text precedes it); single-paragraph pages take
+    grabArticle's body fallback and emit nav('home'), para, media,
+    footer — kind sequence ``ttmt`` with the media at ordinal 2."""
+    ds = _extracted_spans(sf_dir)
+
+    def cert(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.struct_field(pc.list_flatten(spans), "kind")
+        is_media = pc.equal(flat, "media").to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(batch)), n_spans)
+        seqs = []
+        midx = np.full(len(batch), -1, np.int64)
+        pos_in_row = np.concatenate(
+            [np.arange(n) for n in n_spans]) if len(batch) else np.array([])
+        for r in range(len(batch)):
+            m = row_of == r
+            seqs.append("".join("m" if x else "t" for x in is_media[m]))
+        first_media = {}
+        for p, r, x in zip(pos_in_row, row_of, is_media):
+            if x and r not in first_media:
+                first_media[r] = p
+        for r, p in first_media.items():
+            midx[r] = p
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "kind_seq": pa.array(seqs, pa.string()),
+            "media_index": pa.array(midx, pa.int64())})
+
+    out = ds.map_batches(cert, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")

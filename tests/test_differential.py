@@ -784,6 +784,10 @@ HEAVY_OPS = [
     # docs / single-line docs / duplicated lines) and PPJoin containment
     # (fuzz hits zero-shingle docs and exact-threshold ratios)
     "boilerplate_lines", "containment_pairs",
+    # round-5 ORDER certificate: fuzz hits empty docs (single-para body
+    # fallback, ttmt) and exact-40-word paragraph boundaries through
+    # the REAL span pipeline
+    "span_order_certificate",
 ]
 
 
