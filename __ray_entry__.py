@@ -470,6 +470,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the north-rule ORDER invariant: per-doc kind sequence + media
         # ordinal from the real span pipeline, synthesis-mirrored in SQL
         "span_order_certificate": TD.span_order_certificate,
+        # source composition of each near-dup cluster (session pair
+        # cache + shared labeling; exact-integer majority share ppm)
+        "dedup_cluster_purity": TD.dedup_cluster_purity,
+        # crawl-half drift per source: exact-ppm mean token counts for
+        # early vs late doc_id halves (footer-stat midpoint, zero scan)
+        "source_drift_audit": TD.source_drift_audit,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -1620,6 +1626,79 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM s WHERE n_clusters > 0
             ORDER BY cluster_size
+        """,
+        # per-cluster source composition over the same component
+        # labeling; majority share in exact floor-half-up ppm
+        "dedup_cluster_purity": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                         WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / len(list_distinct(a.sh || b.sh))::DOUBLE END >= 0.5),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            lab AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+            ls AS (SELECT l.label, d.source
+                   FROM lab l JOIN documents d ON d.doc_id = l.u),
+            pcnt AS (SELECT label, source, count(*) AS n
+                     FROM ls GROUP BY 1, 2),
+            agg AS (SELECT label, sum(n) AS size, count(*) AS n_sources,
+                           max(n) AS majority_n
+                    FROM pcnt GROUP BY label)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(size AS BIGINT) AS cluster_size,
+                   CAST(n_sources AS BIGINT) AS n_sources,
+                   CAST(majority_n AS BIGINT) AS majority_n,
+                   CAST((majority_n * 2000000 + size) // (2 * size)
+                        AS BIGINT) AS purity_ppm
+            FROM agg ORDER BY label
+        """,
+        # crawl-half drift: midpoint of the doc_id RANGE (footer stats
+        # are exact for ints); exact-ppm means, signed integer delta
+        "source_drift_audit": """
+            WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+                         FROM documents),
+            t AS (SELECT source,
+                         doc_id <= (SELECT m FROM mid) AS early,
+                         len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                             AS tok
+                  FROM documents),
+            a AS (SELECT source,
+                         sum(CASE WHEN early THEN 1 ELSE 0 END) AS ne,
+                         sum(CASE WHEN early THEN 0 ELSE 1 END) AS nl,
+                         sum(CASE WHEN early THEN tok ELSE 0 END) AS te,
+                         sum(CASE WHEN early THEN 0 ELSE tok END) AS tl
+                  FROM t GROUP BY source)
+            SELECT source, CAST(ne AS BIGINT) AS n_early,
+                   CAST(nl AS BIGINT) AS n_late,
+                   CAST(CASE WHEN ne = 0 THEN 0
+                             ELSE (te * 2000000 + ne) // (2 * ne) END
+                        AS BIGINT) AS mean_tokens_early_ppm,
+                   CAST(CASE WHEN nl = 0 THEN 0
+                             ELSE (tl * 2000000 + nl) // (2 * nl) END
+                        AS BIGINT) AS mean_tokens_late_ppm,
+                   CAST(CASE WHEN nl = 0 THEN 0
+                             ELSE (tl * 2000000 + nl) // (2 * nl) END
+                        - CASE WHEN ne = 0 THEN 0
+                               ELSE (te * 2000000 + ne) // (2 * ne) END
+                        AS BIGINT) AS drift_ppm
+            FROM a ORDER BY source
         """,
         "minhash_dedup": r"""
             WITH toks AS (

@@ -14458,3 +14458,158 @@ def span_order_certificate(sf_dir: str) -> pa.Table:
     out = ds.map_batches(cert, batch_format="pyarrow", zero_copy_batch=True)
     return pa.concat_tables(
         list(out.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
+
+
+def dedup_cluster_purity(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Source composition of every near-dup cluster: size, number of
+    distinct sources and the majority-source share in exact ppm — the
+    provenance question behind cluster collapse (a pure cluster is one
+    mirror re-crawled; a mixed cluster is syndication, and keep-best
+    should weigh sources differently).
+
+    Scale shape: reuses the session-cached verified pair table and the
+    same driver/distributed component labeling as the collapse; labels
+    join the documents table's (doc_id, source) by hash join, a two-key
+    (label, source) groupby bounds rows by labeled docs, and the
+    per-label rollup is a map_groups over cluster-count groups — the
+    output is the cluster report a release publishes, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    pairs = _minhash_pairs_cached(sf_dir, threshold)
+    empty = pa.table({"label": pa.array([], pa.int64()),
+                      "cluster_size": pa.array([], pa.int64()),
+                      "n_sources": pa.array([], pa.int64()),
+                      "majority_n": pa.array([], pa.int64()),
+                      "purity_ppm": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return empty
+    labels = D.component_labels(pairs).map_batches(
+        lambda b: pa.table({"doc_id": b.column("u"),
+                            "label": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs = _docs_sized(sf_dir, columns=["doc_id", "source"],
+                       rows_per_block=8192)
+    joined = labels.join(
+        docs.materialize(), join_type="inner",
+        num_partitions=D._default_join_partitions(labels), on=("doc_id",),
+    )
+
+    def ls_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"label": b.column("label"),
+                      "source": b.column("source"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        t = t.group_by(["label", "source"]).aggregate([("n", "sum")])
+        return t.rename_columns(["label", "source", "n"])
+
+    per_ls = (
+        joined.map_batches(ls_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["label", "source"]).aggregate(Sum("n"))
+        .rename_columns(["label", "source", "n"])
+    )
+
+    def per_label(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy()
+        size = int(n.sum())
+        maj = int(n.max())
+        return pa.table({
+            "label": pa.array([group.column("label")[0].as_py()], pa.int64()),
+            "cluster_size": pa.array([size], pa.int64()),
+            "n_sources": pa.array([len(n)], pa.int64()),
+            "majority_n": pa.array([maj], pa.int64()),
+            "purity_ppm": pa.array(
+                [(maj * 2_000_000 + size) // (2 * size)], pa.int64())})
+
+    out = per_ls.groupby("label").map_groups(per_label,
+                                             batch_format="pyarrow")
+    tbl = _collect(out, fallback_schema={
+        "label": pa.int64(), "cluster_size": pa.int64(),
+        "n_sources": pa.int64(), "majority_n": pa.int64(),
+        "purity_ppm": pa.int64()})
+    return tbl.sort_by([("label", "ascending")])
+
+
+def source_drift_audit(sf_dir: str) -> pa.Table:
+    """Corpus drift between crawl halves: per source, doc counts and the
+    exact-ppm mean token count of the EARLY half (doc_id at or below the
+    id-range midpoint — doc_id is crawl order in this corpus) vs the
+    LATE half, plus the signed delta — the "did this provider's content
+    change under us" audit run before mixing a new crawl in.
+
+    Scale shape: the midpoint comes from parquet footer column stats
+    (zero scan); one streaming pass emits bounded (source, half) partial
+    sums; everything downstream is a tiny driver merge in exact integer
+    arithmetic (floor-half-up ppm means, signed integer delta)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "doc_id" and col.statistics is not None:
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:
+        lo, hi = 0, 0
+    mid = (int(lo) + int(hi)) // 2
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "source", "text"],
+                     rows_per_block=1024)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        early = ids <= mid
+        toks = np.fromiter(
+            (len(_GRAM_TOKEN_RE.findall((t or "").lower()))
+             for t in batch.column("text").to_pylist()),
+            np.int64, len(batch))
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        u, inv = np.unique(srcs, return_inverse=True)
+        rows_s: list = []
+        rows_h: list = []
+        rows_n: list = []
+        rows_t: list = []
+        for half, mask in (("early", early), ("late", ~early)):
+            n = np.zeros(len(u), np.int64)
+            t = np.zeros(len(u), np.int64)
+            np.add.at(n, inv[mask], 1)
+            np.add.at(t, inv[mask], toks[mask])
+            rows_s.extend(u)
+            rows_h.extend([half] * len(u))
+            rows_n.append(n)
+            rows_t.append(t)
+        return pa.table({
+            "source": pa.array(rows_s, pa.string()),
+            "half": pa.array(rows_h, pa.string()),
+            "n": pa.array(np.concatenate(rows_n), pa.int64()),
+            "tok": pa.array(np.concatenate(rows_t), pa.int64())})
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "half"], [("n", "sum"), ("tok", "sum")],
+        fallback_schema={"source": pa.string(), "half": pa.string(),
+                         "n": pa.int64(), "tok": pa.int64()})
+    agg: dict = {}
+    for s, h, n, t in zip(merged.column("source").to_pylist(),
+                          merged.column("half").to_pylist(),
+                          merged.column("n").to_pylist(),
+                          merged.column("tok").to_pylist()):
+        agg.setdefault(s, {})[h] = (n, t)
+
+    def mean_ppm(n: int, t: int) -> int:
+        return (t * 2_000_000 + n) // (2 * n) if n else 0
+
+    srcs = sorted(agg)
+    ne = [agg[s].get("early", (0, 0))[0] for s in srcs]
+    nl = [agg[s].get("late", (0, 0))[0] for s in srcs]
+    me = [mean_ppm(*agg[s].get("early", (0, 0))) for s in srcs]
+    ml = [mean_ppm(*agg[s].get("late", (0, 0))) for s in srcs]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_early": pa.array(ne, pa.int64()),
+        "n_late": pa.array(nl, pa.int64()),
+        "mean_tokens_early_ppm": pa.array(me, pa.int64()),
+        "mean_tokens_late_ppm": pa.array(ml, pa.int64()),
+        "drift_ppm": pa.array([b - a for a, b in zip(me, ml)], pa.int64())})

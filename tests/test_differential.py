@@ -267,6 +267,9 @@ BROAD_OPS = [
     # median rank, MAD 0 (constant values -> any deviation is an
     # outlier) and cents HALF-UP rounding ties
     "events_mad_outliers",
+    # round-5 drift audit: fuzz hits sources entirely in one half
+    # (zero-count ppm 0) and empty docs (0 tokens)
+    "source_drift_audit",
 ]
 
 
@@ -788,6 +791,10 @@ HEAVY_OPS = [
     # fallback, ttmt) and exact-40-word paragraph boundaries through
     # the REAL span pipeline
     "span_order_certificate",
+    # round-5 cluster provenance: fuzz hits pure single-source clusters
+    # (ppm 1e6), even splits (majority tie — max(n) is well-defined) and
+    # pair-free corpora (empty report)
+    "dedup_cluster_purity",
 ]
 
 
