@@ -476,6 +476,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-half drift per source: exact-ppm mean token counts for
         # early vs late doc_id halves (footer-stat midpoint, zero scan)
         "source_drift_audit": TD.source_drift_audit,
+        # BFS shortest-path depths from a seed host (per-round join +
+        # groupby-Min frontier; capped rounds, pinned dual path)
+        "host_bfs_depths": TD.host_bfs_depths,
+        # bounded 7x24xtypes seasonality heatmap (ISO dow, hour)
+        "events_dow_hour_profile": TD.events_dow_hour_profile,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4200,6 +4205,25 @@ def _graph_oracles() -> dict[str, str]:
         "link_graph": "WITH " + link_cte + """
             SELECT src AS src_host, dst AS dst_host, w AS n_links
             FROM links ORDER BY 1, 2
+        """,
+        # BFS min-depths from h00, rounds capped at 5; UNION dedups the
+        # (host, depth) frontier so the recursion stays bounded
+        "host_bfs_depths": "WITH RECURSIVE " + link_cte + """,
+            walk(host, depth) AS (
+              SELECT 'h00', 0
+              UNION
+              SELECT l.dst, w.depth + 1
+              FROM walk w JOIN links l ON l.src = w.host
+              WHERE w.depth < 5),
+            d AS (SELECT host, min(depth) AS depth FROM walk GROUP BY host)
+            SELECT host, CAST(depth AS BIGINT) AS depth
+            FROM d ORDER BY host
+        """,
+        # ISO dow (Mon=1) x hour-of-day x type activity heatmap
+        "events_dow_hour_profile": """
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # reciprocity over DISTINCT directed edges; exact-integer
         # floor-half-up ppm

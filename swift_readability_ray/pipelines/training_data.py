@@ -14613,3 +14613,124 @@ def source_drift_audit(sf_dir: str) -> pa.Table:
         "mean_tokens_early_ppm": pa.array(me, pa.int64()),
         "mean_tokens_late_ppm": pa.array(ml, pa.int64()),
         "drift_ppm": pa.array([b - a for a, b in zip(me, ml)], pa.int64())})
+
+
+def host_bfs_depths(
+    sf_dir: str, seed_host: str = "h00", max_depth: int = 5,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Breadth-first shortest-path depths from ``seed_host`` over the
+    DIRECTED host graph, capped at ``max_depth`` hops → (host, depth) for
+    every reachable host — the crawl-frontier / influence-radius
+    traversal that components (connectivity only) and PageRank (steady
+    state) don't answer.
+
+    Scale shape: the frontier stays a Dataset on the distributed path —
+    per round ONE hash join (distance table ⋈ edges on the source) emits
+    depth+1 candidates and ONE native groupby-Min folds them; exactly
+    ``max_depth`` rounds, deterministic.  Under the gate the same
+    relaxation runs vectorized on the driver over the aggregated edge
+    table (N_HOSTS²-bounded for this synthesis); paths pinned equal by
+    the meta-pin test."""
+    from ray.data.aggregate import Min
+
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "depth": pa.array([], pa.int64())})
+    if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["src_host", "dst_host"]).aggregate(
+            [("dst_host", "count")])
+        return t.rename_columns(["src_host", "dst_host", "n"])
+
+    partials = _host_edges(sf_dir).map_batches(
+        edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not force_distributed:
+        et = _merge_partials(
+            partials, ["src_host", "dst_host"], [("n", "sum")],
+            fallback_schema={"src_host": pa.string(),
+                             "dst_host": pa.string(), "n": pa.int64()})
+        src = np.asarray(et.column("src_host").to_pylist(), dtype=object)
+        dst = np.asarray(et.column("dst_host").to_pylist(), dtype=object)
+        hosts = np.unique(np.concatenate([src, dst])) if len(src) else (
+            np.array([], dtype=object))
+        if hosts.size == 0:
+            return empty
+        si = np.searchsorted(hosts, src)
+        di = np.searchsorted(hosts, dst)
+        INF = np.iinfo(np.int64).max
+        dist = np.full(hosts.size, INF, np.int64)
+        seed_idx = np.searchsorted(hosts, seed_host)
+        if seed_idx >= hosts.size or hosts[seed_idx] != seed_host:
+            return empty
+        dist[seed_idx] = 0
+        for _ in range(max_depth):
+            ok = dist[si] != INF
+            cand_d = dist[si[ok]] + 1
+            np.minimum.at(dist, di[ok], cand_d)
+        keep = dist != INF
+        return pa.table({
+            "host": pa.array(list(hosts[keep]), pa.string()),
+            "depth": pa.array(dist[keep], pa.int64())}
+        ).sort_by([("host", "ascending")])
+
+    edges = (
+        partials.groupby(["src_host", "dst_host"])
+        .aggregate(Min("n"))
+        .rename_columns(["src_host", "dst_host", "n"])
+        .materialize()
+    )
+    dist_ds = ray.data.from_arrow(pa.table(
+        {"host": pa.array([seed_host], pa.string()),
+         "depth": pa.array([0], pa.int64())}))
+    for _ in range(max_depth):
+        frontier = dist_ds.join(
+            edges, join_type="inner",
+            num_partitions=D._default_join_partitions(edges),
+            on=("host",), right_on=("src_host",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"host": b.column("dst_host"),
+                 "depth": pc.add(b.column("depth"), 1)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dist_ds = (
+            dist_ds.union(frontier)
+            .groupby("host").aggregate(Min("depth"))
+            .rename_columns(["host", "depth"])
+            .materialize()
+        )
+    out = _collect(dist_ds, fallback_schema={"host": pa.string(),
+                                             "depth": pa.int64()})
+    return out.sort_by([("host", "ascending")])
+
+
+def events_dow_hour_profile(sf_dir: str) -> pa.Table:
+    """Seasonality heatmap: event counts per (event_type, ISO day-of-week,
+    hour-of-day) — the bounded 7×24×types activity profile behind load
+    forecasting and anomaly baselines.  One streaming pass of per-block
+    conditional counts; the rollup is calendar-bounded so it driver-merges."""
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"], rows_per_block=8192)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        dow = pc.day_of_week(  # ISO numbering: Monday=1 .. Sunday=7
+            ts, count_from_zero=False, week_start=1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = pc.hour(ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "dow": pa.array(dow, pa.int64()),
+                      "hour": pa.array(hour, pa.int64()),
+                      "n": pa.array(np.ones(len(dow), np.int64))})
+        t = t.group_by(["event_type", "dow", "hour"]).aggregate([("n", "sum")])
+        return t.rename_columns(["event_type", "dow", "hour", "n"])
+
+    merged = _merge_partials(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "dow", "hour"], [("n", "sum")],
+        fallback_schema={"event_type": pa.string(), "dow": pa.int64(),
+                         "hour": pa.int64(), "n": pa.int64()})
+    return merged.sort_by([("event_type", "ascending"), ("dow", "ascending"),
+                           ("hour", "ascending")])

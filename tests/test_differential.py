@@ -270,6 +270,9 @@ BROAD_OPS = [
     # round-5 drift audit: fuzz hits sources entirely in one half
     # (zero-count ppm 0) and empty docs (0 tokens)
     "source_drift_audit",
+    # round-5 seasonality: fuzz hits hours/dows with zero events
+    # (absent rows) and ISO Monday=1 numbering at week boundaries
+    "events_dow_hour_profile",
 ]
 
 
@@ -834,7 +837,10 @@ GRAPH_OPS = ["link_graph", "pagerank_hosts", "hits_hosts", "host_components",
              "cooccurrence_pairs",
              # round-5 symmetry audit: fuzz hits hosts with zero
              # reciprocal edges and fully-mutual pairs (ppm 1e6)
-             "host_link_reciprocity"]
+             "host_link_reciprocity",
+             # round-5 BFS: fuzz hits unreachable hosts (absent), depth
+             # ties via multiple shortest paths, and the 5-round cap
+             "host_bfs_depths"]
 
 
 @pytest.mark.parametrize("seed", [3, 31, 77])
