@@ -481,6 +481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bfs_depths": TD.host_bfs_depths,
         # bounded 7x24xtypes seasonality heatmap (ISO dow, hour)
         "events_dow_hour_profile": TD.events_dow_hour_profile,
+        # peak trailing-5min burst per type: (type, day)+halo groups,
+        # vectorized two-pointer, bounded per-type max fold
+        "events_burst_detection": TD.events_burst_detection,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4224,6 +4227,17 @@ def _graph_oracles() -> dict[str, str]:
             SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
                    CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
             FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # RANGE-frame trailing window: boundary inclusive, peers count
+        "events_burst_detection": """
+            WITH w AS (
+              SELECT event_type,
+                     count(*) OVER (PARTITION BY event_type ORDER BY ts
+                                    RANGE BETWEEN INTERVAL 5 MINUTE
+                                    PRECEDING AND CURRENT ROW) AS c
+              FROM events)
+            SELECT event_type, CAST(max(c) AS BIGINT) AS max_burst
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         # reciprocity over DISTINCT directed edges; exact-integer
         # floor-half-up ppm

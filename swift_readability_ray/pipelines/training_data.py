@@ -14734,3 +14734,67 @@ def events_dow_hour_profile(sf_dir: str) -> pa.Table:
                          "hour": pa.int64(), "n": pa.int64()})
     return merged.sort_by([("event_type", "ascending"), ("dow", "ascending"),
                            ("hour", "ascending")])
+
+
+def events_burst_detection(
+    sf_dir: str, window_min: int = 5,
+) -> pa.Table:
+    """Peak burst per event type: the maximum number of events of that
+    type inside any trailing ``window_min``-minute window (boundary
+    inclusive, RANGE semantics — simultaneous events all count) — the
+    capacity-planning / abuse-detection number a rate limiter is sized
+    from.
+
+    Scale shape: a single type's stream is unbounded, so the group key
+    is (event_type, DAY) with a HALO — events in the last window of a
+    day are duplicated into the next day's group as context-only rows
+    (they seed windows that cross midnight but are not anchors there).
+    Each group is a vectorized two-pointer over its sorted timestamps
+    (searchsorted, no Python loop per event) emitting one partial max;
+    the final fold is a bounded per-type driver merge."""
+    win_us = window_min * 60 * 1_000_000
+    day_us = 86_400_000_000
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"], rows_per_block=8192)
+
+    def assign(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        day = us // day_us
+        ty = b.column("event_type")
+        anchor = pa.table({"event_type": ty,
+                           "day": pa.array(day, pa.int64()),
+                           "us": pa.array(us, pa.int64()),
+                           "halo": pa.array(np.zeros(len(us), np.int8))})
+        tail = us >= (day + 1) * day_us - win_us
+        halo = pa.table({"event_type": ty.filter(pa.array(tail)),
+                         "day": pa.array(day[tail] + 1, pa.int64()),
+                         "us": pa.array(us[tail], pa.int64()),
+                         "halo": pa.array(np.ones(int(tail.sum()), np.int8))})
+        return pa.concat_tables([anchor, halo])
+
+    def group_max(group: pa.Table) -> pa.Table:
+        us = group.column("us").to_numpy()
+        halo = group.column("halo").to_numpy()
+        order = np.argsort(us, kind="mergesort")
+        s = us[order]
+        anchors = s[halo[order] == 0]
+        if anchors.size == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "m": pa.array([], pa.int64())})
+        hi = np.searchsorted(s, anchors, side="right")
+        lo = np.searchsorted(s, anchors - win_us, side="left")
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()], pa.string()),
+            "m": pa.array([int((hi - lo).max())], pa.int64())})
+
+    partials = (
+        ev.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .map_groups(group_max, batch_format="pyarrow")
+    )
+    merged = _merge_partials(
+        partials, ["event_type"], [("m", "max")],
+        fallback_schema={"event_type": pa.string(), "m": pa.int64()})
+    merged = merged.sort_by([("event_type", "ascending")])
+    return merged.rename_columns(["event_type", "max_burst"])

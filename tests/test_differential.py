@@ -273,6 +273,9 @@ BROAD_OPS = [
     # round-5 seasonality: fuzz hits hours/dows with zero events
     # (absent rows) and ISO Monday=1 numbering at week boundaries
     "events_dow_hour_profile",
+    # round-5 burst: fuzz hits same-ts pileups (RANGE peers all count),
+    # windows crossing the day halo, and single-event types (burst 1)
+    "events_burst_detection",
 ]
 
 
