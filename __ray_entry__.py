@@ -484,6 +484,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # peak trailing-5min burst per type: (type, day)+halo groups,
         # vectorized two-pointer, bounded per-type max fold
         "events_burst_detection": TD.events_burst_detection,
+        # daily spikes vs the prior-7-day baseline, exact multiplicative
+        # predicate (14*n > 3*trail) over a bounded (type, day) rollup
+        "events_daily_anomalies": TD.events_daily_anomalies,
+        # users by distinct-type breadth: two thin groupbys + bounded
+        # k-histogram merge
+        "user_type_breadth": TD.user_type_breadth,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4238,6 +4244,35 @@ def _graph_oracles() -> dict[str, str]:
               FROM events)
             SELECT event_type, CAST(max(c) AS BIGINT) AS max_burst
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # trailing 7-calendar-day baseline via RANGE frame (absent days
+        # contribute nothing); full-history days only; exact-integer test
+        "events_daily_anomalies": """
+            WITH dc AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, day, n,
+                     coalesce(sum(n) OVER (PARTITION BY event_type
+                                           ORDER BY day
+                                           RANGE BETWEEN 7 PRECEDING
+                                           AND 1 PRECEDING), 0)
+                         AS trail7_sum,
+                     min(day) OVER (PARTITION BY event_type) AS d0
+              FROM dc)
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(trail7_sum AS BIGINT) AS trail7_sum
+            FROM w WHERE day >= d0 + 7 AND 14 * n > 3 * trail7_sum
+            ORDER BY event_type, day
+        """,
+        # distinct-type breadth histogram
+        "user_type_breadth": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            ku AS (SELECT user_id, count(*) AS k FROM d GROUP BY 1)
+            SELECT CAST(k AS BIGINT) AS k, count(*) AS n_users
+            FROM ku GROUP BY k ORDER BY k
         """,
         # reciprocity over DISTINCT directed edges; exact-integer
         # floor-half-up ppm

@@ -14798,3 +14798,118 @@ def events_burst_detection(
         fallback_schema={"event_type": pa.string(), "m": pa.int64()})
     merged = merged.sort_by([("event_type", "ascending")])
     return merged.rename_columns(["event_type", "max_burst"])
+
+
+def events_daily_anomalies(sf_dir: str) -> pa.Table:
+    """Daily volume anomalies per event type: days whose count exceeds
+    1.5× the mean of the PRIOR seven calendar days (absent days count
+    zero), tested multiplicatively in exact integers (2·7·daily >
+    3·trail_sum) so no division or float ever happens; days without a
+    full 7-day history are skipped.
+
+    Scale shape: the corpus collapses to a bounded (type, day) count
+    rollup in one streaming pass; the trailing comparison is a
+    vectorized sliding-sum over the dense per-type day range on the
+    driver — calendar-sized work, independent of event volume."""
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"], rows_per_block=8192)
+    day_us = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(b.column("ts"), pa.int64()).to_numpy() // day_us
+        t = pa.table({"event_type": b.column("event_type"),
+                      "day": pa.array(day, pa.int64()),
+                      "n": pa.array(np.ones(len(day), np.int64))})
+        t = t.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return t.rename_columns(["event_type", "day", "n"])
+
+    merged = _merge_partials(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"], [("n", "sum")],
+        fallback_schema={"event_type": pa.string(), "day": pa.int64(),
+                         "n": pa.int64()})
+    tys = np.asarray(merged.column("event_type").to_pylist(), dtype=object)
+    days = merged.column("day").to_numpy()
+    ns = merged.column("n").to_numpy()
+    out_t: list = []
+    out_d: list = []
+    out_n: list = []
+    out_s: list = []
+    for t in np.unique(tys):
+        m = tys == t
+        d, n = days[m], ns[m]
+        if d.size == 0:
+            continue
+        lo, hi = int(d.min()), int(d.max())
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[d - lo] = n
+        if dense.size <= 7:
+            continue
+        c = np.concatenate(([0], np.cumsum(dense)))
+        trail = c[7:dense.size] - c[:dense.size - 7]  # sum of days i-7..i-1
+        di = dense[7:]
+        mask = (di > 0) & (2 * 7 * di > 3 * trail)
+        for j in np.flatnonzero(mask):
+            out_t.append(str(t))
+            out_d.append(lo + 7 + int(j))
+            out_n.append(int(di[j]))
+            out_s.append(int(trail[j]))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "trail7_sum": pa.array(out_s, pa.int64())}
+    ).sort_by([("event_type", "ascending"), ("day", "ascending")])
+
+
+def user_type_breadth(sf_dir: str) -> pa.Table:
+    """Engagement-breadth histogram: how many users touched exactly k
+    distinct event types — the bounded audience-segmentation table (k ≤
+    type-vocabulary size) behind personalization and mixing decisions.
+
+    Scale shape: distinct (user, type) pairs collapse per block, one
+    thin two-key groupby dedups globally, a per-user count is one more
+    groupby, and the k-histogram is a bounded driver merge."""
+    from ray.data.aggregate import Sum
+
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type"], rows_per_block=8192)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        t = t.rename_columns(["user_id", "event_type", "n"])
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    pairs = (
+        ev.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["user_id", "event_type"]).aggregate(Sum("one"))
+        .rename_columns(["user_id", "event_type", "one"])
+    )
+
+    def per_user_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("user_id").to_numpy(), return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "k": pa.array(c, pa.int64())})
+
+    per_user = (
+        pairs.map_batches(per_user_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("user_id").aggregate(Sum("k"))
+        .rename_columns(["user_id", "k"])
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("k").to_numpy(), return_counts=True)
+        return pa.table({"k": pa.array(u, pa.int64()),
+                         "n_users": pa.array(c, pa.int64())})
+
+    hist = _merge_partials(
+        per_user.map_batches(hist_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["k"], [("n_users", "sum")],
+        fallback_schema={"k": pa.int64(), "n_users": pa.int64()})
+    return hist.sort_by([("k", "ascending")])

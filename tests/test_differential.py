@@ -276,6 +276,10 @@ BROAD_OPS = [
     # round-5 burst: fuzz hits same-ts pileups (RANGE peers all count),
     # windows crossing the day halo, and single-event types (burst 1)
     "events_burst_detection",
+    # round-5 anomalies + breadth: fuzz hits gap days (zero baseline ->
+    # any activity is a spike), types with < 8 days of history (skipped)
+    # and single-type users (k=1 bucket)
+    "events_daily_anomalies", "user_type_breadth",
 ]
 
 
