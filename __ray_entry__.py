@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # users by distinct-type breadth: two thin groupbys + bounded
         # k-histogram merge
         "user_type_breadth": TD.user_type_breadth,
+        # dedup-threshold calibration: pair counts at five Jaccard cuts
+        # from ONE cached LSH+verify pass, exact-integer ppm compare
+        "neardup_threshold_curve": TD.neardup_threshold_curve,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -1640,6 +1643,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM s WHERE n_clusters > 0
             ORDER BY cluster_size
+        """,
+        # threshold curve over the SAME quadratic pair semantics; the
+        # ppm integerization matches the engine's floor-half-up rounding
+        "neardup_threshold_curve": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                          WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                     END AS sh
+              FROM toks),
+            p AS (
+              SELECT CAST(floor(
+                       CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                            WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                            ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                                 / len(list_distinct(a.sh || b.sh))::DOUBLE END
+                       * 1000000 + 0.5) AS BIGINT) AS j6
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            t(t_ppm) AS (VALUES (500000), (600000), (700000), (800000),
+                                (900000))
+            SELECT CAST(t_ppm AS BIGINT) AS t_ppm,
+                   CAST(coalesce(sum(CASE WHEN p.j6 >= t.t_ppm
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_pairs
+            FROM t LEFT JOIN p ON true
+            GROUP BY t_ppm ORDER BY t_ppm
         """,
         # per-cluster source composition over the same component
         # labeling; majority share in exact floor-half-up ppm

@@ -14913,3 +14913,37 @@ def user_type_breadth(sf_dir: str) -> pa.Table:
         ["k"], [("n_users", "sum")],
         fallback_schema={"k": pa.int64(), "n_users": pa.int64()})
     return hist.sort_by([("k", "ascending")])
+
+
+def neardup_threshold_curve(sf_dir: str) -> pa.Table:
+    """Near-duplicate threshold sensitivity curve: verified pair counts at
+    Jaccard ≥ {0.5, 0.6, 0.7, 0.8, 0.9} — the "how aggressive should the
+    dedup cut be" calibration table, derived from ONE LSH+verify pass
+    (the session pair cache at 0.5, which the quadratic oracle pins as
+    exact-recall) instead of five.
+
+    The comparison is exact-integer on both engines: pairs carry their
+    floor-half-up ppm Jaccard and thresholds are ppm integers, so no
+    float boundary can disagree cross-engine.  Per-block partial counts
+    fold into a five-row driver merge."""
+    pairs = _minhash_pairs_cached(sf_dir, 0.5)
+    t_ppm = np.array([500_000, 600_000, 700_000, 800_000, 900_000], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        j6 = np.floor(
+            b.column("jaccard").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        cnt = (j6[None, :] >= t_ppm[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"t_ppm": pa.array(t_ppm),
+                         "n_pairs": pa.array(cnt)})
+
+    merged = _merge_partials(
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["t_ppm"], [("n_pairs", "sum")],
+        fallback_schema={"t_ppm": pa.int64(), "n_pairs": pa.int64()})
+    have = dict(zip(merged.column("t_ppm").to_pylist(),
+                    merged.column("n_pairs").to_pylist()))
+    return pa.table({
+        "t_ppm": pa.array(t_ppm),
+        "n_pairs": pa.array([have.get(int(t), 0) for t in t_ppm],
+                            pa.int64())})

@@ -805,6 +805,10 @@ HEAVY_OPS = [
     # (ppm 1e6), even splits (majority tie — max(n) is well-defined) and
     # pair-free corpora (empty report)
     "dedup_cluster_purity",
+    # round-5 threshold curve: fuzz hits pair-free corpora (all-zero
+    # rows survive via the fixed five-threshold spine), empty-empty doc
+    # pairs (jaccard 1.0) and exact-threshold ppm boundaries
+    "neardup_threshold_curve",
 ]
 
 
