@@ -493,6 +493,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup-threshold calibration: pair counts at five Jaccard cuts
         # from ONE cached LSH+verify pass, exact-integer ppm compare
         "neardup_threshold_curve": TD.neardup_threshold_curve,
+        # ANALYZE-style catalog stats: exact min/max/ndv/rows per
+        # numeric lineitem column (domain-sized NDV exchange)
+        "lineitem_column_stats": TD.lineitem_column_stats,
+        # planner-statistics audit: uniform-assumption join estimate vs
+        # the true orders x lineitem cardinality (count-table join)
+        "join_cardinality_audit": TD.join_cardinality_audit,
+        # sampling QA: per-lang corpus vs 10%-hash-sample share, ppm
+        "sample_bias_audit": TD.sample_bias_audit,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4307,6 +4315,73 @@ def _graph_oracles() -> dict[str, str]:
             ku AS (SELECT user_id, count(*) AS k FROM d GROUP BY 1)
             SELECT CAST(k AS BIGINT) AS k, count(*) AS n_users
             FROM ku GROUP BY k ORDER BY k
+        """,
+        # exact catalog stats per numeric column, integer cents
+        "lineitem_column_stats": """
+            WITH c AS (
+              SELECT 'l_discount' AS col,
+                     CAST(round(l_discount * 100) AS BIGINT) AS v
+              FROM lineitem
+              UNION ALL SELECT 'l_extendedprice',
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+              FROM lineitem
+              UNION ALL SELECT 'l_quantity',
+                     CAST(round(l_quantity * 100) AS BIGINT) FROM lineitem
+              UNION ALL SELECT 'l_tax',
+                     CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+            SELECT col, CAST(min(v) AS BIGINT) AS min_c,
+                   CAST(max(v) AS BIGINT) AS max_c,
+                   count(*) AS n_rows,
+                   CAST(count(DISTINCT v) AS BIGINT) AS ndv
+            FROM c GROUP BY col ORDER BY col
+        """,
+        # uniform-assumption estimate vs true join size, exact integers
+        "join_cardinality_audit": """
+            WITH o AS (SELECT count(*) AS n1,
+                              count(DISTINCT o_orderkey) AS ndv1
+                       FROM orders),
+            l AS (SELECT count(*) AS n2,
+                         count(DISTINCT l_orderkey) AS ndv2 FROM lineitem),
+            a AS (SELECT count(*) AS actual
+                  FROM orders o2 JOIN lineitem l2
+                       ON o2.o_orderkey = l2.l_orderkey)
+            SELECT CAST(n1 AS BIGINT) AS n_orders,
+                   CAST(n2 AS BIGINT) AS n_lineitem,
+                   CAST(ndv1 AS BIGINT) AS ndv_orders,
+                   CAST(ndv2 AS BIGINT) AS ndv_lineitem,
+                   CAST(CASE WHEN greatest(ndv1, ndv2) = 0 THEN 0
+                             ELSE (n1 * n2) // greatest(ndv1, ndv2) END
+                        AS BIGINT) AS est_join_rows,
+                   CAST(actual AS BIGINT) AS actual_join_rows,
+                   CAST(CASE WHEN greatest(ndv1, ndv2) = 0 THEN 0
+                             ELSE (n1 * n2) // greatest(ndv1, ndv2) END
+                        - actual AS BIGINT) AS est_error
+            FROM o, l, a
+        """,
+        # per-lang corpus vs sample share in exact floor-half-up ppm
+        "sample_bias_audit": """
+            WITH f AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 10 AS ins
+              FROM documents),
+            a AS (SELECT lang, count(*) AS n_docs,
+                         sum(CASE WHEN ins THEN 1 ELSE 0 END) AS n_sampled
+                  FROM f GROUP BY lang),
+            t AS (SELECT sum(n_docs) AS td, sum(n_sampled) AS tsm FROM a)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_sampled AS BIGINT) AS n_sampled,
+                   CAST((n_docs * 2000000 + td) // (2 * td) AS BIGINT)
+                       AS corpus_share_ppm,
+                   CAST(CASE WHEN tsm = 0 THEN 0
+                             ELSE (n_sampled * 2000000 + tsm) // (2 * tsm)
+                        END AS BIGINT) AS sample_share_ppm,
+                   CAST(CASE WHEN tsm = 0 THEN 0
+                             ELSE (n_sampled * 2000000 + tsm) // (2 * tsm)
+                        END
+                        - (n_docs * 2000000 + td) // (2 * td)
+                        AS BIGINT) AS bias_ppm
+            FROM a, t ORDER BY lang
         """,
         # reciprocity over DISTINCT directed edges; exact-integer
         # floor-half-up ppm

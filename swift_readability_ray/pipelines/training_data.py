@@ -14947,3 +14947,209 @@ def neardup_threshold_curve(sf_dir: str) -> pa.Table:
         "t_ppm": pa.array(t_ppm),
         "n_pairs": pa.array([have.get(int(t), 0) for t in t_ppm],
                             pa.int64())})
+
+
+def lineitem_column_stats(sf_dir: str) -> pa.Table:
+    """ANALYZE-style catalog statistics for lineitem's numeric columns:
+    exact min/max (integer cents where money), exact distinct count and
+    row count per column — the table a cost-based planner and the
+    zone-map writer both feed from.
+
+    Scale shape: min/max/rows fold from per-block partials (driver
+    merge, 4 columns × blocks rows); the exact NDV per column is a
+    per-block ``np.unique`` partial into ONE distributed groupby on
+    (column, value) — value domains here are bounded (quantities,
+    cents, discounts), so the exchange is domain-sized, not row-sized."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read_sized(f"{sf_dir}/lineitem.parquet", columns=cols,
+                     rows_per_block=8192)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out_c: list = []
+        out_v: list = []
+        for c in cols:
+            v = np.unique(_cents(b.column(c)).to_numpy())
+            out_c.extend([c] * v.size)
+            out_v.append(v)
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "v": pa.array(np.concatenate(out_v), pa.int64())})
+
+    distinct = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "v"]).count()
+    )
+
+    def ndv_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(b.column("col").to_pylist(),
+                                    dtype=object), return_counts=True)
+        return pa.table({"col": pa.array(u, pa.string()),
+                         "ndv": pa.array(c, pa.int64())})
+
+    ndv = _merge_partials(
+        distinct.map_batches(ndv_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["col"], [("ndv", "sum")],
+        fallback_schema={"col": pa.string(), "ndv": pa.int64()})
+    ndv_map = dict(zip(ndv.column("col").to_pylist(),
+                       ndv.column("ndv").to_pylist()))
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = _cents(b.column(c)).to_numpy()
+            rows.append((c, int(v.min()), int(v.max()), len(v)))
+        return pa.table({"col": pa.array([r[0] for r in rows], pa.string()),
+                         "min_c": pa.array([r[1] for r in rows], pa.int64()),
+                         "max_c": pa.array([r[2] for r in rows], pa.int64()),
+                         "n_rows": pa.array([r[3] for r in rows], pa.int64())})
+
+    mm = _merge_partials(
+        li.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col"], [("min_c", "min"), ("max_c", "max"), ("n_rows", "sum")],
+        fallback_schema={"col": pa.string(), "min_c": pa.int64(),
+                         "max_c": pa.int64(), "n_rows": pa.int64()})
+    mm = mm.sort_by([("col", "ascending")])
+    return pa.table({
+        "col": mm.column("col"),
+        "min_c": mm.column("min_c"),
+        "max_c": mm.column("max_c"),
+        "n_rows": mm.column("n_rows"),
+        "ndv": pa.array([ndv_map.get(c, 0)
+                         for c in mm.column("col").to_pylist()], pa.int64())})
+
+
+def join_cardinality_audit(sf_dir: str) -> pa.Table:
+    """Join-size estimator audit for orders ⋈ lineitem on the order key:
+    the textbook uniform-assumption estimate ⌊n₁·n₂ / max(ndv₁, ndv₂)⌋
+    beside the TRUE join cardinality and the signed error — the check a
+    planner's statistics pipeline runs to detect skew breaking its cost
+    model (exact integers throughout).
+
+    Scale shape: per-side (key → count) rollups are pre-combined per
+    block into ONE distributed groupby each; the true cardinality is
+    Σ c₁(k)·c₂(k) over the key-matched counts (a hash join of two
+    count tables, never of the facts), folded by per-block partial
+    sums."""
+    from ray.data.aggregate import Sum
+
+    def side_counts(path: str, key: str) -> ray.data.Dataset:
+        ds = _read_sized(path, columns=[key], rows_per_block=8192)
+
+        def partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b.column(key).to_numpy(), return_counts=True)
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "n": pa.array(c, pa.int64())})
+
+        return (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("k").aggregate(Sum("n"))
+                .rename_columns(["k", "n"]))
+
+    oc = side_counts(f"{sf_dir}/orders.parquet", "o_orderkey").materialize()
+    lc = side_counts(f"{sf_dir}/lineitem.parquet", "l_orderkey").materialize()
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "rows": pa.array([int(b.column("n").to_numpy().sum())],
+                                          pa.int64()),
+                         "keys": pa.array([b.num_rows], pa.int64())})
+
+    def totals(ds: ray.data.Dataset) -> tuple[int, int]:
+        t = _merge_partials(
+            ds.map_batches(tot_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["one"], [("rows", "sum"), ("keys", "sum")],
+            fallback_schema={"one": pa.int64(), "rows": pa.int64(),
+                             "keys": pa.int64()})
+        if t.num_rows == 0:
+            return 0, 0
+        return (int(t.column("rows")[0].as_py()),
+                int(t.column("keys")[0].as_py()))
+
+    n1, ndv1 = totals(oc)
+    n2, ndv2 = totals(lc)
+    joined = oc.join(
+        lc.map_batches(
+            lambda b: pa.table({"k": b.column("k"), "n2": b.column("n")}),
+            batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=D._default_join_partitions(lc), on=("k",),
+    )
+
+    def prod_partial(b: pa.Table) -> pa.Table:
+        s = int((b.column("n").to_numpy() * b.column("n2").to_numpy()).sum())
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "s": pa.array([s], pa.int64())})
+
+    pt = _merge_partials(
+        joined.map_batches(prod_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["one"], [("s", "sum")],
+        fallback_schema={"one": pa.int64(), "s": pa.int64()})
+    actual = int(pt.column("s")[0].as_py()) if pt.num_rows else 0
+    denom = max(ndv1, ndv2)
+    est = (n1 * n2) // denom if denom else 0
+    return pa.table({
+        "n_orders": pa.array([n1], pa.int64()),
+        "n_lineitem": pa.array([n2], pa.int64()),
+        "ndv_orders": pa.array([ndv1], pa.int64()),
+        "ndv_lineitem": pa.array([ndv2], pa.int64()),
+        "est_join_rows": pa.array([est], pa.int64()),
+        "actual_join_rows": pa.array([actual], pa.int64()),
+        "est_error": pa.array([est - actual], pa.int64())})
+
+
+def sample_bias_audit(sf_dir: str) -> pa.Table:
+    """Representativeness audit for the deterministic 10% hash sample
+    (``sample_docs``' md5 rule): per language, corpus share vs sample
+    share in exact floor-half-up ppm plus the signed bias — the QA table
+    that catches a sampling rule accidentally correlated with a stratum.
+
+    Scale shape: one streaming pass emits bounded (lang, in_sample)
+    conditional counts; everything else is driver arithmetic on the
+    language-bounded rollup."""
+    import hashlib
+
+    ds = _docs_sized(sf_dir, columns=["doc_id", "lang"], rows_per_block=4096)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ins = np.fromiter(
+            ((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100)
+             < 10 for i in ids), np.int64, len(ids))
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        u, inv = np.unique(langs, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, ins)
+        return pa.table({"lang": pa.array(u, pa.string()),
+                         "n_docs": pa.array(n, pa.int64()),
+                         "n_sampled": pa.array(s, pa.int64())})
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("n_docs", "sum"), ("n_sampled", "sum")],
+        fallback_schema={"lang": pa.string(), "n_docs": pa.int64(),
+                         "n_sampled": pa.int64()})
+    merged = merged.sort_by([("lang", "ascending")])
+    nd = merged.column("n_docs").to_numpy()
+    ns = merged.column("n_sampled").to_numpy()
+    tot_d = int(nd.sum())
+    tot_s = int(ns.sum())
+
+    def share_ppm(x: np.ndarray, tot: int) -> np.ndarray:
+        if tot == 0:
+            return np.zeros(len(x), np.int64)
+        return (x * 2_000_000 + tot) // (2 * tot)
+
+    cs = share_ppm(nd, tot_d)
+    ss = share_ppm(ns, tot_s)
+    return pa.table({
+        "lang": merged.column("lang"),
+        "n_docs": merged.column("n_docs"),
+        "n_sampled": merged.column("n_sampled"),
+        "corpus_share_ppm": pa.array(cs, pa.int64()),
+        "sample_share_ppm": pa.array(ss, pa.int64()),
+        "bias_ppm": pa.array(ss - cs, pa.int64())})

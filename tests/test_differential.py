@@ -280,6 +280,9 @@ BROAD_OPS = [
     # any activity is a spike), types with < 8 days of history (skipped)
     # and single-type users (k=1 bucket)
     "events_daily_anomalies", "user_type_breadth",
+    # round-5 sampling QA: fuzz hits langs fully out of the sample
+    # (share 0) and tiny strata (ppm rounding at small denominators)
+    "sample_bias_audit",
 ]
 
 
@@ -566,7 +569,11 @@ JOIN_OPS = ["lineitem_agg", "orders_by_segment", "q3_top_orders",
             # round-5 backlog: fuzz hits orders with no lineitems (never
             # open), completion clamped to the order month, and multiple
             # orders opening/closing in the same month (net-zero deltas)
-            "order_backlog_monthly"]
+            "order_backlog_monthly",
+            # round-5 catalog + estimator: fuzz hits duplicate orderkeys
+            # on the fact side (estimate underestimates skew), cents
+            # rounding ties, and single-value columns (ndv 1)
+            "lineitem_column_stats", "join_cardinality_audit"]
 
 
 @pytest.mark.parametrize("seed", [19, 43])
