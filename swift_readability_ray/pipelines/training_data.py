@@ -132,6 +132,22 @@ def _minhash_pairs_cached(sf_dir: str, threshold: float) -> ray.data.Dataset:
     return _MINHASH_PAIR_CACHE[key]
 
 
+_COMPONENT_LABEL_CACHE: dict = {}
+
+
+def _component_labels_cached(sf_dir: str, threshold: float) -> ray.data.Dataset:
+    """Session-cached component labeling over the cached pair table: ONE
+    labeling pass serves minhash_cluster_sizes, neardup_keep_best (gate
+    path) and dedup_cluster_purity — the pay-once discipline the pair
+    cache already applies to the LSH+verify pass.  Forced-distributed
+    callers bypass this (the meta-pin must exercise the live path)."""
+    key = (sf_dir, threshold)
+    if key not in _COMPONENT_LABEL_CACHE:
+        _COMPONENT_LABEL_CACHE[key] = D.component_labels(
+            _minhash_pairs_cached(sf_dir, threshold)).materialize()
+    return _COMPONENT_LABEL_CACHE[key]
+
+
 def _collect(
     ds: ray.data.Dataset, fallback_schema: dict | None = None
 ) -> pa.Table:
@@ -5421,10 +5437,12 @@ def neardup_keep_best(sf_dir: str, threshold: float = 0.5,
     if _footer_rows(f"{sf_dir}/documents.parquet") == 0:
         return empty
     docs = _docs_sized(sf_dir, columns=["doc_id", "n_chars"])
-    labels = D.component_labels(
-        _minhash_pairs_cached(sf_dir, threshold),
-        force_distributed=force_distributed,
-    ).materialize()
+    labels = (
+        D.component_labels(_minhash_pairs_cached(sf_dir, threshold),
+                           force_distributed=True).materialize()
+        if force_distributed
+        else _component_labels_cached(sf_dir, threshold)
+    )
     npart = D._default_join_partitions(docs)
     if labels.count() == 0:
         # no verified pairs: every doc is its own cluster — skip the join
@@ -13074,7 +13092,7 @@ def minhash_cluster_sizes(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     if n_pairs == 0:
         return pa.table({"cluster_size": pa.array([1], pa.int64()),
                          "n_clusters": pa.array([n_docs], pa.int64())})
-    labels = D.component_labels(pairs)
+    labels = _component_labels_cached(sf_dir, threshold)
     sizes = labels.groupby("label").count()
     st = _collect(sizes, fallback_schema={"label": pa.int64(),
                                           "count()": pa.int64()})
@@ -14483,7 +14501,7 @@ def dedup_cluster_purity(sf_dir: str, threshold: float = 0.5) -> pa.Table:
                       "purity_ppm": pa.array([], pa.int64())})
     if pairs.count() == 0:
         return empty
-    labels = D.component_labels(pairs).map_batches(
+    labels = _component_labels_cached(sf_dir, threshold).map_batches(
         lambda b: pa.table({"doc_id": b.column("u"),
                             "label": b.column("label")}),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -14508,17 +14526,37 @@ def dedup_cluster_purity(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         .rename_columns(["label", "source", "n"])
     )
 
-    def per_label(group: pa.Table) -> pa.Table:
-        n = group.column("n").to_numpy()
-        size = int(n.sum())
-        maj = int(n.max())
+    def finish(lab: np.ndarray, n: np.ndarray) -> pa.Table:
+        # lab sorted ascending with (label, source) rows; segment-reduce
+        order = np.argsort(lab, kind="mergesort")
+        lab, n = lab[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], lab[1:] != lab[:-1])))
+        size = np.add.reduceat(n, starts)
+        maj = np.maximum.reduceat(n, starts)
+        nsrc = np.diff(np.concatenate((starts, [len(lab)])))
+        ppm = (maj * 2_000_000 + size) // (2 * size)
         return pa.table({
-            "label": pa.array([group.column("label")[0].as_py()], pa.int64()),
-            "cluster_size": pa.array([size], pa.int64()),
-            "n_sources": pa.array([len(n)], pa.int64()),
-            "majority_n": pa.array([maj], pa.int64()),
-            "purity_ppm": pa.array(
-                [(maj * 2_000_000 + size) // (2 * size)], pa.int64())})
+            "label": pa.array(lab[starts], pa.int64()),
+            "cluster_size": pa.array(size, pa.int64()),
+            "n_sources": pa.array(nsrc.astype(np.int64), pa.int64()),
+            "majority_n": pa.array(maj, pa.int64()),
+            "purity_ppm": pa.array(ppm, pa.int64())})
+
+    per_ls = per_ls.materialize()
+    n_ls = D._metadata_row_count(per_ls)
+    if n_ls is not None and n_ls <= 5_000_000:
+        # driver rollup: (label, source, n) rows are bounded by labeled
+        # docs; one lexsort + three reduceats replace cluster-count
+        # map_groups callbacks (Ray's per-group fixed cost dominates at
+        # report scale — same rationale as _merge_partials)
+        t = _collect(per_ls, fallback_schema={
+            "label": pa.int64(), "source": pa.string(), "n": pa.int64()})
+        return finish(t.column("label").to_numpy(),
+                      t.column("n").to_numpy())
+
+    def per_label(group: pa.Table) -> pa.Table:
+        return finish(group.column("label").to_numpy(),
+                      group.column("n").to_numpy())
 
     out = per_ls.groupby("label").map_groups(per_label,
                                              batch_format="pyarrow")
