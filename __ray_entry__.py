@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_audit": TD.join_cardinality_audit,
         # sampling QA: per-lang corpus vs 10%-hash-sample share, ppm
         "sample_bias_audit": TD.sample_bias_audit,
+        # deadline-bounded funnel: purchase within 7d after first
+        # signup; thin groupby + user-keyed join, one-row output
+        "conversion_funnel_windowed": TD.conversion_funnel_windowed,
         # IDF / stopword-discovery table: top terms by DOCUMENT frequency
         # (distinct-per-doc combiner, vocabulary-row shuffle only)
         "doc_frequency": TD.doc_frequency,
@@ -4382,6 +4385,25 @@ def _graph_oracles() -> dict[str, str]:
                         - (n_docs * 2000000 + td) // (2 * td)
                         AS BIGINT) AS bias_ppm
             FROM a, t ORDER BY lang
+        """,
+        # strict-after window on the FIRST signup; exact ppm rate
+        "conversion_funnel_windowed": """
+            WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY 1),
+            c AS (SELECT DISTINCT e.user_id
+                  FROM events e JOIN f ON f.user_id = e.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) > f.first_us
+                    AND epoch_us(e.ts) <= f.first_us + 604800000000),
+            s AS (SELECT count(*) AS ns FROM f),
+            cc AS (SELECT count(*) AS nc FROM c)
+            SELECT CAST(ns AS BIGINT) AS n_signup_users,
+                   CAST(nc AS BIGINT) AS n_converted,
+                   CAST(CASE WHEN ns = 0 THEN 0
+                             ELSE (nc * 2000000 + ns) // (2 * ns) END
+                        AS BIGINT) AS conversion_ppm
+            FROM s, cc
         """,
         # reciprocity over DISTINCT directed edges; exact-integer
         # floor-half-up ppm

@@ -15191,3 +15191,79 @@ def sample_bias_audit(sf_dir: str) -> pa.Table:
         "corpus_share_ppm": pa.array(cs, pa.int64()),
         "sample_share_ppm": pa.array(ss, pa.int64()),
         "bias_ppm": pa.array(ss - cs, pa.int64())})
+
+
+def conversion_funnel_windowed(
+    sf_dir: str, window_days: int = 7,
+    first_type: str = "signup", then_type: str = "purchase",
+) -> pa.Table:
+    """Windowed two-step funnel: of users who ever signed up, how many
+    purchased STRICTLY AFTER their first signup and within
+    ``window_days`` — the deadline-bounded conversion rate (exact ppm)
+    that the unbounded :func:`conversion_funnel` cannot express with its
+    min-per-step state alone.
+
+    Scale shape: first-signup is one thin (user → min ts) groupby;
+    purchases join it user-keyed (thin rows both sides, never the full
+    event payload), the window test is vectorized, and converted users
+    dedup through per-block ``np.unique`` partials into one distinct
+    groupby — output is a single bounded row."""
+    from ray.data.aggregate import Min
+
+    win_us = window_days * 86_400_000_000
+    ev = _read_sized(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type", "ts"],
+                     rows_per_block=8192)
+
+    def typed(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), t)
+            x = b.filter(m)
+            return pa.table({"user_id": x.column("user_id"),
+                             "ts_us": pc.cast(x.column("ts"), pa.int64())})
+        return fn
+
+    first = (
+        ev.map_batches(typed(first_type), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id").aggregate(Min("ts_us"))
+        .rename_columns(["user_id", "first_us"])
+        .materialize()
+    )
+    purchases = ev.map_batches(typed(then_type), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    joined = purchases.join(
+        first, join_type="inner",
+        num_partitions=D._default_join_partitions(first), on=("user_id",),
+    )
+
+    def conv_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy()
+        f = b.column("first_us").to_numpy()
+        ok = (ts > f) & (ts <= f + win_us)
+        u = np.unique(b.column("user_id").to_numpy()[ok])
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    converted = (
+        joined.map_batches(conv_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("user_id").count()
+    )
+
+    def count_rows(ds: ray.data.Dataset) -> int:
+        def p(b: pa.Table) -> pa.Table:
+            return pa.table({"one": pa.array([1], pa.int64()),
+                             "n": pa.array([b.num_rows], pa.int64())})
+        t = _merge_partials(
+            ds.map_batches(p, batch_format="pyarrow", zero_copy_batch=True),
+            ["one"], [("n", "sum")],
+            fallback_schema={"one": pa.int64(), "n": pa.int64()})
+        return int(t.column("n")[0].as_py()) if t.num_rows else 0
+
+    n_signup = count_rows(first)
+    n_conv = count_rows(converted)
+    ppm = (n_conv * 2_000_000 + n_signup) // (2 * n_signup) if n_signup else 0
+    return pa.table({
+        "n_signup_users": pa.array([n_signup], pa.int64()),
+        "n_converted": pa.array([n_conv], pa.int64()),
+        "conversion_ppm": pa.array([ppm], pa.int64())})

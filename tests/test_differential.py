@@ -283,6 +283,10 @@ BROAD_OPS = [
     # round-5 sampling QA: fuzz hits langs fully out of the sample
     # (share 0) and tiny strata (ppm rounding at small denominators)
     "sample_bias_audit",
+    # round-5 windowed funnel: fuzz hits purchases BEFORE the first
+    # signup (excluded by the strict-after test), exactly-at-deadline
+    # conversions (inclusive) and signup-free corpora (rate 0)
+    "conversion_funnel_windowed",
 ]
 
 
