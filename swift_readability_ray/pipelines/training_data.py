@@ -15230,8 +15230,20 @@ def conversion_funnel_windowed(
         .rename_columns(["user_id", "first_us"])
         .materialize()
     )
-    purchases = ev.map_batches(typed(then_type), batch_format="pyarrow",
-                               zero_copy_batch=True)
+    # all-empty mapped blocks become schema-less and break the hash
+    # join's key resolution (single-row / purchase-free corpora) — pin
+    # the block schema and short-circuit the no-purchase case
+    purchases = D._ensure_block_schema(
+        ev.map_batches(typed(then_type), batch_format="pyarrow",
+                       zero_copy_batch=True).materialize(),
+        {"user_id": pa.int64(), "ts_us": pa.int64()})
+    n_signup_early = first.count()
+    if n_signup_early == 0 or purchases.count() == 0:
+        ppm0 = 0
+        return pa.table({
+            "n_signup_users": pa.array([n_signup_early], pa.int64()),
+            "n_converted": pa.array([0], pa.int64()),
+            "conversion_ppm": pa.array([ppm0], pa.int64())})
     joined = purchases.join(
         first, join_type="inner",
         num_partitions=D._default_join_partitions(first), on=("user_id",),
