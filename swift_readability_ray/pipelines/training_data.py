@@ -14987,7 +14987,9 @@ def neardup_threshold_curve(sf_dir: str) -> pa.Table:
                             pa.int64())})
 
 
-def lineitem_column_stats(sf_dir: str) -> pa.Table:
+def lineitem_column_stats(
+    sf_dir: str, driver_limit: int = 5_000_000,
+) -> pa.Table:
     """ANALYZE-style catalog statistics for lineitem's numeric columns:
     exact min/max (integer cents where money), exact distinct count and
     row count per column — the table a cost-based planner and the
@@ -14999,8 +15001,8 @@ def lineitem_column_stats(sf_dir: str) -> pa.Table:
     (column, value) — value domains here are bounded (quantities,
     cents, discounts), so the exchange is domain-sized, not row-sized."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = _read_sized(f"{sf_dir}/lineitem.parquet", columns=cols,
-                     rows_per_block=8192)
+    path = f"{sf_dir}/lineitem.parquet"
+    li = _read_sized(path, columns=cols, rows_per_block=8192)
 
     def partial(b: pa.Table) -> pa.Table:
         out_c: list = []
@@ -15012,24 +15014,35 @@ def lineitem_column_stats(sf_dir: str) -> pa.Table:
         return pa.table({"col": pa.array(out_c, pa.string()),
                          "v": pa.array(np.concatenate(out_v), pa.int64())})
 
-    distinct = (
-        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["col", "v"]).count()
-    )
+    uniq_partials = li.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    n_rows_gate = _footer_rows(path)
+    if (driver_limit and n_rows_gate is not None
+            and n_rows_gate <= driver_limit):
+        # per-block distinct rows are <= side rows; one driver unique
+        # per column replaces a (col, value) exchange that is NOT
+        # domain-bounded (extendedprice cents are near-unique)
+        t = _collect(uniq_partials, fallback_schema={
+            "col": pa.string(), "v": pa.int64()})
+        cl = np.asarray(t.column("col").to_pylist(), dtype=object)
+        vv = t.column("v").to_numpy()
+        ndv_map = {c: int(np.unique(vv[cl == c]).size) for c in cols}
+    else:
+        distinct = uniq_partials.groupby(["col", "v"]).count()
 
-    def ndv_partial(b: pa.Table) -> pa.Table:
-        u, c = np.unique(np.asarray(b.column("col").to_pylist(),
-                                    dtype=object), return_counts=True)
-        return pa.table({"col": pa.array(u, pa.string()),
-                         "ndv": pa.array(c, pa.int64())})
+        def ndv_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(np.asarray(b.column("col").to_pylist(),
+                                        dtype=object), return_counts=True)
+            return pa.table({"col": pa.array(u, pa.string()),
+                             "ndv": pa.array(c, pa.int64())})
 
-    ndv = _merge_partials(
-        distinct.map_batches(ndv_partial, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        ["col"], [("ndv", "sum")],
-        fallback_schema={"col": pa.string(), "ndv": pa.int64()})
-    ndv_map = dict(zip(ndv.column("col").to_pylist(),
-                       ndv.column("ndv").to_pylist()))
+        ndv = _merge_partials(
+            distinct.map_batches(ndv_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            ["col"], [("ndv", "sum")],
+            fallback_schema={"col": pa.string(), "ndv": pa.int64()})
+        ndv_map = dict(zip(ndv.column("col").to_pylist(),
+                           ndv.column("ndv").to_pylist()))
 
     def mm_partial(b: pa.Table) -> pa.Table:
         rows = []
@@ -15057,7 +15070,9 @@ def lineitem_column_stats(sf_dir: str) -> pa.Table:
                          for c in mm.column("col").to_pylist()], pa.int64())})
 
 
-def join_cardinality_audit(sf_dir: str) -> pa.Table:
+def join_cardinality_audit(
+    sf_dir: str, driver_limit: int = 5_000_000,
+) -> pa.Table:
     """Join-size estimator audit for orders ⋈ lineitem on the order key:
     the textbook uniform-assumption estimate ⌊n₁·n₂ / max(ndv₁, ndv₂)⌋
     beside the TRUE join cardinality and the signed error — the check a
@@ -15071,7 +15086,7 @@ def join_cardinality_audit(sf_dir: str) -> pa.Table:
     sums."""
     from ray.data.aggregate import Sum
 
-    def side_counts(path: str, key: str) -> ray.data.Dataset:
+    def side_partials(path: str, key: str) -> ray.data.Dataset:
         ds = _read_sized(path, columns=[key], rows_per_block=8192)
 
         def partial(b: pa.Table) -> pa.Table:
@@ -15079,13 +15094,55 @@ def join_cardinality_audit(sf_dir: str) -> pa.Table:
             return pa.table({"k": pa.array(u, pa.int64()),
                              "n": pa.array(c, pa.int64())})
 
-        return (ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    op = f"{sf_dir}/orders.parquet"
+    lp = f"{sf_dir}/lineitem.parquet"
+    no_f, nl_f = _footer_rows(op), _footer_rows(lp)
+    if (driver_limit and no_f is not None and nl_f is not None
+            and no_f + nl_f <= driver_limit):
+        # per-block (key, count) partials are <= side rows: merge both
+        # sides on the driver and compute the matched Σ c1·c2 with one
+        # sorted intersection — replaces two key-cardinality groupbys
+        # plus a count-table hash join (Ray op fixed costs dominate at
+        # report scale)
+        def fold(path, key):
+            t = _collect(side_partials(path, key),
+                         fallback_schema={"k": pa.int64(), "n": pa.int64()})
+            k = t.column("k").to_numpy()
+            n = t.column("n").to_numpy()
+            order = np.argsort(k, kind="mergesort")
+            k, n = k[order], n[order]
+            cut = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+            return k[cut], np.add.reduceat(n, cut)
+
+        k1, c1 = fold(op, "o_orderkey")
+        k2, c2 = fold(lp, "l_orderkey")
+        n1, ndv1 = int(c1.sum()) if c1.size else 0, int(k1.size)
+        n2, ndv2 = int(c2.sum()) if c2.size else 0, int(k2.size)
+        idx = np.searchsorted(k1, k2)
+        idx[idx == k1.size] = 0
+        hit = (k1[idx] == k2) if k1.size else np.zeros(k2.size, bool)
+        actual = int((c1[idx[hit]] * c2[hit]).sum()) if k1.size else 0
+        denom = max(ndv1, ndv2)
+        est = (n1 * n2) // denom if denom else 0
+        return pa.table({
+            "n_orders": pa.array([n1], pa.int64()),
+            "n_lineitem": pa.array([n2], pa.int64()),
+            "ndv_orders": pa.array([ndv1], pa.int64()),
+            "ndv_lineitem": pa.array([ndv2], pa.int64()),
+            "est_join_rows": pa.array([est], pa.int64()),
+            "actual_join_rows": pa.array([actual], pa.int64()),
+            "est_error": pa.array([est - actual], pa.int64())})
+
+    def side_counts(path: str, key: str) -> ray.data.Dataset:
+        return (side_partials(path, key)
                 .groupby("k").aggregate(Sum("n"))
                 .rename_columns(["k", "n"]))
 
-    oc = side_counts(f"{sf_dir}/orders.parquet", "o_orderkey").materialize()
-    lc = side_counts(f"{sf_dir}/lineitem.parquet", "l_orderkey").materialize()
+    oc = side_counts(op, "o_orderkey").materialize()
+    lc = side_counts(lp, "l_orderkey").materialize()
 
     def tot_partial(b: pa.Table) -> pa.Table:
         return pa.table({"one": pa.array([1], pa.int64()),

@@ -1039,3 +1039,16 @@ def test_every_oracled_query_is_fuzzed():
     m = _entry()
     missing = set(m.oracle_sql()) - fuzzed
     assert not missing, f"oracled queries with no fuzz surface: {missing}"
+
+
+def test_catalog_ops_forced_distributed(tmp_path, ray_session):
+    # round-5 catalog ops: driver_limit=0 forces the distributed
+    # groupby/join siblings; both paths must match exactly
+    rng = np.random.RandomState(11)
+    _rand_tpch(rng, tmp_path)
+    from swift_readability_ray.pipelines import training_data as TD
+
+    for fn in (TD.lineitem_column_stats, TD.join_cardinality_audit):
+        gate = fn(str(tmp_path))
+        forced = fn(str(tmp_path), driver_limit=0)
+        assert gate.to_pylist() == forced.to_pylist(), fn.__name__
