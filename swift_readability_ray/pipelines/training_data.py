@@ -14453,20 +14453,18 @@ def span_order_certificate(sf_dir: str) -> pa.Table:
             zero_copy_only=False).astype(np.int64)
         flat = pc.struct_field(pc.list_flatten(spans), "kind")
         is_media = pc.equal(flat, "media").to_numpy(zero_copy_only=False)
+        # one linear pass: per-row slices via cumulative span offsets,
+        # per-row first-media ordinal via a scatter-min
+        bounds = np.concatenate(([0], np.cumsum(n_spans)))
+        chars = np.where(is_media, ord("m"), ord("t")).astype(np.uint8)
+        seqs = [chars[bounds[r]:bounds[r + 1]].tobytes().decode("ascii")
+                for r in range(len(batch))]
         row_of = np.repeat(np.arange(len(batch)), n_spans)
-        seqs = []
-        midx = np.full(len(batch), -1, np.int64)
-        pos_in_row = np.concatenate(
-            [np.arange(n) for n in n_spans]) if len(batch) else np.array([])
-        for r in range(len(batch)):
-            m = row_of == r
-            seqs.append("".join("m" if x else "t" for x in is_media[m]))
-        first_media = {}
-        for p, r, x in zip(pos_in_row, row_of, is_media):
-            if x and r not in first_media:
-                first_media[r] = p
-        for r, p in first_media.items():
-            midx[r] = p
+        pos_in_row = (np.arange(len(chars)) - bounds[row_of]
+                      ) if len(chars) else np.array([], np.int64)
+        midx = np.full(len(batch), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(midx, row_of[is_media], pos_in_row[is_media])
+        midx[midx == np.iinfo(np.int64).max] = -1
         return pa.table({
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
             "n_spans": pa.array(n_spans, pa.int64()),
